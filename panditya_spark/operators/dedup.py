@@ -1,0 +1,285 @@
+"""Deduplication operators for training-data pipelines (spec extension;
+absent from the reference).
+
+Scale design notes:
+- exact_dedup / fingerprint_dedup: one hash-groupBy shuffle on a short
+  hash key — the canonical 100 TB exact-dedup plan.
+- ngram_jaccard_pairs: exact all-pairs similarity via an inverted index
+  on shingles (explode → self-join on shingle → count). Correct but
+  quadratic in cluster size; at scale it is the *verification* stage
+  run only on LSH candidates.
+- minhash_lsh_candidates: the scale path. Shingle → k minhashes via
+  independent affine permutations of xxhash64 (JVM hash, no UDF) →
+  band signatures → candidate pairs that share a band bucket. Shuffle
+  volume is O(docs × bands), independent of pairwise comparisons.
+- simhash64: 64-bit simhash from token hashes, bit-majority per
+  position; near-dup = small Hamming distance, candidate generation by
+  16-bit chunk equality (Hamming ≤3 ⇒ at least one of 4 chunks equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from panditya_spark.operators.text import fingerprint, words
+
+# Mersenne prime 2^61-1: modulus for the affine minhash permutations.
+_MERSENNE = (1 << 61) - 1
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as ARRAY<STRING> (empty if < k words)."""
+    w = words(text)
+    return F.when(
+        F.size(w) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content hash: (content_hash, keeper_id, n_copies).
+    keeper = min id per hash (deterministic winner)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the normalized fingerprint (case/whitespace
+    insensitive)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Inverted-index join: explode shingles, self-join on shingle with
+    doc1 < doc2, count common, join per-doc sizes, filter. All
+    equi-joins — co-partitioned by shingle then by doc id.
+    """
+    sh = _shingle_table(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed("doc", "doc1")
+    b = sh.withColumnRenamed("doc", "doc2")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n_sh", "n1")
+    s2 = sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("n_sh", "n2")
+    return (
+        common.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def _minhash_cols(num_hashes: int, seed: int = 42) -> list[Column]:
+    """num_hashes affine permutations of the shingle hash:
+    h_i = (a_i * x + b_i) mod M (M = 2^61-1). Coefficients from a fixed
+    LCG so the signature is deterministic across runs/engines."""
+    import random
+
+    rng = random.Random(seed)
+    cols = []
+    x = F.pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE))
+    for i in range(num_hashes):
+        a = rng.randrange(1, _MERSENNE)
+        b = rng.randrange(0, _MERSENNE)
+        # pmod keeps the result in [0, M); arithmetic in decimal to avoid
+        # 64-bit overflow of a*x (a, x < 2^61).
+        h = F.pmod(
+            (x.cast("decimal(38,0)") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE),
+            F.lit(_MERSENNE),
+        ).cast("long")
+        cols.append(F.min(h).alias(f"mh_{i}"))
+    return cols
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(doc, mh_0..mh_{n-1}) minhash signature table."""
+    sh = _shingle_table(df, text_col, id_col, k)
+    return sh.groupBy("doc").agg(*_minhash_cols(num_hashes))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band bucket.
+    rows/band = num_hashes/bands; pair survives if all rows in some band
+    match. Returns distinct (doc1, doc2)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_entries = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = band_entries.withColumnRenamed("doc", "doc1")
+    b = band_entries.withColumnRenamed("doc", "doc2")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Scale-path near-dedup: LSH candidates verified with exact Jaccard.
+    Output ⊆ ngram_jaccard_pairs; recall depends on the band curve
+    (1-(1-s^r)^b)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, bands)
+    sh = _shingle_table(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed("doc", "doc1")
+    b = sh.withColumnRenamed("doc", "doc2")
+    # Shingle self-join restricted to LSH candidates via semi-join.
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .join(cands, ["doc1", "doc2"], "left_semi")
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n_sh", "n1")
+    s2 = sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("n_sh", "n2")
+    return (
+        common.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, simhash) — 64-bit simhash: per word-hash, each bit votes
+    ±1; final bit = majority sign. Expressed with explode + bit ops,
+    fully JVM-side."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    # bit 63 of a signed long is the sign bit: 1<<63 overflows, its
+    # two's-complement value is -2^63.
+    bit_terms = [
+        F.when(
+            F.col(f"v{i}") > 0,
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc.bitwiseOR(t)
+    return votes.select("doc", acc.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+    Candidate generation: split the 64-bit hash into 4 16-bit chunks —
+    any pair within Hamming ≤3 shares ≥1 chunk exactly (pigeonhole), so
+    the join is equi on (chunk_idx, chunk_value), never all-pairs."""
+    sig = simhash64(df, text_col, id_col).cache()
+    chunks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.select(
+        F.col("doc").alias("doc1"), F.col("simhash").alias("sh1"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col("doc").alias("doc2"), F.col("simhash").alias("sh2"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "sh1", "sh2")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

@@ -1,0 +1,158 @@
+"""Generic relational operators (SURVEY.md §2.2, §2.4-§2.7).
+
+Each helper re-expresses one behavior of the reference as a composable
+DataFrame transformation. Everything stays in built-in pyspark.sql
+functions (JVM-side, whole-stage-codegen-able) — no Python UDFs in this
+module, so all of it survives a 100 TB scale-up unchanged.
+
+Reference provenance is cited per function (file:line of /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- P3
+def coalesce_empty(primary: Column, fallback: Column) -> Column:
+    """Fill empty-string/null primary from fallback.
+
+    Reference: utils/extract.py:49-52 (attributed-author backfill).
+    """
+    p = F.trim(primary)
+    return F.when(p.isNull() | (p == ""), fallback).otherwise(primary)
+
+
+# ---------------------------------------------------------------- P8 / F4
+def split_to_array(col: Column, pattern: str = r",") -> Column:
+    """Split, trim each element, drop empties → ARRAY<STRING>.
+
+    Reference: utils/transform.py:51-52 (split_field). Multi-delimiter
+    variant (pattern=r'[,\\r\\n]+') covers transform.py:223.
+    """
+    return F.filter(F.transform(F.split(col, pattern), F.trim), lambda x: x != "")
+
+
+# ---------------------------------------------------------------- P9
+def year_pair_with_guard(highest: Column, lowest: Column) -> tuple[Column, Column]:
+    """Cast year strings to int, but BOTH become null when `highest` is
+    empty — even if `lowest` exists. Deliberate quirk replication.
+
+    Reference: utils/transform.py:63-65.
+    """
+    guard = highest.isNotNull() & (F.trim(highest) != "")
+    return (
+        F.when(guard, F.trim(highest).cast("int")),
+        F.when(guard, F.trim(lowest).cast("int")),
+    )
+
+
+# ---------------------------------------------------------------- A5 / W3
+def formatted_freq_agg(
+    df: DataFrame, group_col: str, item_col: str, out_col: str = "freq_label"
+) -> DataFrame:
+    """Per group: count items, order by (-count, item), render as
+    ``"item (n), item (n)"``.
+
+    Reference: utils/transform.py:146-156 (author discipline strings
+    like "Nyāya (3), Yoga (1)"; ordering at transform.py:154).
+
+    Implementation is two map-side-combinable aggregations plus an
+    array sort — no window, no UDF. Struct array sorts lexicographically
+    field-by-field, so (neg_count, item) reproduces Python's
+    sort(key=lambda: (-count, name)).
+    """
+    counted = df.groupBy(group_col, item_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counted.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col(item_col).alias("item"),
+                    )
+                )
+            ).alias("ordered")
+        )
+        .select(
+            group_col,
+            F.concat_ws(
+                ", ",
+                F.transform(
+                    "ordered",
+                    lambda s: F.concat(
+                        s["item"], F.lit(" ("), (-s["neg_cnt"]).cast("string"), F.lit(")")
+                    ),
+                ),
+            ).alias(out_col),
+        )
+    )
+
+
+# ---------------------------------------------------------------- A6 / F8
+def truncated_pct(numerator: Column, denominator: Column) -> Column:
+    """Percentage truncated (not rounded) to one decimal:
+    floor(n/d * 1000) / 10.
+
+    Reference: utils/utils.py:67-71 (etext_coverage).
+    """
+    return F.floor(numerator / denominator * F.lit(1000)) / F.lit(10.0)
+
+
+# ---------------------------------------------------------------- A12
+SIZE_CATEGORIES: list[tuple[str, int, int]] = [
+    # (name, lo, hi) — hi exclusive; mirrors utils/analyze.py:15-22
+    ("isolated", 1, 2),
+    ("extra_small", 2, 5),
+    ("small", 5, 10),
+    ("medium", 10, 26),
+    ("large", 26, 101),
+    ("extra_large", 101, 2**31),
+]
+
+
+def bucket_by_size(size_col: Column) -> Column:
+    """Map a group size to its named bucket (utils/analyze.py:15-22,41-72).
+
+    Single-pass when-chain — the reference's per-category rescan loop
+    collapses into one projection Catalyst folds into the scan.
+    """
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(SIZE_CATEGORIES):
+        expr = F.when((size_col >= lo) & (size_col < hi), F.lit(name)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------- W1 / O5
+def top_n_by(df: DataFrame, order: list[Column], n: int) -> DataFrame:
+    """Global top-N. orderBy().limit() compiles to TakeOrderedAndProject —
+    a per-partition top-N plus a single driver-side merge of N·P rows,
+    no full sort/shuffle; safe at any scale for small N.
+
+    Reference: utils/analyze.py:178-209 (top-10 per centrality metric).
+    """
+    return df.orderBy(*order).limit(n)
+
+
+# ---------------------------------------------------------------- W2 / J4
+def first_match_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], predicate: Column
+) -> DataFrame:
+    """First row per group, in a given order, satisfying a predicate —
+    the reference's "first author with a year" backfill
+    (utils/transform.py:158-165).
+
+    filter → window row_number = 1. The filter runs before the window,
+    so the shuffle only carries candidate rows.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.filter(predicate)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

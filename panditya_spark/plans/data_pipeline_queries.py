@@ -1,0 +1,221 @@
+"""Training-data-pipeline queries over the documents/embeddings tables:
+dedup (exact, fingerprint, n-gram Jaccard, MinHash-LSH, SimHash),
+text analysis (quality, lang-id, token counts), similarity search
+(brute-force + LSH ANN). Oracles where the computation is
+SQL-expressible; probabilistic/hash-seeded ops are rows-only and get
+property tests in tests/ instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from panditya_spark.operators import dedup as D
+from panditya_spark.operators import similarity as S
+from panditya_spark.operators import text as T
+from panditya_spark.plans.registry import register
+from panditya_spark.sources.loaders import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from panditya_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- dedup: exact
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------- dedup: fingerprint
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.fingerprint_dedup(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------- dedup: n-gram Jaccard
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM words WHERE len(w) >= 3
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+    FROM common
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------- dedup: MinHash-LSH (rows-only)
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dedup: LSH candidates + exact-Jaccard verify.
+    No oracle (hash-seeded candidate set); tests/test_dedup.py asserts
+    recall against the exact pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.6)
+
+
+# ---------------------------------------------------------------- dedup: SimHash (rows-only)
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming ≤ 3, chunk-equality candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------- text: quality features
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS INTEGER) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
+           CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '')) > 0
+                THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                     / len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> ''))
+                ELSE 0.0 END AS mean_word_len
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *T.quality_features(F.col("text")))
+
+
+# ---------------------------------------------------------------- text: token count ratio
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------- text: lang-id (rows-only)
+@register("text_langid")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-ratio language ID vs the ground-truth lang
+    column. Rows-only (the argmax-over-markers heuristic is awkward in
+    portable SQL); tests assert determinism + schema."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", T.lang_id(F.col("text")).alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------- ANN: brute-force top-k
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+    sims AS (
+      SELECT qid, cid, round(list_cosine_similarity(qe, ce), 4) AS sim
+      FROM q CROSS JOIN c WHERE qid <> cid
+    ),
+    ranked AS (
+      SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      FROM sims
+    )
+    SELECT qid, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return S.brute_force_topk(queries, cands, k=10)
+
+
+# ---------------------------------------------------------------- ANN: LSH-bucketed (rows-only)
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets + exact
+    re-rank. Rows-only; tests assert recall@10 against brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return S.lsh_bucketed_topk(queries, cands, dim=64, k=10)
+
+
+# ---------------------------------------------------------------- embedding near-dup pairs
+# Threshold 0.35: the synthetic embeddings top out at cosine ≈ 0.48, so
+# a classic 0.95 near-dup cut would be vacuously empty at every sf.
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_near_pairs(emb, "vec_id", "embedding", threshold=0.35)

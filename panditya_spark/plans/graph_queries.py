@@ -1,0 +1,209 @@
+"""Graph operator queries (SURVEY.md §2.8) parameterized onto the
+driver's synthetic tables per FIXTURES.md §B.
+
+The graph under test is derived from the TPC-H key chain:
+    'N'||n_nationkey  --owns-->  'C'||c_custkey  --placed-->  'O'||o_orderkey
+This gives a real multi-level graph whose BFS/components/degree answers
+are independently computable by DuckDB recursive CTEs (the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from panditya_spark.operators.graph import (
+    connected_components,
+    khop_bfs,
+    longest_chain_depth,
+)
+from panditya_spark.plans.registry import register
+from panditya_spark.sources.loaders import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from panditya_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def key_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation→customer ∪ customer→order edge table with typed node ids."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    nc = c.select(
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("dst"),
+    )
+    co = o.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    return nc.union(co)
+
+
+_EDGES_SQL = """
+      SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS src,
+             'C' || CAST(c_custkey AS VARCHAR) AS dst
+      FROM customer
+      UNION ALL
+      SELECT 'C' || CAST(o_custkey AS VARCHAR), 'O' || CAST(o_orderkey AS VARCHAR)
+      FROM orders
+"""
+
+
+# ---------------------------------------------------------------- G1
+# Reference: grapher.py:25-94 — k-hop BFS subgraph (undirected expansion,
+# periphery trim). k=2 from the nations of region 0.
+@register(
+    "g1_khop_bfs",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION SELECT dst, src FROM edges
+    ),
+    reach(node, d) AS (
+      SELECT 'N' || CAST(n_nationkey AS VARCHAR), 0 FROM nation WHERE n_regionkey = 0
+      UNION
+      SELECT u.b, r.d + 1 FROM reach r JOIN und u ON u.a = r.node WHERE r.d < 2
+    )
+    SELECT node, CAST(min(d) AS INTEGER) AS dist FROM reach GROUP BY node
+    """,
+)
+def g1_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    edges = key_chain_edges(spark, sf_dir)
+    seeds = n.filter(F.col("n_regionkey") == 0).select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node")
+    )
+    nodes, _ = khop_bfs(edges, seeds, hops=2)
+    return nodes.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+# ---------------------------------------------------------------- G5
+# Reference: analyze.py:36-39 — undirected connected components.
+# Oracle: full transitive closure by recursive CTE (feasible because
+# the key-chain graph's components are star-shaped and small).
+@register(
+    "g5_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION SELECT dst, src FROM edges
+    ),
+    nodes AS (SELECT a AS node FROM und),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node, min(label) AS component FROM reach GROUP BY node
+    """,
+)
+def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = key_chain_edges(spark, sf_dir)
+    return connected_components(edges)
+
+
+# ---------------------------------------------------------------- A10/G6
+# Reference: analyze.py:107-117 — degree aggregates over the edge table.
+@register(
+    "a10_degree_stats",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    ind AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)
+    SELECT (SELECT max(d) FROM outd) AS max_out_degree,
+           (SELECT avg(d) FROM outd) AS avg_out_degree,
+           (SELECT max(d) FROM ind) AS max_in_degree,
+           (SELECT avg(d) FROM ind) AS avg_in_degree
+    """,
+)
+def a10_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = key_chain_edges(spark, sf_dir)
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    o = outd.agg(
+        F.max("d").alias("max_out_degree"), F.avg("d").alias("avg_out_degree")
+    )
+    i = ind.agg(F.max("d").alias("max_in_degree"), F.avg("d").alias("avg_in_degree"))
+    return o.crossJoin(i)
+
+
+# ---------------------------------------------------------------- G12/A8
+# Reference: analyze.py:94-97 — node/edge counts + nx.density (digraph).
+@register(
+    "g12_density",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    c AS (SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                 (SELECT count(*) FROM edges) AS n_edges)
+    SELECT n_nodes, n_edges,
+           CAST(n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1)) AS density
+    FROM c
+    """,
+)
+def g12_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = key_chain_edges(spark, sf_dir).cache()
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    nc = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ec = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nc.crossJoin(ec).select(
+        "n_nodes",
+        "n_edges",
+        (
+            F.col("n_edges").cast("double")
+            / (F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1))
+        ).alias("density"),
+    )
+
+
+# ---------------------------------------------------------------- G10
+# Reference: analyze.py:226-253 — commentary-chain max depth (longest
+# path in a DAG). Synthetic DAG: o_orderkey → 2*o_orderkey when both
+# exist (a forest of doubling chains — acyclic by construction).
+@register(
+    "g10_longest_chain",
+    oracle="""
+    WITH RECURSIVE
+    dag AS (
+      -- o_orderkey > 0: key 0 would be a self-loop (0*2=0), i.e. a cycle
+      SELECT 'K' || CAST(o1.o_orderkey AS VARCHAR) AS src,
+             'K' || CAST(o1.o_orderkey * 2 AS VARCHAR) AS dst
+      FROM orders o1 JOIN orders o2 ON o2.o_orderkey = o1.o_orderkey * 2
+      WHERE o1.o_orderkey > 0
+    ),
+    -- DISTINCT, not UNION-dedupe: inside a WITH RECURSIVE block DuckDB
+    -- runs this CTE's UNION branches without global dedup.
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM dag UNION ALL SELECT dst FROM dag)),
+    walk(start, node, d) AS (
+      SELECT src, dst, 1 FROM dag
+      UNION ALL
+      SELECT w.start, e.dst, w.d + 1 FROM walk w JOIN dag e ON e.src = w.node
+    )
+    SELECT n.node, CAST(COALESCE(m.d, 0) AS INTEGER) AS chain_depth
+    FROM nodes n
+    LEFT JOIN (SELECT start, max(d) AS d FROM walk GROUP BY start) m
+      ON m.start = n.node
+    """,
+)
+def g10_longest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o1 = o.select("o_orderkey").filter(F.col("o_orderkey") > 0)
+    o2 = o.select(F.col("o_orderkey").alias("k2"))
+    dag = o1.join(o2, o2.k2 == o1.o_orderkey * 2).select(
+        F.concat(F.lit("K"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("K"), (F.col("o_orderkey") * 2).cast("string")).alias("dst"),
+    )
+    return longest_chain_depth(dag).select(
+        "node", F.col("chain_depth").cast("int").alias("chain_depth")
+    )

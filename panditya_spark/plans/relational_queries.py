@@ -1,0 +1,524 @@
+"""Relational operator queries (SURVEY.md §2.2 P*, §2.3 J*, §2.4 A*,
+§2.5 W*, §2.6 O*, §2.7 T*) parameterized onto the driver's synthetic
+TPC-H-ish tables per FIXTURES.md §B.
+
+Each query is the Spark-first expression of one reference behavior
+(provenance cited per function); the paired DuckDB oracle is the
+ANSI-SQL ground truth the driver hash-compares at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from panditya_spark.operators.relational import (
+    bucket_by_size,
+    coalesce_empty,
+    first_match_per_group,
+    formatted_freq_agg,
+    split_to_array,
+    top_n_by,
+)
+from panditya_spark.plans.registry import register
+from panditya_spark.sources.loaders import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from panditya_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- P1+P2
+# Reference: utils/extract.py:21-42 — column pruning + IN-list filter.
+# Catalyst pushes both into the parquet scan (PushedFilters + ReadSchema).
+@register(
+    "p1_scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag IN ('A', 'R')
+    """,
+)
+def p1_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45) & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_partkey", "l_quantity")
+
+
+# ---------------------------------------------------------------- P3+P7
+# Reference: utils/extract.py:49-52,71 — empty-string coalesce + null fill.
+@register(
+    "p3_coalesce_fill",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_name IS NULL OR trim(c_name) = '' THEN c_mktsegment
+                ELSE c_name END AS display_name
+    FROM customer
+    """,
+)
+def p3_coalesce_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        coalesce_empty(F.col("c_name"), F.col("c_mktsegment")).alias("display_name"),
+    )
+
+
+# ---------------------------------------------------------------- P4+F3
+# Reference: utils/extract.py:55-56 — regex collapse + trim.
+@register(
+    "p4_regex_clean",
+    oracle="""
+    SELECT p_partkey, trim(regexp_replace(p_name, '\\s+', ' ', 'g')) AS clean_name
+    FROM part
+    """,
+)
+def p4_regex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.trim(F.regexp_replace("p_name", r"\s+", " ")).alias("clean_name"),
+    )
+
+
+# ---------------------------------------------------------------- P8+F4
+# Reference: utils/transform.py:51-52 (split_field) + explode shape of J1/J2.
+@register(
+    "p8_split_explode",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (
+      SELECT trim(u.w) AS word
+      FROM part, unnest(string_split(p_type, ' ')) AS u(w)
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def p8_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(split_to_array(F.col("p_type"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------- J5
+# Reference: grapher.py:53, flask_app.py:141 — catalog hash-probe ==
+# broadcast hash join against the small dimension. part is the small
+# side: explicit broadcast() so a 100 TB lineitem never shuffles.
+@register(
+    "j5_broadcast_join_agg",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def j5_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- J1/J2
+# Reference: utils/transform.py:84-120 — inverse-adjacency build
+# (author.work_ids from work.author_ids). groupBy+collect_list is the
+# distributed inversion; rendered as a sorted joined string for a
+# representation-stable oracle hash.
+@register(
+    "j1_adjacency_list",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def j1_adjacency_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("order_ids")
+        )
+    )
+
+
+# ---------------------------------------------------------------- J4/W2
+# Reference: utils/transform.py:158-165 — ordered-first-match backfill
+# (first author in list order with a year). Here: first lineitem per
+# order, by linenumber, that was returned.
+@register(
+    "w2_first_match_backfill",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+      FROM lineitem WHERE l_returnflag = 'R'
+    ) WHERE rn = 1
+    """,
+)
+def w2_first_match_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return first_match_per_group(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag"),
+        ["l_orderkey"],
+        [F.col("l_linenumber")],
+        F.col("l_returnflag") == "R",
+    )
+
+
+# ---------------------------------------------------------------- A1/A2
+# Reference: utils/transform.py:216-221 — conditional counts per group.
+@register(
+    "a1_conditional_count",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_customers,
+           CAST(SUM(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def a1_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_positive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- A3/O2
+# Reference: utils/transform.py:192,234-240 — set-collect + sort per key.
+@register(
+    "a3_set_collect_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def a3_set_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_returnflag"))).alias("flags")
+    )
+
+
+# ---------------------------------------------------------------- A4
+# Reference: utils/utils.py:56-61,72 — distinct works per collection.
+@register(
+    "a4_count_distinct",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey, count(DISTINCT o.o_custkey) AS n_active
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------- A5/W3
+# Reference: utils/transform.py:146-156 — "Nyāya (3), Yoga (1)" string agg.
+@register(
+    "a5_formatted_freq_agg",
+    oracle="""
+    SELECT custkey,
+           string_agg(item || ' (' || cnt || ')', ', '
+                      ORDER BY cnt DESC, item) AS freq_label
+    FROM (
+      SELECT o_custkey AS custkey, o_orderpriority AS item, count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    GROUP BY custkey
+    """,
+)
+def a5_formatted_freq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return formatted_freq_agg(
+        o.select(F.col("o_custkey").alias("custkey"), F.col("o_orderpriority").alias("item")),
+        "custkey",
+        "item",
+    )
+
+
+# ---------------------------------------------------------------- A6/F8
+# Reference: utils/utils.py:67-71 — one-decimal truncated percentage.
+@register(
+    "a6_truncated_ratio",
+    oracle="""
+    SELECT nationkey, FLOOR(n_positive * 1000.0 / n_customers) / 10 AS coverage_pct
+    FROM (
+      SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+             CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+      FROM customer GROUP BY c_nationkey
+    )
+    """,
+)
+def a6_truncated_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    agg = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0)).cast("bigint").alias("n_positive"),
+    )
+    return agg.select(
+        "nationkey",
+        (F.floor(F.col("n_positive") * 1000.0 / F.col("n_customers")) / 10).alias(
+            "coverage_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- A7
+# Reference: utils/transform.py:140-144 — HAVING-style group filter
+# (drop authors with no works).
+@register(
+    "a7_having_filter",
+    oracle="""
+    SELECT o_custkey AS custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+    """,
+)
+def a7_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+# ---------------------------------------------------------------- A9
+# Reference: utils/analyze.py:100-104 — group count by type.
+@register(
+    "a9_group_count",
+    oracle="SELECT o_orderstatus AS status, count(*) AS n FROM orders GROUP BY o_orderstatus",
+)
+def a9_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------- A12/A15
+# Reference: utils/analyze.py:15-22,41-72 — component-size bucketing.
+# Group = customer, size = order count; single-pass when-chain bucket.
+@register(
+    "a12_bucket_histogram",
+    oracle="""
+    SELECT category, count(*) AS n_groups, CAST(SUM(sz) AS BIGINT) AS n_rows
+    FROM (
+      SELECT CASE WHEN sz >= 1 AND sz < 2 THEN 'isolated'
+                  WHEN sz >= 2 AND sz < 5 THEN 'extra_small'
+                  WHEN sz >= 5 AND sz < 10 THEN 'small'
+                  WHEN sz >= 10 AND sz < 26 THEN 'medium'
+                  WHEN sz >= 26 AND sz < 101 THEN 'large'
+                  ELSE 'extra_large' END AS category, sz
+      FROM (SELECT count(*) AS sz FROM orders GROUP BY o_custkey)
+    )
+    GROUP BY category
+    """,
+)
+def a12_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    sizes = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.select(bucket_by_size(F.col("sz")).alias("category"), "sz")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("sz").cast("bigint").alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------- W1/O5
+# Reference: utils/analyze.py:178-209 — global top-N by score
+# (TakeOrderedAndProject: no full sort at scale). Deterministic
+# tiebreak on key so the oracle's LIMIT agrees.
+@register(
+    "w1_top_n",
+    oracle="""
+    SELECT custkey, revenue FROM (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY o_custkey
+    )
+    ORDER BY revenue DESC, custkey LIMIT 10
+    """,
+)
+def w1_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    return top_n_by(agg, [F.desc("revenue"), F.asc("custkey")], 10)
+
+
+# Parts joined to the nation of the *customer* who bought them — the
+# "which collections carry this work" shape of the SETI endpoints,
+# re-keyed so every sf has data in every group.
+_PART_NATION_SQL = """
+      SELECT l.l_partkey, c.c_nationkey
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def _part_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("l_partkey", "c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------- T3
+# Reference: flask_app.py:397-416 — two-collection overlap 3-way
+# partition. Here: parts bought in nation 1 vs nation 2.
+@register(
+    "t3_overlap_partition",
+    oracle=f"""
+    SELECT CASE WHEN in1 AND in2 THEN 'both'
+                WHEN in1 THEN 'only_1' ELSE 'only_2' END AS status,
+           count(*) AS n_parts
+    FROM (
+      SELECT l_partkey,
+             bool_or(c_nationkey = 1) AS in1,
+             bool_or(c_nationkey = 2) AS in2
+      FROM ({_PART_NATION_SQL})
+      WHERE c_nationkey IN (1, 2)
+      GROUP BY l_partkey
+    )
+    GROUP BY 1
+    """,
+)
+def t3_overlap_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = (
+        _part_nation(spark, sf_dir)
+        .filter(F.col("c_nationkey").isin(1, 2))
+        .groupBy("l_partkey")
+        .agg(
+            F.max(F.col("c_nationkey") == 1).alias("in1"),
+            F.max(F.col("c_nationkey") == 2).alias("in2"),
+        )
+    )
+    return (
+        flags.select(
+            F.when(F.col("in1") & F.col("in2"), "both")
+            .when(F.col("in1"), "only_1")
+            .otherwise("only_2")
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------- T4
+# Reference: flask_app.py:355-359 — unique-to-collection (map has
+# exactly one key). Universe restricted to nations {1,2,3} so
+# exclusivity is non-degenerate at every sf.
+@register(
+    "t4_unique_to_group",
+    oracle=f"""
+    SELECT c_nationkey AS nationkey, count(*) AS n_exclusive_parts
+    FROM (
+      SELECT l_partkey, min(c_nationkey) AS c_nationkey
+      FROM ({_PART_NATION_SQL})
+      WHERE c_nationkey IN (1, 2, 3)
+      GROUP BY l_partkey
+      HAVING count(DISTINCT c_nationkey) = 1
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def t4_unique_to_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    excl = (
+        _part_nation(spark, sf_dir)
+        .filter(F.col("c_nationkey").isin(1, 2, 3))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("c_nationkey").alias("c_nationkey"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .filter(F.col("n_nations") == 1)
+    )
+    return excl.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_exclusive_parts")
+    )
+
+
+# ---------------------------------------------------------------- F1/F2
+# Reference: flask_app.py:48-68 — formatted labels ("name (id) [dates]").
+@register(
+    "f2_entity_labels",
+    oracle="""
+    SELECT c_custkey,
+           c_name || ' (' || CAST(c_custkey AS VARCHAR) || ')'
+             || CASE WHEN c_mktsegment IS NOT NULL
+                     THEN ' [' || c_mktsegment || ']' ELSE '' END AS label
+    FROM customer
+    """,
+)
+def f2_entity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" ("),
+            F.col("c_custkey").cast("string"),
+            F.lit(")"),
+            F.when(
+                F.col("c_mktsegment").isNotNull(),
+                F.concat(F.lit(" ["), F.col("c_mktsegment"), F.lit("]")),
+            ).otherwise(""),
+        ).alias("label"),
+    )

@@ -1,0 +1,85 @@
+"""Windowed-aggregation queries over the events table (SURVEY.md §2.10:
+the reference has no streaming surface; these are the Phase-6
+extensions). The same window logic runs as a batch DataFrame here (so
+the driver can oracle it against DuckDB) and as a Structured Streaming
+job in panditya_spark/streaming/ (readStream + watermark), sharing the
+aggregation definitions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from panditya_spark.plans.registry import register
+from panditya_spark.sources.loaders import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from panditya_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type: count + exact
+    sum. window() start is epoch-aligned, identical to date_trunc for
+    1-hour tumbling — we emit window_start so the oracle can match."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_hourly(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_daily",
+    oracle="""
+    WITH slides AS (
+      SELECT e.*,
+             date_trunc('hour', ts) - INTERVAL (s.i) HOUR AS window_start
+      FROM events e, generate_series(0, 23) AS s(i)
+    )
+    SELECT window_start, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM slides
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24h window, 1h slide: each event contributes to 24
+    windows. Spark's window(ts, '24 hours', '1 hour') enumerates the
+    same epoch-aligned slide starts the oracle derives by hand."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "24 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
