@@ -1,0 +1,73 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed end-to-end: plan construction + execution to a
+driver-side count() (forces full materialization without paying
+collect serialization for large results). A warmup query first absorbs
+JVM/session startup so numbers measure the engine, not the boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the heaviest representative per operator family
+# (graph traversal, iterative fixpoint, shuffle-heavy agg, LSH dedup,
+# similarity, window, streaming-shaped agg, text pipeline).
+HEADLINE = [
+    "g1_khop_bfs",
+    "g5_connected_components",
+    "g10_longest_chain",
+    "a3_set_collect_sorted",
+    "a10_degree_stats",
+    "w2_first_match_backfill",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "stream_tumbling_hourly",
+    "text_quality",
+    "t3_overlap_partition",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from panditya_spark.plans import QUERIES
+    from panditya_spark.session import get_spark
+
+    spark = get_spark("panditya-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: absorb codegen/JIT/session-start cost outside the timings.
+    QUERIES["a9_group_count"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline query wall-clock, sum over query set",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
