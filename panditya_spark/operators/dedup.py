@@ -29,8 +29,15 @@ _MERSENNE = (1 << 61) - 1
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles as ARRAY<STRING> (empty if < k words)."""
-    w = words(text)
+    """Distinct k-word shingles as ARRAY<STRING> (empty if < k words).
+
+    The word array is a plain lambda-free split: referencing an
+    expression that itself contains lambdas (words() = transform+filter)
+    from *inside* the outer transform's lambda mis-binds the nested
+    lambda variables in Catalyst (observed: every slice collapsed to the
+    first character). split(trim, '\\s+') is equivalent here — regex
+    splitting can't produce empty or padded tokens from non-empty text."""
+    w = F.split(F.trim(text), r"\s+")
     return F.when(
         F.size(w) >= k,
         F.array_distinct(

@@ -31,7 +31,12 @@ def split_to_array(col: Column, pattern: str = r",") -> Column:
     Reference: utils/transform.py:51-52 (split_field). Multi-delimiter
     variant (pattern=r'[,\\r\\n]+') covers transform.py:223.
     """
-    return F.filter(F.transform(F.split(col, pattern), F.trim), lambda x: x != "")
+    # NB: the lambda must be single-arg — a bare F.trim would be invoked
+    # by transform as (element, index), binding index to trim's
+    # trim-characters parameter and silently trimming nothing.
+    return F.filter(
+        F.transform(F.split(col, pattern), lambda x: F.trim(x)), lambda x: x != ""
+    )
 
 
 # ---------------------------------------------------------------- P9
@@ -42,9 +47,12 @@ def year_pair_with_guard(highest: Column, lowest: Column) -> tuple[Column, Colum
     Reference: utils/transform.py:63-65.
     """
     guard = highest.isNotNull() & (F.trim(highest) != "")
+    # try_cast: ANSI mode (Spark 4 default) makes cast('') throw; the
+    # reference's int() of an empty lowest simply never happens, so
+    # null is the faithful result.
     return (
-        F.when(guard, F.trim(highest).cast("int")),
-        F.when(guard, F.trim(lowest).cast("int")),
+        F.when(guard, F.trim(highest).try_cast("int")),
+        F.when(guard, F.trim(lowest).try_cast("int")),
     )
 
 

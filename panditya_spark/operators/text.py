@@ -29,7 +29,8 @@ LANG_MARKERS: dict[str, list[str]] = {
 def words(text: Column) -> Column:
     """Whitespace tokenization → ARRAY<STRING>, empties dropped."""
     return F.filter(
-        F.transform(F.split(F.trim(text), r"\s+"), F.trim), lambda x: x != ""
+        F.transform(F.split(F.trim(text), r"\s+"), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
 
 

@@ -1,0 +1,111 @@
+"""Unit tests for dedup / text / similarity operators (spec extensions)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from panditya_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_near_pairs,
+)
+from panditya_spark.operators.similarity import brute_force_topk, cosine
+from panditya_spark.operators.text import fingerprint, lang_id, token_count, words
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, "completely different text here body")],
+        ["doc_id", "text"],
+    )
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["t"])
+    out = sorted(map(list, (r[0] for r in rows(df.select(shingles(F.col("t"), 3).alias("s"))))))
+    assert out == [[], ["a b c", "b c d"]]
+
+
+def test_exact_and_fingerprint_dedup(spark, docs):
+    ex = {r[1]: r[2] for r in rows(exact_dedup(docs, "text", "doc_id"))}
+    assert ex == {1: 2, 3: 1, 4: 1}  # keeper_id -> n_copies
+    # fingerprint collapses case/whitespace variants
+    df = spark.createDataFrame([(1, "Hello  World"), (2, "hello world")], ["doc_id", "text"])
+    fp = rows(fingerprint_dedup(df, "text", "doc_id"))
+    assert len(fp) == 1 and fp[0][2] == 2
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r[0], r[1]): r[2] for r in rows(ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5))}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near-dup
+    assert not any(4 in p for p in pairs)  # unrelated doc
+
+
+def test_minhash_candidates_cover_true_pairs(spark):
+    # 30-word docs differing in the last word only: j = 27/29 ≈ 0.93,
+    # so P(≥1 of 8 band collisions) ≈ 0.9999 — and the minhash seed is
+    # fixed, making the outcome fully deterministic.
+    a = " ".join(f"w{i}" for i in range(30))
+    b = " ".join(f"w{i}" for i in range(29)) + " zz"
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, b), (4, "unrelated short thing entirely")],
+        ["doc_id", "text"],
+    )
+    cands = set((r[0], r[1]) for r in rows(minhash_lsh_candidates(df, "text", "doc_id")))
+    assert (1, 2) in cands  # identical docs collide in every band
+    assert (1, 3) in cands  # near-dup collides in ≥1 band
+    assert (1, 4) not in cands and (2, 4) not in cands
+
+
+def test_simhash_near_pairs(spark, docs):
+    out = {(r[0], r[1]): r[2] for r in rows(simhash_near_pairs(docs, "text", "doc_id", max_hamming=8))}
+    assert out[(1, 2)] == 0  # identical → distance 0
+    assert (1, 3) in out and out[(1, 3)] <= 8
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("Hello, world! 123 test",)], ["t"])
+    r = df.select(
+        F.size(words(F.col("t"))).alias("w"),
+        token_count(F.col("t")).alias("tok"),
+        fingerprint(F.col("t")).alias("fp"),
+    ).first()
+    assert r.w == 4
+    # tokens: Hello , world ! 123 test = 6
+    assert r.tok == 6
+    assert len(r.fp) == 32  # md5 hex
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog sat in the house",),
+         ("der Hund und die Katze ist hier",),
+         ("zzz qqq xxx",)],
+        ["t"],
+    )
+    out = [r[0] for r in df.select(lang_id(F.col("t")).alias("l")).collect()]
+    assert out[0] == "en" and out[1] == "de" and out[2] == "und"
+
+
+def test_cosine_and_topk(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])], ["id", "v"]
+    )
+    sim = emb.select(cosine(F.col("v"), F.array(F.lit(1.0), F.lit(0.0))).alias("s"), "id")
+    out = dict(rows(sim, "id", "s"))
+    assert out[1] == 1.0 and out[2] == 0.0 and abs(out[3] - 1 / math.sqrt(2)) < 1e-9
+    q = emb.select(F.col("id").alias("qid"), F.col("v").alias("qvec")).filter("qid = 1")
+    c = emb.select(F.col("id").alias("cid"), F.col("v").alias("cvec"))
+    top = rows(brute_force_topk(q, c, k=1), "qid", "neighbor_id", "rank")
+    assert top == [(1, 3, 1)]  # nearest non-self neighbor

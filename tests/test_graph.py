@@ -1,0 +1,98 @@
+"""Unit + property tests for panditya_spark.operators.graph (SURVEY §2.8).
+
+The fixture graph pins the reference's BFS semantics from grapher.py:
+exclusion (include but don't expand), periphery trim (edges induced on
+visited nodes), undirected expansion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from panditya_spark.operators.graph import (
+    connected_components,
+    degrees,
+    khop_bfs,
+    longest_chain_depth,
+    pagerank,
+    undirected,
+)
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def chain_graph(spark):
+    #  a -> b -> c -> d ; e -> b ; isolated: (f -> g) separate component
+    return spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "b"), ("f", "g")],
+        ["src", "dst"],
+    )
+
+
+def seeds(spark, *ids):
+    return spark.createDataFrame([(i,) for i in ids], ["node"])
+
+
+def test_bfs_hops_and_dist(spark, chain_graph):
+    nodes, edges = khop_bfs(chain_graph, seeds(spark, "a"), hops=2)
+    out = dict(rows(nodes, "node", "dist"))
+    # undirected expansion: a -0-> {b} -1-> {c, e} -2
+    assert out == {"a": 0, "b": 1, "c": 2, "e": 2}
+    # periphery trim: edge c->d dropped (d never visited)
+    assert rows(edges, "src", "dst") == [("a", "b"), ("b", "c"), ("e", "b")]
+
+
+def test_bfs_monotone_in_hops(spark, chain_graph):
+    counts = []
+    for h in range(5):
+        nodes, _ = khop_bfs(chain_graph, seeds(spark, "a"), hops=h)
+        counts.append(nodes.count())
+    assert counts == sorted(counts)  # monotone
+    assert counts[3] == counts[4] == 5  # fixpoint: whole component
+
+
+def test_bfs_exclusion_included_not_expanded(spark, chain_graph):
+    # grapher.py:48-50 — excluded node is visited but never expanded.
+    nodes, edges = khop_bfs(
+        chain_graph, seeds(spark, "a"), hops=3, exclude=seeds(spark, "b")
+    )
+    out = dict(rows(nodes, "node", "dist"))
+    assert out == {"a": 0, "b": 1}  # c/e unreachable: b not expanded
+    assert rows(edges, "src", "dst") == [("a", "b")]
+
+
+def test_connected_components(spark, chain_graph):
+    comp = dict(rows(connected_components(chain_graph), "node", "component"))
+    assert comp == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "f": "f", "g": "f",
+    }
+    # partition property: every edge endpoint shares a component
+    e = chain_graph.collect()
+    for r in e:
+        assert comp[r.src] == comp[r.dst]
+
+
+def test_degrees(spark, chain_graph):
+    d = {r[0]: (r[1], r[2], r[3]) for r in rows(degrees(chain_graph))}
+    assert d["b"] == (2, 1, 3)  # in: a,e; out: c
+    assert d["a"] == (0, 1, 1)
+    assert d["d"] == (1, 0, 1)
+
+
+def test_longest_chain_depth(spark, chain_graph):
+    out = dict(rows(longest_chain_depth(chain_graph), "node", "chain_depth"))
+    assert out == {"a": 3, "b": 2, "c": 1, "d": 0, "e": 3, "f": 1, "g": 0}
+
+
+def test_undirected_dedup(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    assert rows(undirected(df)) == [("a", "b"), ("b", "a")]
+
+
+def test_pagerank_mass_conservation(spark, chain_graph):
+    pr = pagerank(chain_graph, iters=10)
+    total = pr.agg(F.sum("rank")).first()[0]
+    n = 7
+    assert abs(total - n) < 1e-6  # ranks sum to n with dangling handling
+    ranks = dict(rows(pr, "node", "rank"))
+    assert ranks["b"] > ranks["a"]  # b has in-links, a has none

@@ -1,0 +1,87 @@
+"""Unit tests for panditya_spark.operators.relational (SURVEY §2.2–§2.7).
+
+Each test pins one reference behavior on a tiny inline DataFrame,
+including the deliberate quirk replications (year guard, truncation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from panditya_spark.operators.relational import (
+    bucket_by_size,
+    coalesce_empty,
+    first_match_per_group,
+    formatted_freq_agg,
+    split_to_array,
+    top_n_by,
+    truncated_pct,
+    year_pair_with_guard,
+)
+from tests.conftest import rows
+
+
+def test_coalesce_empty(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("", "y"), (None, "z"), ("  ", "w")], ["p", "f"]
+    )
+    out = rows(df.select(coalesce_empty(F.col("p"), F.col("f")).alias("v")))
+    assert out == [("a",), ("w",), ("y",), ("z",)]
+
+
+def test_split_to_array(spark):
+    df = spark.createDataFrame([("a, b,,c ",), ("",), (" , ",)], ["s"])
+    out = rows(df.select(split_to_array(F.col("s")).alias("a")))
+    assert sorted(map(list, (r[0] for r in out))) == [[], [], ["a", "b", "c"]]
+
+
+def test_year_guard_quirk(spark):
+    # transform.py:63-65 — lowest is dropped when highest is empty.
+    df = spark.createDataFrame(
+        [("1000", "900"), ("", "900"), (None, "900"), ("1100", "")], ["h", "l"]
+    )
+    h, l = year_pair_with_guard(F.col("h"), F.col("l"))
+    out = rows(df.select(h.alias("h2"), l.alias("l2")))
+    assert out == [(1000, 900), (1100, None), (None, None), (None, None)]
+
+
+def test_formatted_freq_agg(spark):
+    # transform.py:146-156 — "X (3), Y (1)" ordered by (-count, name).
+    df = spark.createDataFrame(
+        [("a1", "Nyāya"), ("a1", "Nyāya"), ("a1", "Nyāya"), ("a1", "Yoga"),
+         ("a2", "B"), ("a2", "A")],
+        ["author", "disc"],
+    )
+    out = dict(rows(formatted_freq_agg(df, "author", "disc")))
+    assert out == {"a1": "Nyāya (3), Yoga (1)", "a2": "A (1), B (1)"}
+
+
+def test_truncated_pct(spark):
+    # utils.py:67-71 — truncation, not rounding: 2/3 → 66.6 (not 66.7).
+    df = spark.createDataFrame([(2, 3)], ["n", "d"])
+    (v,) = rows(df.select(truncated_pct(F.col("n"), F.col("d")).alias("p")))[0]
+    assert v == 66.6
+
+
+def test_bucket_by_size(spark):
+    df = spark.createDataFrame([(1,), (2,), (4,), (5,), (9,), (10,), (25,), (26,), (100,), (101,)], ["sz"])
+    out = rows(df.select("sz", bucket_by_size(F.col("sz")).alias("b")))
+    assert dict(out) == {
+        1: "isolated", 2: "extra_small", 4: "extra_small", 5: "small",
+        9: "small", 10: "medium", 25: "medium", 26: "large",
+        100: "large", 101: "extra_large",
+    }
+
+
+def test_top_n_and_first_match(spark):
+    df = spark.createDataFrame(
+        [("w1", 0, None), ("w1", 1, 900), ("w1", 2, 800), ("w2", 0, 700)],
+        ["work", "pos", "year"],
+    )
+    top = rows(top_n_by(df, [F.desc("year")], 1), "work", "pos")
+    assert top == [("w1", 1)]
+    # J4/W2: first author *in position order* with a year.
+    fm = rows(
+        first_match_per_group(df, ["work"], [F.asc("pos")], F.col("year").isNotNull()),
+        "work", "pos", "year",
+    )
+    assert fm == [("w1", 1, 900), ("w2", 0, 700)]
