@@ -24,8 +24,12 @@ from pyspark.sql import functions as F
 
 from panditya_spark.operators.text import fingerprint, words
 
-# Mersenne prime 2^61-1: modulus for the affine minhash permutations.
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: modulus for the affine minhash permutations.
+# 31-bit space keeps a*x+b < 2^62 — plain long arithmetic, no decimal.
+# (The first version used 2^61-1 with decimal(38,0) intermediates; the
+# decimal multiply alone made the 32-hash signature ~10× slower than
+# the rest of the job.)
+_MERSENNE = (1 << 31) - 1
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -113,8 +117,10 @@ def ngram_jaccard_pairs(
 
 def _minhash_cols(num_hashes: int, seed: int = 42) -> list[Column]:
     """num_hashes affine permutations of the shingle hash:
-    h_i = (a_i * x + b_i) mod M (M = 2^61-1). Coefficients from a fixed
-    LCG so the signature is deterministic across runs/engines."""
+    h_i = (a_i * x + b_i) mod M (M = 2^31-1). Coefficients from a fixed
+    RNG so the signature is deterministic across runs/engines. With
+    x, a, b < 2^31, a*x + b < 2^62: everything stays in signed-long
+    whole-stage-codegen arithmetic."""
     import random
 
     rng = random.Random(seed)
@@ -123,12 +129,7 @@ def _minhash_cols(num_hashes: int, seed: int = 42) -> list[Column]:
     for i in range(num_hashes):
         a = rng.randrange(1, _MERSENNE)
         b = rng.randrange(0, _MERSENNE)
-        # pmod keeps the result in [0, M); arithmetic in decimal to avoid
-        # 64-bit overflow of a*x (a, x < 2^61).
-        h = F.pmod(
-            (x.cast("decimal(38,0)") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE),
-            F.lit(_MERSENNE),
-        ).cast("long")
+        h = F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
         cols.append(F.min(h).alias(f"mh_{i}"))
     return cols
 

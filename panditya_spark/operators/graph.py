@@ -32,10 +32,120 @@ def undirected(edges: DataFrame) -> DataFrame:
     return fwd.union(rev).distinct()
 
 
+_CKPT_ROOT: str | None = None
+_CKPT_SEQ = 0
+
+
 def _checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
-    """Cut lineage; iterative loops otherwise build plans that grow
-    per round and eventually dominate planning time."""
-    return df.localCheckpoint(eager=eager)
+    """Cut lineage AND reset plan statistics via a parquet roundtrip.
+
+    Why not localCheckpoint()/checkpoint(): Dataset.checkpoint carries
+    the optimized plan's Statistics into the resulting LogicalRDD, and
+    the size-only stats visitor computes a join's sizeInBytes as the
+    *product* of its children's. In an iterative loop the carried
+    BigInt's bit-length therefore doubles every round — by round ~22 a
+    single stats multiplication allocates GBs and OOMs the driver
+    (observed: java.lang.OutOfMemoryError inside
+    SizeInBytesOnlyStatsPlanVisitor / BigIntIsIntegral.times).
+
+    A parquet write+read gives a scan with *true file-size* stats each
+    round — constant-size plans, honest AQE/broadcast decisions, and
+    the spill location is where a cluster deployment would put reliable
+    checkpoints anyway (swap the tmp dir for an HDFS/S3 path)."""
+    global _CKPT_ROOT, _CKPT_SEQ
+    if _CKPT_ROOT is None:
+        import tempfile
+
+        _CKPT_ROOT = tempfile.mkdtemp(prefix="panditya-iter-ckpt-")
+    import os
+
+    path = os.path.join(_CKPT_ROOT, f"c{_CKPT_SEQ}")
+    _CKPT_SEQ += 1
+    df.write.mode("overwrite").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    out._panditya_ckpt_path = path  # type: ignore[attr-defined]
+    return out
+
+
+def _release(df: DataFrame | None) -> None:
+    """Free a superseded loop checkpoint: delete its parquet files
+    (spill checkpoints) or unpersist its pinned RDD blocks (local
+    checkpoints). The DF must never be used again after release."""
+    if df is None:
+        return
+    path = getattr(df, "_panditya_ckpt_path", None)
+    if path:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not a localCheckpoint plan: nothing pinned
+
+
+class _LoopState:
+    """Per-round materialization manager for iterative DataFrame loops.
+
+    Every step localCheckpoints (eager): the logical plan is cut to a
+    LogicalRDD each round, which is essential — loop bodies reference
+    the previous state twice (e.g. depth ⋈ improved(depth)), so an
+    uncut plan TREE doubles per round and analysis/treeString walks
+    explode exponentially. Cache() alone does not cut the logical plan.
+
+    Every `period`-th step spills to parquet instead: Dataset
+    checkpoints carry the optimized plan's Statistics, and the
+    size-only visitor multiplies children's sizeInBytes, so the carried
+    BigInt doubles in bit-length per round — a parquet scan resets it
+    to the true file size, bounding the growth to 2^period (~trivial).
+    On a cluster the spill dir would be HDFS/S3 — the standard
+    reliable-checkpoint cadence of any iterative Spark job.
+
+    Cleanup (unpersist/delete) is delayed by one full spill
+    generation: a lazy DataFrame built in the current window may still
+    reference state from one generation back, but never older — each
+    round builds only on the previous round's outputs.
+
+    The parquet boundary MUST spill every live state DataFrame in the
+    same round: a chain that never passes through a spill (e.g. the
+    changed-frontier chain while only `depth` gets spilled) keeps
+    compounding carried stats and OOMs after ~45 rounds regardless of
+    the other chain's resets."""
+
+    def __init__(self, period: int = 8):
+        self.period = period
+        self._round = 0
+        self._seen: set[int] = set()
+        self._window: list[DataFrame] = []
+        self._spilled: list[DataFrame] = []
+        self._old_window: list[DataFrame] = []
+        self._old_spilled: list[DataFrame] = []
+
+    def minor(self, df: DataFrame) -> DataFrame:
+        """Materialize mid-round state (plan cut, no spill)."""
+        out = df.localCheckpoint(eager=True)
+        self._window.append(out)
+        self._seen.add(id(out))
+        return out
+
+    def round_end(self, *dfs: DataFrame) -> list[DataFrame]:
+        """Finish a round with ALL live state DataFrames. Every
+        `period`-th round all of them are spilled to parquet (stats
+        reset) and stale state from two generations back is freed."""
+        self._round += 1
+        if self._round % self.period == 0:
+            out = [_checkpoint(d) for d in dfs]
+            for c in self._old_window:
+                _release(c)
+            for s in self._old_spilled:
+                _release(s)
+            self._old_window, self._window = self._window, []
+            self._old_spilled, self._spilled = self._spilled, list(out)
+            self._seen = {id(d) for d in out}
+        else:
+            out = [d if id(d) in self._seen else self.minor(d) for d in dfs]
+        return out
 
 
 def khop_bfs(
@@ -61,6 +171,7 @@ def khop_bfs(
     frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     visited = frontier.withColumn("dist", F.lit(0)).cache()
     frontier = visited.select("node")
+    state = _LoopState()
 
     for depth in range(1, hops + 1):
         # Excluded nodes are visited but never expanded (grapher.py:48-50).
@@ -75,10 +186,10 @@ def khop_bfs(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
         )
-        nxt = _checkpoint(nxt.withColumn("dist", F.lit(depth)))
+        nxt = state.minor(nxt.withColumn("dist", F.lit(depth)))
         if nxt.isEmpty():
             break
-        visited = _checkpoint(visited.union(nxt))
+        visited, nxt = state.round_end(visited.union(nxt), nxt)
         frontier = nxt.select("node")
 
     vnodes = visited.select("node").distinct()
@@ -136,27 +247,43 @@ def connected_components(
     ).distinct()
     labels = _checkpoint(nodes.withColumn("component", F.col("node")))
 
+    # Hash-to-min with pointer jumping: each round takes (1) the min
+    # label over the neighborhood, then (2) L(v) ← L(L(v)) — following
+    # the label as a parent pointer. Step 2 doubles the propagation
+    # distance per round, so convergence is O(log diameter) rounds, not
+    # O(diameter): plain min-label propagation silently returned WRONG
+    # results on a 60-node path (needs 60 rounds, cap was 50). At
+    # billion-edge scale the round count is what dominates wall-clock,
+    # so log-rounds is also the 100 TB-safe design.
+    state = _LoopState()
     for _ in range(max_iter):
-        # min label among self and neighbors
-        nbr = (
+        nbr_min = (
             und.join(labels.withColumnRenamed("node", "b2"), und.b == F.col("b2"))
-            .select(F.col("a").alias("node"), "component")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.select("node", "component")
-            .union(nbr)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        cand = (
+            labels.join(nbr_min, "node", "left_outer")
+            .select("node", F.least("component", "nbr_comp").alias("component"))
         )
-        new_labels = _checkpoint(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
+        parent = cand.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
-        labels = new_labels
-        if changed:
+        jumped = state.minor(
+            cand.join(parent, cand.component == F.col("p_node"), "left_outer")
+            .select(
+                "node",
+                F.least("component", "p_comp").alias("component"),
+            )
+        )
+        n_changed = (
+            jumped.withColumnRenamed("component", "new")
+            .join(labels, "node")
+            .filter(F.col("new") != F.col("component"))
+            .count()
+        )
+        (labels,) = state.round_end(jumped)
+        if n_changed == 0:
             break
     return labels
 
@@ -194,34 +321,38 @@ def longest_chain_depth(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         .distinct()
         .withColumn("chain_depth", F.lit(0))
     )
+    # Frontier relaxation: a node's depth can only grow when a child's
+    # depth grew last round, so each round joins edges against the
+    # changed set only. The frontier halves per round on chain-shaped
+    # DAGs (total work O(E), not O(E × depth)), and "frontier empty"
+    # doubles as the convergence check — one less job per round than a
+    # full-table self-compare.
+    changed = depth
+    state = _LoopState()
     for _ in range(max_iter):
-        child = depth.withColumnRenamed("node", "dst").withColumnRenamed(
-            "chain_depth", "child_depth"
-        )
         relaxed = (
-            e.join(child, "dst")
+            e.join(
+                changed.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "chain_depth", "child_depth"
+                ),
+                "dst",
+            )
             .groupBy(F.col("src").alias("node"))
             .agg((F.max("child_depth") + 1).alias("cand"))
         )
-        new_depth = (
-            depth.join(relaxed, "node", "left_outer")
-            .select(
-                "node",
-                F.greatest(F.col("chain_depth"), F.coalesce(F.col("cand"), F.lit(0))).alias(
-                    "chain_depth"
-                ),
-            )
+        improved = state.minor(
+            relaxed.join(depth, "node")
+            .filter(F.col("cand") > F.col("chain_depth"))
+            .select("node", F.col("cand").alias("chain_depth"))
         )
-        new_depth = _checkpoint(new_depth)
-        grew = (
-            new_depth.alias("n")
-            .join(depth.alias("o"), "node")
-            .filter(F.col("n.chain_depth") > F.col("o.chain_depth"))
-            .isEmpty()
-        )
-        depth = new_depth
-        if grew:
+        if improved.isEmpty():
             break
+        depth, changed = state.round_end(
+            depth.withColumnRenamed("chain_depth", "old")
+            .join(improved.withColumnRenamed("chain_depth", "new"), "node", "left_outer")
+            .select("node", F.coalesce("new", "old").alias("chain_depth")),
+            improved,
+        )
     return depth
 
 
@@ -251,6 +382,7 @@ def pagerank(
     # contributions flow src -> dst; precompute (src, dst, out_degree)
     adj = e.join(outd, e.src == outd.node).select("src", "dst", "out_degree").cache()
 
+    state = _LoopState()
     ranks = _checkpoint(nodes.withColumn("rank", F.lit(1.0)))
     for _ in range(iters):
         contribs = (
@@ -263,7 +395,7 @@ def pagerank(
             ranks.join(outd.select("node"), "node", "left_anti").agg(F.sum("rank")).first()[0]
             or 0.0
         )
-        ranks = _checkpoint(
+        (ranks,) = state.round_end(
             nodes.join(contribs, "node", "left_outer").select(
                 "node",
                 (
