@@ -1,0 +1,140 @@
+"""End-to-end golden tests: the Spark ETL + graph operators against the
+reference's own 2025-11-07 data files.
+
+Golden sources:
+- SETI nested JSON: byte-compared against the COMMITTED
+  data/2025-11-07-etext-link-data.json (same data version → exact).
+- Kālidāsa 1-hop edge list: offline_mode.md:62-64 (stable across data
+  versions; re-derived on current data gives the same 9 works).
+- Entity count / census / hop table: the committed
+  component_summary.txt numbers come from an OLDER data snapshot
+  (16,939 nodes vs 17,569 from the current CSV), so the constants here
+  were derived by executing the reference's algorithm (dict upserts +
+  NetworkX-equivalent BFS/union-find) on the current CSV — i.e. the
+  oracle is the reference's semantics, not its stale artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+ENTITIES_CSV = "/root/reference/data/2025-11-07-extracted-entities-cleaned.csv"
+SETI_CSV = "/root/reference/data/2025-11-07-seti-master.csv"
+ETEXT_GOLDEN_JSON = "/root/reference/data/2025-11-07-etext-link-data.json"
+
+# offline_mode.md:62-64 — grapher.construct_subgraph(['40377'], 1).edges
+KALIDASA_1HOP_WORKS = {
+    "96246", "108950", "41324", "97244", "108721",
+    "111609", "41500", "111635", "97243",
+}
+
+# Reference algorithm executed on the current CSV (see module docstring).
+GOLDEN_TOTAL_ENTITIES = 17569
+GOLDEN_TYPE_COUNTS = {"work": 13683, "author": 3886}
+GOLDEN_CENSUS = {
+    # category: (n_nodes, n_components)
+    "isolated": (3737, 3737),
+    "extra_small": (3736, 1666),
+    "small": (608, 97),
+    "medium": (351, 24),
+    "large": (74, 1),
+    "extra_large": (9063, 1),
+}
+GOLDEN_KALIDASA_CUMULATIVE = [
+    1, 10, 29, 39, 107, 142, 311, 663, 1676, 2895, 4409, 5907, 6787,
+    7389, 8020, 8363, 8574, 8766, 8869, 8952, 9008, 9031, 9047, 9053,
+    9059, 9062, 9063,
+]
+
+
+@pytest.fixture(scope="module")
+def etl(spark):
+    from panditya_spark.etl import edges_from_entities, entities_from_csv
+
+    entities = entities_from_csv(spark, ENTITIES_CSV).cache()
+    edges = edges_from_entities(entities).cache()
+    return entities, edges
+
+
+def test_entity_counts(etl):
+    entities, _ = etl
+    assert entities.count() == GOLDEN_TOTAL_ENTITIES
+    by_type = {r[0]: r[1] for r in entities.groupBy("type").count().collect()}
+    assert by_type == GOLDEN_TYPE_COUNTS
+    # ids unique
+    assert entities.select("id").distinct().count() == GOLDEN_TOTAL_ENTITIES
+
+
+def test_kalidasa_1hop_edges(spark, etl):
+    from panditya_spark.operators.graph import khop_bfs
+
+    _, edges = etl
+    seeds = spark.createDataFrame([("40377",)], ["node"])
+    nodes, sub_edges = khop_bfs(edges, seeds, hops=1)
+    got = {(r.src, r.dst) for r in sub_edges.collect()}
+    assert got == {("40377", w) for w in KALIDASA_1HOP_WORKS}
+    assert nodes.count() == 10  # seed + 9 works
+
+
+def test_kalidasa_hop_closure(spark, etl):
+    from panditya_spark.operators.graph import khop_bfs
+
+    _, edges = etl
+    seeds = spark.createDataFrame([("40377",)], ["node"])
+    nodes, _ = khop_bfs(edges, seeds, hops=27)
+    per_dist = dict(
+        (r["dist"], r["count"]) for r in nodes.groupBy("dist").count().collect()
+    )
+    cumulative, total = [], 0
+    for d in sorted(per_dist):
+        total += per_dist[d]
+        cumulative.append(total)
+    assert cumulative == GOLDEN_KALIDASA_CUMULATIVE
+
+
+def test_component_census(spark, etl):
+    from panditya_spark.operators.graph import component_census, connected_components
+
+    entities, edges = etl
+    comps = connected_components(edges, vertices=entities.select("id"))
+    census = {
+        r["category"]: (r["n_nodes"], r["n_components"])
+        for r in component_census(comps).collect()
+    }
+    assert census == GOLDEN_CENSUS
+
+
+def test_etext_nested_golden(spark):
+    from panditya_spark.etl import etext_links_from_csv, etext_nested_mapping
+
+    links, counts = etext_links_from_csv(spark, SETI_CSV)
+    nested = etext_nested_mapping(links, counts)
+    golden = json.load(open(ETEXT_GOLDEN_JSON))
+    assert nested["collection_total_link_counts"] == golden["collection_total_link_counts"]
+    assert (
+        nested["collection_missing_work_id_counts"]
+        == golden["collection_missing_work_id_counts"]
+    )
+    assert nested["work_id_to_link_mapping"] == golden["work_id_to_link_mapping"]
+
+
+def test_discipline_string_format(etl):
+    entities, _ = etl
+    # disciplines strings follow "Name (n), Name (n)" with counts desc
+    sample = (
+        entities.filter(F.col("disciplines").isNotNull())
+        .select("disciplines")
+        .limit(200)
+        .collect()
+    )
+    import re
+
+    pat = re.compile(r"^(.+? \(\d+\))(, .+? \(\d+\))*$")
+    assert sample and all(pat.match(r[0]) for r in sample)
+    # counts are non-increasing within each string
+    for (s,) in sample:
+        counts = [int(m) for m in re.findall(r"\((\d+)\)", s)]
+        assert counts == sorted(counts, reverse=True)
