@@ -356,6 +356,130 @@ def longest_chain_depth(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     return depth
 
 
+def label_propagation(
+    edges: DataFrame, max_iter: int = 5, vertices: DataFrame | None = None
+) -> DataFrame:
+    """Community detection by synchronous label propagation — the
+    engine's substitute for the reference's Louvain communities
+    (utils/analyze.py:123-140; python-louvain is nondeterministic, so
+    SURVEY §2.8 G9 specifies LPA + modularity-quality checking as the
+    documented deviation).
+
+    Each round every node adopts the most frequent label among its
+    undirected neighbors (ties → smallest label, making the result
+    deterministic). Rounds are bounded: LPA oscillates on bipartite
+    structures, and the reference graph is bipartite-ish
+    (author↔work), so max_iter defaults low.
+    """
+    und = undirected(edges).cache()
+    nodes = (
+        vertices.select(F.col(vertices.columns[0]).alias("node"))
+        if vertices is not None
+        else und.select(F.col("a").alias("node"))
+    ).distinct()
+    labels = nodes.withColumn("community", F.col("node")).localCheckpoint()
+    state = _LoopState()
+    from pyspark.sql.window import Window
+
+    for _ in range(max_iter):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "b2"), und.b == F.col("b2"))
+            .groupBy(F.col("a").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("community"))
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "community")
+        )
+        (labels,) = state.round_end(
+            nodes.join(winner, "node", "left_outer").select(
+                "node", F.coalesce("community", F.col("node")).alias("community")
+            )
+        )
+    return labels
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sample_sources: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Betweenness centrality (utils/analyze.py:166 — exact Brandes via
+    NetworkX in the reference).
+
+    Spark design: Brandes is one BFS + dependency accumulation per
+    source — embarrassingly parallel over sources. The adjacency list
+    is broadcast once; sources are distributed as a DataFrame and each
+    partition runs vectorized-ish per-source Brandes in Python,
+    emitting (node, partial_score) pairs that a final groupBy sums.
+    This is the documented Pandas-on-partition escape hatch: the inner
+    loop is inherently sequential per source, so built-in operators
+    can't express it.
+
+    Scale mode: exact all-sources is O(V·E) — fine at the reference's
+    17k nodes, quadratic at 100 TB. `sample_sources` switches to the
+    standard sampled approximation (scores scaled by V/k), which is the
+    documented scale path.
+    """
+    sc = edges.sparkSession.sparkContext
+    # Directed, as in the reference (nx.betweenness_centrality on the
+    # DiGraph, analyze.py:166).
+    adj_rows = edges.select("src", "dst").distinct().collect()
+    adj: dict[str, list[str]] = {}
+    node_set: set[str] = set()
+    for r in adj_rows:
+        adj.setdefault(r.src, []).append(r.dst)
+        node_set.add(r.src)
+        node_set.add(r.dst)
+    all_nodes = sorted(node_set)
+    b_adj = sc.broadcast(adj)
+
+    nodes_df = edges.sparkSession.createDataFrame(
+        [(n,) for n in all_nodes], ["source"]
+    )
+    scale = 1.0
+    if sample_sources is not None and sample_sources < len(all_nodes):
+        frac = sample_sources / len(all_nodes)
+        nodes_df = nodes_df.sample(fraction=frac, seed=seed)
+        scale = len(all_nodes) / max(sample_sources, 1)
+
+    def brandes(rows):
+        from collections import deque
+
+        a = b_adj.value
+        acc: dict[str, float] = {}
+        for row in rows:
+            s = row.source
+            # single-source shortest-path counts (unweighted BFS)
+            S, P, sigma, dist = [], {}, {s: 1.0}, {s: 0}
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                S.append(v)
+                for w_ in a.get(v, ()):
+                    if w_ not in dist:
+                        dist[w_] = dist[v] + 1
+                        q.append(w_)
+                    if dist[w_] == dist[v] + 1:
+                        sigma[w_] = sigma.get(w_, 0.0) + sigma[v]
+                        P.setdefault(w_, []).append(v)
+            delta = dict.fromkeys(S, 0.0)
+            for w_ in reversed(S):
+                for v in P.get(w_, ()):
+                    delta[v] += (sigma[v] / sigma[w_]) * (1.0 + delta[w_])
+                if w_ != s:
+                    acc[w_] = acc.get(w_, 0.0) + delta[w_]
+        return iter(acc.items())
+
+    scores = nodes_df.rdd.mapPartitions(brandes).toDF(["node", "partial"])
+    return (
+        scores.groupBy("node")
+        .agg((F.sum("partial") * F.lit(scale)).alias("betweenness"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 15,
@@ -391,16 +515,24 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        dangling = (
-            ranks.join(outd.select("node"), "node", "left_anti").agg(F.sum("rank")).first()[0]
-            or 0.0
+        # Dangling mass folded in as a 1-row aggregate crossJoin — no
+        # per-round driver action (a .first() here costs one extra job
+        # per iteration).
+        dangling = ranks.join(outd.select("node"), "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
         )
         (ranks,) = state.round_end(
-            nodes.join(contribs, "node", "left_outer").select(
+            nodes.join(contribs, "node", "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
                 "node",
                 (
                     F.lit(1 - damping)
-                    + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangling_mass") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
         )

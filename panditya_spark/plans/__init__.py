@@ -8,6 +8,7 @@ from panditya_spark.plans.registry import ORACLES, QUERIES, register
 from panditya_spark.plans import relational_queries  # noqa: E402,F401
 from panditya_spark.plans import graph_queries  # noqa: E402,F401
 from panditya_spark.plans import data_pipeline_queries  # noqa: E402,F401
+from panditya_spark.plans import serving_queries  # noqa: E402,F401
 from panditya_spark.plans import streaming_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

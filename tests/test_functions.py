@@ -1,0 +1,209 @@
+"""Tests for collation, label functions, sinks, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from panditya_spark.functions.collation import (
+    SANSKRIT_ALPHABET,
+    UNKNOWN,
+    collate,
+    sort_key_py,
+)
+from panditya_spark.functions.labels import (
+    date_info,
+    dropdown_label,
+    edge_relationship,
+    link_label,
+)
+from tests.conftest import rows
+
+IAST_CHARS = "aāiīuūṛṝḷḹeokghcjñṭḍṇtdnpbmyrlvśṣsṃḥ '–1"
+
+
+# ---------------------------------------------------------------- collation
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=IAST_CHARS, max_size=12))
+def test_sort_key_py_matches_reference_semantics(word):
+    # independent re-derivation of utils.py:100-103
+    order = {c: i for i, c in enumerate(SANSKRIT_ALPHABET)}
+    w = word.lower()
+    expected = [
+        order.get(w[i : i + 2], order.get(w[i], UNKNOWN)) for i in range(len(w))
+    ]
+    assert sort_key_py(word) == expected
+
+
+def test_sort_key_overlapping_digraph_quirk():
+    # 'kh' matches the digraph at i=0 AND 'h' alone at i=1 — the index
+    # always advances by 1 (utils.py:102).
+    kh, h, k = (
+        SANSKRIT_ALPHABET.index("kh"),
+        SANSKRIT_ALPHABET.index("h"),
+        SANSKRIT_ALPHABET.index("k"),
+    )
+    assert sort_key_py("kh") == [kh, h]
+    assert sort_key_py("k") == [k]
+    assert sort_key_py("x1") == [UNKNOWN, UNKNOWN]
+
+
+def test_spark_collation_matches_python(spark):
+    words = ["kha", "ka", "gā", "Ā", "ai", "a i", "zz9", "ṃaḥ", ""]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = [r[0] for r in df.orderBy(collate(F.col("w")), F.col("w")).collect()]
+    expected = sorted(words, key=lambda w: (sort_key_py(w), w))
+    assert got == expected
+
+
+# ---------------------------------------------------------------- labels
+def test_date_info_and_dropdown(spark):
+    df = spark.createDataFrame(
+        [
+            ("work", 900, 1000, None, None, "n1", "1", ""),
+            ("work", 900, 900, None, None, "n2", "2", "alt"),
+            ("work", None, None, 800, 850, "n3", "3", ""),
+            ("work", None, None, None, None, "n4", "4", ""),
+            ("author", 0, 0, None, None, "n5", "5", ""),
+        ],
+        ["t", "ly", "hy", "aly", "ahy", "name", "id", "aka"],
+    )
+    ds = date_info(F.col("t"), F.col("ly"), F.col("hy"), F.col("aly"), F.col("ahy"))
+    out = dict(
+        rows(
+            df.select(
+                "id",
+                dropdown_label(F.col("name"), F.col("id"), ds, F.col("aka")).alias("l"),
+            )
+        )
+    )
+    assert out["1"] == "n1 (1) [900–1000]"
+    assert out["2"] == "n2 (2) [900] [alt]"
+    assert out["3"] == "n3 (3) [800–850 (author)]"
+    assert out["4"] == "n4 (4)"
+    assert out["5"] == "n5 (5)"  # year 0 is falsy, as in Python
+
+
+def test_edge_relationship(spark):
+    df = spark.createDataFrame(
+        [("author", "work"), ("work", "work"), ("work", "author")], ["s", "d"]
+    )
+    out = [r[0] for r in df.select(edge_relationship(F.col("s"), F.col("d")).alias("r")).collect()]
+    assert out == [
+        "source author wrote target work",
+        "source base text inspired target commentary",
+        None,
+    ]
+
+
+def test_link_label_extractors(spark):
+    cases = [
+        ("GRETIL", "http://gretil.x/1_sanskr/mamkavpu.htm", "mamkavpu"),
+        ("DCS", "http://d/index.php?contents=texte&IDTextDisplay=165", "165"),
+        ("DCS", "https://github.com/x/files/SomeTitle.txt", "SomeTitle"),
+        ("Muktabodha KSTS", "http://m/cgi?miri_catalog_number=M00349", "M00349"),
+        ("Vātāyana and Pramāṇa NLP", "http://v/?text_abbrv=HB%E1%B9%AC", "HBṬ"),
+        ("UTA Dharmaśāstra", "https://docs.google.com/document/d/xyz", "Google Doc"),
+        ("UTA Dharmaśāstra", "https://sites.utexas.edu/x/resources/n%C4%81rada/", "nārada"),
+        ("DiPAL DCV", "https://d/page?tra_id=77", "77"),
+        ("DiPAL DCV", "https://d/page?wor_id=6", "6"),
+        ("SARIT", "http://s/texts/siddhanta.xml", "siddhanta"),
+    ]
+    df = spark.createDataFrame(cases, ["coll", "url", "expected"])
+    out = df.select(
+        "expected", link_label(F.col("coll"), F.col("url")).alias("got")
+    ).collect()
+    for r in out:
+        assert r.got == r.expected, (r.expected, r.got)
+
+
+# ---------------------------------------------------------------- sinks
+def test_gexf_sink(spark):
+    from panditya_spark.sources.sinks import write_gexf
+
+    nodes = spark.createDataFrame(
+        [("a", "Alpha", "red"), ("b", "Beta <&>", "green"), ("c", "Gamma", None)],
+        ["node", "label", "color"],
+    )
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    path = os.path.join(tempfile.mkdtemp(), "out.gexf")
+    write_gexf(nodes, edges, path)
+    xml = open(path, encoding="utf-8").read()
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml)  # well-formed
+    ns = {"g": "http://www.gexf.net/1.2draft", "viz": "http://www.gexf.net/1.2draft/viz"}
+    assert len(root.findall(".//g:node", ns)) == 3
+    assert len(root.findall(".//g:edge", ns)) == 2
+    assert len(root.findall(".//viz:color", ns)) == 2  # c has no color
+    assert 'r="255"' in xml and 'r="6"' in xml
+
+
+def test_entity_map_json_sink(spark):
+    from panditya_spark.sources.sinks import entity_map_json
+
+    schema = (
+        "id string, type string, name string, aka string, "
+        "author_ids array<string>, base_text_ids array<string>, "
+        "commentary_ids array<string>, discipline string, "
+        "highest_year int, lowest_year int, author_highest_year int, "
+        "author_lowest_year int, work_ids array<string>, disciplines string"
+    )
+    df = spark.createDataFrame(
+        [
+            ("1", "work", "W", None, ["9"], None, None, "Nyāya", 1000, 900, None, None, None, None),
+            ("9", "author", "A", "aka", None, None, None, None, None, None, None, None, ["1"], "Nyāya (1)"),
+        ],
+        schema,
+    )
+    import json
+
+    path = os.path.join(tempfile.mkdtemp(), "ents.json")
+    entity_map_json(df, path)
+    out = json.load(open(path, encoding="utf-8"))
+    assert out["1"] == {
+        "id": "1", "type": "work", "name": "W", "author_ids": ["9"],
+        "discipline": "Nyāya", "highest_year": 1000, "lowest_year": 900,
+    }  # null/empty fields dropped, per data_models.to_dict
+    assert out["9"]["disciplines"] == "Nyāya (1)"
+    assert "aka" in out["9"] and "social_identifiers" not in out["9"]
+
+
+# ---------------------------------------------------------------- multimodal
+def test_multimodal_features(spark):
+    from panditya_spark.operators.multimodal import (
+        frame_sample,
+        image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=32)
+    feats = image_features(media).collect()
+    assert len(feats) == 32
+    by_id = {r.media_id: r for r in feats}
+    # deterministic fake decode consistent with the metadata columns
+    meta = {r.media_id: (r.width, r.height) for r in media.collect()}
+    for mid, (w, h) in meta.items():
+        assert (by_id[mid].width, by_id[mid].height) == (w, h)
+        emb = by_id[mid].embedding
+        assert len(emb) == 8 and abs(sum(emb) - 1.0) < 1e-5
+
+    vids = spark.createDataFrame([("v1", 25), ("v2", 1), ("v3", 0)], ["media_id", "n_frames"])
+    frames = rows(frame_sample(vids, every_n=10))
+    assert frames == [("v1", 0), ("v1", 10), ("v1", 20), ("v2", 0), ("v3", 0)]
+
+
+def test_multimodal_resize_is_stubbed(spark):
+    import pytest
+
+    from panditya_spark.operators.multimodal import resize_stub, synthetic_media
+
+    with pytest.raises(Exception) as exc_info:
+        resize_stub(synthetic_media(spark, n=2), 64, 64).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )

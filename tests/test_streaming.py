@@ -1,0 +1,58 @@
+"""Structured Streaming tests: the streaming path over the finite
+events source must agree with the batch path (which the DuckDB oracle
+already validates)."""
+
+from __future__ import annotations
+
+from tests.conftest import rows
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_agrees_with_batch(spark):
+    from panditya_spark.plans.streaming_queries import tumbling_hourly
+    from panditya_spark.sources.loaders import load_table
+    from panditya_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_counts_stream,
+    )
+
+    stream = read_events_stream(spark, SF_DIR, max_files_per_trigger=1)
+    assert stream.isStreaming
+    got = run_stream_to_memory(
+        tumbling_counts_stream(stream, watermark="0 seconds"),
+        "t_tumbling_test",
+        mode="complete",
+    )
+    expected = tumbling_hourly(load_table(spark, SF_DIR, "events"))
+    assert rows(got) == rows(expected)
+
+
+def test_stream_sessionize(spark):
+    from pyspark.sql import functions as F
+
+    from panditya_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        sessionize,
+    )
+
+    stream = read_events_stream(spark, SF_DIR).select(
+        F.col("user_id").cast("string").alias("user_id"), "ts"
+    )
+    out = run_stream_to_memory(
+        sessionize(stream, gap_minutes=30), "t_sessions_test", mode="append"
+    )
+    sessions = out.collect()
+    # closed sessions exist, are well-formed, and never overlap per user
+    assert len(sessions) > 0
+    per_user: dict[str, list] = {}
+    for s in sessions:
+        assert s.session_start <= s.session_end
+        assert s.n_events >= 1
+        per_user.setdefault(s.user_id, []).append((s.session_start, s.session_end))
+    for spans in per_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 < s2  # disjoint, ordered
