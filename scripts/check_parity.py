@@ -101,7 +101,11 @@ def main() -> int:
             diff = [(a, b) for a, b in zip(s_ms, d_ms) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
             continue
-        print(f"PASS {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+        if len(s_rows) == 0:
+            # both engines agreeing on zero rows proves nothing
+            print(f"WARN {name}: VACUOUS PASS — 0 rows on both engines ({time.time()-t0:.1f}s)")
+        else:
+            print(f"PASS {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0

@@ -1,0 +1,110 @@
+"""Physical-plan audit: verifies that representative queries compile to
+the plans a 100 TB deployment needs — filters and projections pushed
+into the parquet scan, small dimensions broadcast, aggregates
+partial/final (map-side combine), expressions inside WholeStageCodegen.
+
+Usage: python scripts/explain_audit.py [sf_dir]
+
+Prints one PASS/FAIL line per assertion plus the offending plan on
+failure. This is a developer tool AND a regression gate: plan-shape
+regressions (e.g. a filter that stops reaching the scan after a
+refactor) fail loudly here long before they show up as bench noise.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+CHECKS = [
+    # (query, [(description, regex)])
+    (
+        "p1_scan_project_filter",
+        [
+            (
+                "filter pushed to parquet scan",
+                r"PushedFilters: \[.*(GreaterThan|In)\(l_quantity.*\]|PushedFilters: \[.*l_quantity",
+            ),
+            (
+                "scan reads only 4 columns (pruning)",
+                r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity",
+            ),
+            ("whole-stage codegen active", r"codegen id : \d"),
+        ],
+    ),
+    (
+        "j5_broadcast_join_agg",
+        [
+            ("small dimension broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("partial aggregation before shuffle", r"HashAggregate.*partial|partial_"),
+        ],
+    ),
+    (
+        "a4_count_distinct",
+        [
+            ("partial aggregation", r"partial"),
+            ("no cartesian/nested-loop join", r"^(?!.*CartesianProduct)(?!.*BroadcastNestedLoop)"),
+        ],
+    ),
+    (
+        "w1_top_n",
+        [
+            (
+                "top-N compiles to TakeOrderedAndProject (no full sort)",
+                r"TakeOrderedAndProject",
+            ),
+        ],
+    ),
+    (
+        "text_quality",
+        [
+            ("pure column expressions — no Python eval in plan", r"^(?!.*BatchEvalPython)(?!.*ArrowEvalPython)"),
+            ("whole-stage codegen active", r"codegen id : \d"),
+        ],
+    ),
+    (
+        "dedup_exact",
+        [
+            ("single shuffle: partial then final agg", r"partial"),
+        ],
+    ),
+]
+
+
+def main() -> int:
+    from panditya_spark.plans import QUERIES
+    from panditya_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = 0
+    for qname, assertions in CHECKS:
+        df = QUERIES[qname](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        for desc, pattern in assertions:
+            ok = re.search(pattern, plan, re.S | re.M) is not None
+            print(f"{'PASS' if ok else 'FAIL'} {qname}: {desc}")
+            if not ok:
+                failures += 1
+                print("---- plan ----")
+                print(plan[:4000])
+                print("--------------")
+    print(f"\n{failures} plan-shape failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
