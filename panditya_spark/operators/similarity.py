@@ -122,14 +122,26 @@ def lsh_bucketed_topk(
     c_id: str = "cid",
     c_vec: str = "cvec",
     k: int = 10,
-    n_planes: int = 12,
-    n_tables: int = 4,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    multiprobe_bits: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates must share a sign-sketch bucket with
     the query in at least one of n_tables hash tables; survivors are
     exactly re-ranked. The bucket join is equi on (table, bucket), so at
     scale the candidate scan shuffles by bucket instead of broadcasting
-    every query against every row."""
+    every query against every row.
+
+    Recall levers (tuned after measuring recall@10 ≈ 0.07 with the
+    original 12 planes × 4 tables on the 64-dim synthetic embeddings,
+    whose neighbors sit at cosine ≈ 0.3-0.5, i.e. ~60-75° — far from
+    the near-duplicate regime classic LSH parameters assume):
+    - fewer planes per table → coarser buckets (p_collide = p_agree^planes);
+    - more tables → more independent chances;
+    - multiprobe: the QUERY side also probes every bucket within
+      `multiprobe_bits` Hamming distance (bit flips), multiplying probe
+      count by (1 + planes) per table at zero extra candidate-side cost
+      — the standard recall/compute trade."""
     tables = [
         random_hyperplanes(dim, n_planes, seed=7 + 31 * t) for t in range(n_tables)
     ]
@@ -145,6 +157,14 @@ def lsh_bucketed_topk(
         )
 
     qb = with_buckets(queries, q_id, q_vec, "q")
+    if multiprobe_bits >= 1:
+        # probe the exact bucket plus all single-bit flips
+        flips = F.array(*[F.lit(0)] + [F.lit(1 << b) for b in range(n_planes)])
+        qb = qb.select(
+            "q", "q_vec", "tbl", F.explode(flips).alias("flip"), "bucket"
+        ).select(
+            "q", "q_vec", "tbl", F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket")
+        )
     cb = with_buckets(candidates, c_id, c_vec, "c")
     pairs = (
         qb.join(cb, ["tbl", "bucket"])

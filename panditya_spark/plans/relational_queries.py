@@ -522,3 +522,88 @@ def f2_entity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(""),
         ).alias("label"),
     )
+
+
+# ---------------------------------------------------------------- T1+T2
+# Reference: flask_app.py:193-197 — center = authors ∪ works, deduped;
+# grapher.py:81 frontier dedupe.
+@register(
+    "t1_t2_union_dedupe",
+    oracle="""
+    SELECT node FROM (
+      SELECT DISTINCT 'C' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR)
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    """,
+)
+def t1_t2_union_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    a = c.select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node"))
+    b = o.select(F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("node"))
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------- P5+P6+P7
+# Reference: utils/extract.py:59-71 — drop columns, rename, null-fill.
+@register(
+    "p5_7_drop_rename_fill",
+    oracle="""
+    SELECT s_suppkey AS supplier_id,
+           coalesce(s_name, '') AS supplier_name,
+           coalesce(s_acctbal, 0.0) AS balance
+    FROM supplier
+    """,
+)
+def p5_7_drop_rename_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.drop("s_nationkey")
+        .withColumnsRenamed({"s_suppkey": "supplier_id", "s_name": "supplier_name"})
+        .na.fill({"supplier_name": "", "s_acctbal": 0.0})
+        .select("supplier_id", "supplier_name", F.col("s_acctbal").alias("balance"))
+    )
+
+
+# ---------------------------------------------------------------- P9+P11+P12
+# Reference: transform.py:63-65 year guard; flask_app.py:78-92 regex
+# validation; flask_app.py:137,448 point lookups.
+@register(
+    "p9_11_12_guard_validate_lookup",
+    oracle="""
+    SELECT id, CASE WHEN hy_str IS NOT NULL AND trim(hy_str) <> ''
+                    THEN CAST(trim(hy_str) AS INTEGER) END AS highest_year,
+           CASE WHEN hy_str IS NOT NULL AND trim(hy_str) <> ''
+                THEN CAST(trim(ly_str) AS INTEGER) END AS lowest_year
+    FROM (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CASE WHEN o_orderkey % 4 = 0 THEN ''
+                  ELSE CAST(1900 + o_orderkey % 90 AS VARCHAR) END AS hy_str,
+             CAST(1850 + o_orderkey % 90 AS VARCHAR) AS ly_str
+      FROM orders
+    )
+    WHERE regexp_full_match(id, '[\\d,]*')
+      AND id IN ('8', '16', '100', '1012', 'bogus')
+    """,
+)
+def p9_11_12_guard_validate_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panditya_spark.operators.relational import year_pair_with_guard
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    staged = o.select(
+        k.cast("string").alias("id"),
+        F.when(k % 4 == 0, F.lit("")).otherwise(
+            (F.lit(1900) + k % 90).cast("string")
+        ).alias("hy_str"),
+        (F.lit(1850) + k % 90).cast("string").alias("ly_str"),
+    )
+    hy, ly = year_pair_with_guard(F.col("hy_str"), F.col("ly_str"))
+    return (
+        staged.filter(F.col("id").rlike(r"^[\d,]*$"))  # P11
+        .filter(F.col("id").isin("8", "16", "100", "1012", "bogus"))  # P12
+        .select("id", hy.alias("highest_year"), ly.alias("lowest_year"))
+    )

@@ -109,3 +109,16 @@ def test_cosine_and_topk(spark):
     c = emb.select(F.col("id").alias("cid"), F.col("v").alias("cvec"))
     top = rows(brute_force_topk(q, c, k=1), "qid", "neighbor_id", "rank")
     assert top == [(1, 3, 1)]  # nearest non-self neighbor
+
+
+def test_lsh_topk_recall(spark):
+    """LSH ANN must recover a substantial fraction of the exact top-10
+    on the synthetic embeddings (whose neighbors sit at cosine 0.3-0.5,
+    far below the near-duplicate regime — recall 1.0 is not expected;
+    the exact re-rank guarantees precision of what IS returned)."""
+    from panditya_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.qid, r.neighbor_id) for r in QUERIES["ann_cosine_topk"](spark, sf).collect()}
+    lsh = {(r.qid, r.neighbor_id) for r in QUERIES["ann_lsh_topk"](spark, sf).collect()}
+    assert len(bf & lsh) / len(bf) >= 0.3
