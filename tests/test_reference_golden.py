@@ -138,3 +138,71 @@ def test_discipline_string_format(etl):
     for (s,) in sample:
         counts = [int(m) for m in re.findall(r"\((\d+)\)", s)]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_subgraph_response_kalidasa(spark, etl):
+    """Flagship §3.1 lifecycle on reference data: 1-hop Kālidāsa
+    subgraph response matches the flask_app.py:211-245 shape and the
+    golden edge list."""
+    from panditya_spark.etl import etext_links_from_csv
+    from panditya_spark.serving import subgraph_response
+
+    entities, edges = etl
+    links, _ = etext_links_from_csv(spark, SETI_CSV)
+    resp = subgraph_response(
+        entities, edges, links, authors=["40377"], works=[], hops=1
+    )
+    assert resp["parameters"] == {
+        "authors": ["40377"], "works": [], "hops": 1, "exclude_list": [],
+    }
+    nodes = {n["id"]: n for n in resp["graph"]["nodes"]}
+    assert set(nodes) == {"40377"} | KALIDASA_1HOP_WORKS
+    k = nodes["40377"]
+    assert k["label"] == "Kālidāsa" and k["type"] == "author"
+    assert k["is_central"] is True and k["is_excluded"] is False
+    assert k["discipline"] is None  # author → work-only field nulled
+    for wid in KALIDASA_1HOP_WORKS:
+        assert nodes[wid]["type"] == "work"
+        assert nodes[wid]["is_central"] is False
+        assert nodes[wid]["disciplines"] is None  # work → author-only field
+    edges_out = {(e["source"], e["target"]) for e in resp["graph"]["edges"]}
+    assert edges_out == {("40377", w) for w in KALIDASA_1HOP_WORKS}
+    assert all(
+        e["relationship"] == "source author wrote target work"
+        for e in resp["graph"]["edges"]
+    )
+    # works without e-text links carry False (reference quirk), with
+    # links carry the nested shape
+    assert all(
+        n["etext_links"] is False or isinstance(n["etext_links"], dict)
+        for n in resp["graph"]["nodes"]
+    )
+
+
+def test_subgraph_response_validation_and_exclusion(spark, etl):
+    from panditya_spark.serving import subgraph_response
+
+    entities, edges = etl
+    assert "error" in subgraph_response(entities, edges, None, [], [], 1)
+    assert "error" in subgraph_response(entities, edges, None, ["40377"], [], -1)
+    assert "error" in subgraph_response(entities, edges, None, ["99999999"], [], 0)
+    # excluded node present but not expanded
+    resp = subgraph_response(
+        entities, edges, None, ["40377"], [], 2, exclude_list=["97243"]
+    )
+    nodes = {n["id"]: n for n in resp["graph"]["nodes"]}
+    assert nodes["97243"]["is_excluded"] is True
+
+
+def test_dropdown_options_collated(spark, etl):
+    from panditya_spark.functions.collation import sort_key_py
+    from panditya_spark.serving import dropdown_options
+
+    entities, _ = etl
+    opts = dropdown_options(entities)
+    assert len(opts["all"]) == GOLDEN_TOTAL_ENTITIES
+    assert len(opts["authors"]) == GOLDEN_TYPE_COUNTS["author"]
+    assert len(opts["works"]) == GOLDEN_TYPE_COUNTS["work"]
+    labels = [o["label"] for o in opts["all"][:500]]
+    keys = [sort_key_py(label) for label in labels]
+    assert keys == sorted(keys)  # collation order holds
