@@ -168,12 +168,19 @@ def khop_bfs(
     union + localCheckpoint to keep lineage flat.
     """
     adj = undirected(edges).cache()
-    frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-    visited = frontier.withColumn("dist", F.lit(0)).cache()
-    frontier = visited.select("node")
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
     state = _LoopState()
 
+    # One materialization per round: the frontier is visited@dist==d-1
+    # (a cheap scan of the checkpointed table), so each round is a
+    # single expand ∪ accumulate job plus an empty-frontier scan.
     for depth in range(1, hops + 1):
+        frontier = visited.filter(F.col("dist") == depth - 1).select("node")
         # Excluded nodes are visited but never expanded (grapher.py:48-50).
         expandable = (
             frontier.join(exclude.select(F.col(exclude.columns[0]).alias("node")), "node", "left_anti")
@@ -185,12 +192,11 @@ def khop_bfs(
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
         )
-        nxt = state.minor(nxt.withColumn("dist", F.lit(depth)))
-        if nxt.isEmpty():
+        (visited,) = state.round_end(visited.union(nxt))
+        if visited.filter(F.col("dist") == depth).isEmpty():
             break
-        visited, nxt = state.round_end(visited.union(nxt), nxt)
-        frontier = nxt.select("node")
 
     vnodes = visited.select("node").distinct()
     sub_edges = (
@@ -255,6 +261,9 @@ def connected_components(
     # results on a 60-node path (needs 60 rounds, cap was 50). At
     # billion-edge scale the round count is what dominates wall-clock,
     # so log-rounds is also the 100 TB-safe design.
+    # One materialization per round: carry the old label through the
+    # round and emit a `changed` flag, so convergence is a cheap scan of
+    # the checkpointed output rather than a separate compare join.
     state = _LoopState()
     for _ in range(max_iter):
         nbr_min = (
@@ -264,28 +273,26 @@ def connected_components(
         )
         cand = (
             labels.join(nbr_min, "node", "left_outer")
-            .select("node", F.least("component", "nbr_comp").alias("component"))
+            .select(
+                "node",
+                F.col("component").alias("old_comp"),
+                F.least("component", "nbr_comp").alias("component"),
+            )
         )
         parent = cand.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
-        jumped = state.minor(
+        (labels,) = state.round_end(
             cand.join(parent, cand.component == F.col("p_node"), "left_outer")
             .select(
                 "node",
                 F.least("component", "p_comp").alias("component"),
+                (F.least("component", "p_comp") < F.col("old_comp")).alias("changed"),
             )
         )
-        n_changed = (
-            jumped.withColumnRenamed("component", "new")
-            .join(labels, "node")
-            .filter(F.col("new") != F.col("component"))
-            .count()
-        )
-        (labels,) = state.round_end(jumped)
-        if n_changed == 0:
+        if labels.filter("changed").isEmpty():
             break
-    return labels
+    return labels.select("node", "component")
 
 
 def component_census(components: DataFrame) -> DataFrame:
@@ -327,33 +334,33 @@ def longest_chain_depth(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     # DAGs (total work O(E), not O(E × depth)), and "frontier empty"
     # doubles as the convergence check — one less job per round than a
     # full-table self-compare.
-    changed = depth
+    # One materialization per round: the new depth table carries a
+    # `changed` flag, so the next round's frontier and the convergence
+    # check are both cheap scans of the checkpointed output instead of
+    # separate shuffle jobs.
+    depth = depth.withColumn("changed", F.lit(True))
     state = _LoopState()
     for _ in range(max_iter):
+        frontier = depth.filter("changed").select(
+            F.col("node").alias("dst"), F.col("chain_depth").alias("child_depth")
+        )
         relaxed = (
-            e.join(
-                changed.withColumnRenamed("node", "dst").withColumnRenamed(
-                    "chain_depth", "child_depth"
-                ),
-                "dst",
-            )
+            e.join(frontier, "dst")
             .groupBy(F.col("src").alias("node"))
             .agg((F.max("child_depth") + 1).alias("cand"))
         )
-        improved = state.minor(
-            relaxed.join(depth, "node")
-            .filter(F.col("cand") > F.col("chain_depth"))
-            .select("node", F.col("cand").alias("chain_depth"))
+        (depth,) = state.round_end(
+            depth.join(relaxed, "node", "left_outer").select(
+                "node",
+                F.greatest("chain_depth", F.coalesce("cand", F.lit(0))).alias(
+                    "chain_depth"
+                ),
+                (F.coalesce("cand", F.lit(0)) > F.col("chain_depth")).alias("changed"),
+            )
         )
-        if improved.isEmpty():
+        if depth.filter("changed").isEmpty():
             break
-        depth, changed = state.round_end(
-            depth.withColumnRenamed("chain_depth", "old")
-            .join(improved.withColumnRenamed("chain_depth", "new"), "node", "left_outer")
-            .select("node", F.coalesce("new", "old").alias("chain_depth")),
-            improved,
-        )
-    return depth
+    return depth.select("node", "chain_depth")
 
 
 def label_propagation(
