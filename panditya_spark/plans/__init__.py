@@ -10,5 +10,6 @@ from panditya_spark.plans import graph_queries  # noqa: E402,F401
 from panditya_spark.plans import data_pipeline_queries  # noqa: E402,F401
 from panditya_spark.plans import serving_queries  # noqa: E402,F401
 from panditya_spark.plans import streaming_queries  # noqa: E402,F401
+from panditya_spark.plans import multimodal_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -147,12 +147,41 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- text: lang-id (rows-only)
-@register("text_langid")
+# ---------------------------------------------------------------- text: lang-id
+# The argmax-over-marker-ratios heuristic is fully deterministic:
+# array_max over (score, lang) structs ties to the lexicographically
+# largest code, which the oracle's CASE replays in descending code
+# order (fr > es > en > de).
+@register(
+    "text_langid",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS n,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b')) AS h_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS h_de,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS h_fr,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|que|es)\b')) AS h_es
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CASE WHEN n > 0 THEN CAST(h_en AS DOUBLE)/n ELSE 0.0 END AS s_en,
+             CASE WHEN n > 0 THEN CAST(h_de AS DOUBLE)/n ELSE 0.0 END AS s_de,
+             CASE WHEN n > 0 THEN CAST(h_fr AS DOUBLE)/n ELSE 0.0 END AS s_fr,
+             CASE WHEN n > 0 THEN CAST(h_es AS DOUBLE)/n ELSE 0.0 END AS s_es
+      FROM f
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 0.05 THEN 'und'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                ELSE 'de' END AS predicted_lang
+    FROM s
+    """,
+)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic stopword-ratio language ID vs the ground-truth lang
-    column. Rows-only (the argmax-over-markers heuristic is awkward in
-    portable SQL); tests assert determinism + schema."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "lang", T.lang_id(F.col("text")).alias("predicted_lang")

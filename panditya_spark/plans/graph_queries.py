@@ -207,3 +207,26 @@ def g10_longest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest_chain_depth(dag).select(
         "node", F.col("chain_depth").cast("int").alias("chain_depth")
     )
+
+
+# ---------------------------------------------------------------- G2+G11
+# Reference: utils/construct_full_graph.py:1-5 + analyze.py:36,127 —
+# full-graph materialization (the reference's hops=25 BFS over all
+# seeds is just a roundabout way to emit every edge once) and the
+# undirected projection used by components/Louvain. One explode-free
+# union pass; no iteration, no shuffle beyond the final distinct.
+@register(
+    "g2_g11_full_undirected",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL})
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst, src FROM edges
+    """,
+)
+def g2_g11_full_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panditya_spark.operators.graph import undirected
+
+    return undirected(key_chain_edges(spark, sf_dir)).select(
+        F.col("a"), F.col("b")
+    )

@@ -607,3 +607,82 @@ def p9_11_12_guard_validate_lookup(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("id").isin("8", "16", "100", "1012", "bogus"))  # P12
         .select("id", hy.alias("highest_year"), ly.alias("lowest_year"))
     )
+
+
+# ---------------------------------------------------------------- A2
+# Reference: utils/transform.py:220-221 — second-order conditional count:
+# of the rows that qualified for A1's count, how many also hit a missing-
+# data predicate (Work ID == '...'). The shape is a conjunction inside a
+# conditional sum, sharing one aggregation pass with the base count.
+@register(
+    "a2_conditional_count2",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_linked,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 AND o_orderstatus = 'F'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_linked_missing
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a2_conditional_count2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    linked = F.col("o_totalprice") > 100000
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(F.when(linked, 1).otherwise(0)).cast("bigint").alias("n_linked"),
+        F.sum(F.when(linked & (F.col("o_orderstatus") == "F"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_linked_missing"),
+    )
+
+
+# ---------------------------------------------------------------- J2
+# Reference: utils/transform.py:104-120 — the OTHER direction of the
+# bidirectional link build (base_text_ids → commentary_ids): invert a
+# many-to-many fact into per-right-side adjacency. Complements J1's
+# forward build; distinct because the inversion crosses a fact table
+# (lineitem), not a direct FK.
+@register(
+    "j2_inverse_adjacency",
+    oracle="""
+    SELECT l_partkey AS partkey,
+           array_to_string(list_sort(list(DISTINCT l_orderkey)), ',') AS order_ids,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+)
+def j2_inverse_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_set("l_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("order_ids"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------- P10+P13
+# Reference: utils/transform.py:213-214 (skip rows with null/empty key)
+# + flask_app.py:19-20 (type-partition comprehensions). Both reach the
+# parquet scan as pushed filters — scripts/explain_audit.py checks.
+@register(
+    "p10_13_rowskip_type_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> '' AND source = 'src0'
+    """,
+)
+def p10_13_rowskip_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").isNotNull()
+        & (F.trim(F.col("text")) != "")
+        & (F.col("source") == "src0")
+    ).select("doc_id", "lang", "n_chars")
