@@ -264,15 +264,24 @@ def connected_components(
     # One materialization per round: carry the old label through the
     # round and emit a `changed` flag, so convergence is a cheap scan of
     # the checkpointed output rather than a separate compare join.
+    # Δ-messaging: only labels that changed last round send min-label
+    # messages to their neighbors (Pregel vote-to-halt semantics), so
+    # the edge-wide join touches Δ's neighborhood, not all E, from
+    # round 2 on — the dominant cost once the bulk of the graph has
+    # settled. The merge and pointer-jump remain O(V) joins; the
+    # checkpointed labels table is the per-round state.
+    labels = labels.withColumn("changed", F.lit(True))
     state = _LoopState()
     for _ in range(max_iter):
+        delta = labels.filter("changed").select("node", "component")
         nbr_min = (
-            und.join(labels.withColumnRenamed("node", "b2"), und.b == F.col("b2"))
+            und.join(delta.withColumnRenamed("node", "b2"), und.b == F.col("b2"))
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_comp"))
         )
         cand = (
-            labels.join(nbr_min, "node", "left_outer")
+            labels.select("node", "component")
+            .join(nbr_min, "node", "left_outer")
             .select(
                 "node",
                 F.col("component").alias("old_comp"),
@@ -316,51 +325,97 @@ def longest_chain_depth(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     """Longest downstream chain per node in a DAG (analyze.py:226-253:
     commentary-chain max depth via DFS from root works).
 
-    Iterative relaxation: depth(v) = 1 + max(depth(children)), looping
-    until no depth grows (or max_iter as the cycle guard standing in
-    for the reference's visited-set). Returns (node, chain_depth) where
-    a leaf has depth 0. Roots (no incoming edge) carry the max chain.
+    Returns (node, chain_depth) where a leaf has depth 0; roots (no
+    incoming edge) carry the max chain. max_iter is the cycle guard
+    standing in for the reference's visited-set.
+
+    Two physical strategies, picked by a one-pass degree probe:
+    - out-degree ≤ 1 everywhere (a chain forest / "list" DAG, e.g. a
+      single-successor version chain): pointer doubling (list ranking)
+      — O(log depth) rounds of self-joins instead of O(depth).
+    - general DAG: exact-length frontier propagation, O(depth) rounds
+      but per-round work proportional to the frontier, never O(V).
     """
     e = edges.select("src", "dst").cache()
-    depth = _checkpoint(
+    max_out = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).agg(
+        F.max("d")
+    ).first()[0]
+    if max_out is not None and max_out <= 1:
+        return _list_chain_depth(e, max_iter)
+    nodes = _checkpoint(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .withColumn("chain_depth", F.lit(0))
     )
-    # Frontier relaxation: a node's depth can only grow when a child's
-    # depth grew last round, so each round joins edges against the
-    # changed set only. The frontier halves per round on chain-shaped
-    # DAGs (total work O(E), not O(E × depth)), and "frontier empty"
-    # doubles as the convergence check — one less job per round than a
-    # full-table self-compare.
-    # One materialization per round: the new depth table carries a
-    # `changed` flag, so the next round's frontier and the convergence
-    # check are both cheap scans of the checkpointed output instead of
-    # separate shuffle jobs.
-    depth = depth.withColumn("changed", F.lit(True))
+    # Exact-length frontier formulation: Δ_k = nodes with a downstream
+    # path of exactly k edges (Δ_k = src of any edge into Δ_{k-1});
+    # chain_depth(v) = max k with v ∈ Δ_k. Per-round cost is
+    # O(|edges into Δ_{k-1}|) — never a join against the full O(V)
+    # depth table, and no O(V) re-materialization per round, which is
+    # what makes this survive V in the billions. Each Δ spills via
+    # parquet (_checkpoint): the scan's honest file-size stats let AQE
+    # broadcast the shrinking frontier into the edge join instead of
+    # re-shuffling the (cached) edge table every round.
+    frontier = nodes.select(F.col("node").alias("dst"))
+    deltas: list[DataFrame] = []
+    for k in range(1, max_iter + 1):
+        frontier = _checkpoint(
+            e.join(frontier, "dst")
+            .select(F.col("src").alias("node"))
+            .distinct()
+        )
+        if frontier.isEmpty():
+            break
+        deltas.append(frontier.withColumn("chain_depth", F.lit(k)))
+        frontier = frontier.select(F.col("node").alias("dst"))
+    all_depths = nodes.withColumn("chain_depth", F.lit(0))
+    for d in deltas:
+        all_depths = all_depths.union(d)
+    return all_depths.groupBy("node").agg(F.max("chain_depth").alias("chain_depth"))
+
+
+def _list_chain_depth(e: DataFrame, max_iter: int) -> DataFrame:
+    """Pointer-doubling chain depth for out-degree ≤ 1 DAGs (list
+    ranking): each node carries (ptr, chain_depth) where ptr is the
+    node 2^k hops downstream after round k; one round folds the
+    pointee's accumulated depth in and jumps the pointer, so depth-d
+    chains converge in ⌈log2 d⌉ rounds — at billion-node scale the
+    round count, not per-round volume, dominates wall-clock."""
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    t = nodes.join(
+        e.select(F.col("src").alias("node"), F.col("dst").alias("ptr")),
+        "node",
+        "left_outer",
+    ).select(
+        "node",
+        "ptr",
+        F.when(F.col("ptr").isNotNull(), 1).otherwise(0).alias("chain_depth"),
+    )
     state = _LoopState()
     for _ in range(max_iter):
-        frontier = depth.filter("changed").select(
-            F.col("node").alias("dst"), F.col("chain_depth").alias("child_depth")
+        nxt = t.select(
+            F.col("node").alias("p_node"),
+            F.col("ptr").alias("p_ptr"),
+            F.col("chain_depth").alias("p_depth"),
         )
-        relaxed = (
-            e.join(frontier, "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg((F.max("child_depth") + 1).alias("cand"))
-        )
-        (depth,) = state.round_end(
-            depth.join(relaxed, "node", "left_outer").select(
+        (t,) = state.round_end(
+            t.join(nxt, t.ptr == F.col("p_node"), "left_outer").select(
                 "node",
-                F.greatest("chain_depth", F.coalesce("cand", F.lit(0))).alias(
-                    "chain_depth"
-                ),
-                (F.coalesce("cand", F.lit(0)) > F.col("chain_depth")).alias("changed"),
+                F.col("p_ptr").alias("ptr"),
+                F.when(
+                    F.col("ptr").isNull(), F.col("chain_depth")
+                )
+                .otherwise(F.col("chain_depth") + F.col("p_depth"))
+                .alias("chain_depth"),
             )
         )
-        if depth.filter("changed").isEmpty():
+        if t.filter(F.col("ptr").isNotNull()).isEmpty():
             break
-    return depth.select("node", "chain_depth")
+    return t.select("node", "chain_depth")
 
 
 def label_propagation(

@@ -80,8 +80,19 @@ def test_degrees(spark, chain_graph):
 
 
 def test_longest_chain_depth(spark, chain_graph):
+    # chain_graph is out-degree ≤ 1 → exercises the pointer-doubling path
     out = dict(rows(longest_chain_depth(chain_graph), "node", "chain_depth"))
     assert out == {"a": 3, "b": 2, "c": 1, "d": 0, "e": 3, "f": 1, "g": 0}
+
+
+def test_longest_chain_depth_branchy(spark):
+    # out-degree 2 at 'a' → exercises the general exact-length-frontier
+    # path; depth(a) must take the LONGER branch.
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("c", "d")], ["src", "dst"]
+    )
+    out = dict(rows(longest_chain_depth(df), "node", "chain_depth"))
+    assert out == {"a": 2, "b": 0, "c": 1, "d": 0}
 
 
 def test_undirected_dedup(spark):
