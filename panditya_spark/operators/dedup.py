@@ -199,11 +199,14 @@ def minhash_dedup_pairs(
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("doc", "doc1")
     b = sh.withColumnRenamed("doc", "doc2")
-    # Shingle self-join restricted to LSH candidates via semi-join.
+    # Intersection counted per CANDIDATE pair — candidates drive the
+    # join (cands ⋈ shingles(doc1) ⋈ shingles(doc2, sh)), so the cost
+    # is O(|cands| · avg_shingles), not the all-pairs shingle self-join
+    # (which would make LSH pointless physically: a shared hot shingle
+    # fans out quadratically before any candidate restriction).
     common = (
-        a.join(b, "sh")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .join(cands, ["doc1", "doc2"], "left_semi")
+        cands.join(a, "doc1")
+        .join(b, ["doc2", "sh"])
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -27,9 +27,18 @@ from pyspark.sql import functions as F
 
 def undirected(edges: DataFrame) -> DataFrame:
     """Undirected projection (analyze.py:36,127): both directions, deduped."""
+    return undirected_multi(edges).distinct()
+
+
+def undirected_multi(edges: DataFrame) -> DataFrame:
+    """Undirected projection WITHOUT the trailing distinct — a full
+    O(E) shuffle that duplicate-insensitive consumers (BFS frontier
+    expansion, min-label aggregation) don't need. At 100 TB the skipped
+    dedup of the largest table is the difference between one pass and
+    two."""
     fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     rev = edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    return fwd.union(rev).distinct()
+    return fwd.union(rev)
 
 
 _CKPT_ROOT: str | None = None
@@ -167,7 +176,7 @@ def khop_bfs(
     flips the expansion join to broadcast; visited accumulates via
     union + localCheckpoint to keep lineage flat.
     """
-    adj = undirected(edges).cache()
+    adj = undirected_multi(edges).cache()
     visited = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
@@ -245,7 +254,7 @@ def connected_components(
     large-star/small-star contraction variant could cut rounds to
     O(log n) — documented trade-off, diameter here is small.
     """
-    und = undirected(edges).cache()
+    und = undirected_multi(edges).cache()
     nodes = (
         vertices.select(F.col(vertices.columns[0]).alias("node"))
         if vertices is not None
