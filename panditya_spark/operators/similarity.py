@@ -11,6 +11,9 @@
 - lsh_bucketed_topk(): the scale path — random-hyperplane LSH buckets
   (sign sketches), candidates restricted to bucket collisions, then
   exact re-rank. Probe multiple hash tables for recall.
+- ivf_topk(): the partition-pruning scale path — inverted lists keyed
+  by nearest centroid (deterministic sample + DataFrame-native Lloyd
+  refinement); a probe touches nprobe/nlist of the data.
 """
 
 from __future__ import annotations
@@ -177,6 +180,101 @@ def lsh_bucketed_topk(
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def _avg_vectors(assigned: DataFrame, list_col: str, vec_col: str) -> DataFrame:
+    """Per-list mean vector via posexplode → groupBy(list, pos) avg →
+    re-assemble (sorted by position). Fully distributed — the classic
+    DataFrame k-means update step; no vector ever leaves the JVM."""
+    return (
+        assigned.select(F.col(list_col), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy(list_col, "pos")
+        .agg(F.avg("x").alias("x"))
+        .groupBy(list_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
+            ).alias(vec_col)
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    c_id: str = "cid",
+    c_vec: str = "cvec",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the partition-pruning
+    scale path complementing lsh_bucketed_topk:
+
+    1. nlist centroids: deterministic hash-ordered sample of the
+       candidate set, refined by `lloyd_iters` k-means rounds expressed
+       as DataFrame ops (assign = broadcast-centroid argmax join;
+       update = posexplode/avg/re-assemble).
+    2. Every candidate is assigned to its nearest centroid's inverted
+       list — at scale this is the partitioning key, so a probe reads
+       nprobe/nlist of the data instead of all of it.
+    3. Each query probes its `nprobe` nearest lists; survivors are
+       exactly re-ranked (precision of returned rows is exact).
+
+    Centroids stay a driver-size table (nlist rows) and are broadcast;
+    candidates shuffle once by list id. Deterministic end-to-end: the
+    hash sample, Lloyd updates, and rounded re-rank have no RNG state.
+    """
+    cand = candidates.select(
+        F.col(c_id).alias("cid2"), _dbl(F.col(c_vec)).alias("cvec2")
+    ).cache()
+    cent = (
+        cand.orderBy(F.xxhash64(F.col("cid2").cast("string")))
+        .limit(nlist)
+        .select(F.col("cvec2").alias("centvec"))
+        .withColumn("list_id", F.row_number().over(Window.orderBy("centvec")))
+    )
+
+    def nearest(df: DataFrame, key: str, vec: str, cents: DataFrame, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "cent_sim", F.round(cosine(F.col(vec), F.col("centvec")), 6)
+        )
+        w = Window.partitionBy(key).orderBy(F.desc("cent_sim"), F.asc("list_id"))
+        return (
+            scored.withColumn("nr", F.row_number().over(w))
+            .filter(F.col("nr") <= n)
+            .drop("nr", "centvec", "cent_sim")
+        )
+
+    for _ in range(lloyd_iters):
+        assigned = nearest(cand, "cid2", "cvec2", cent, 1)
+        cent = F.broadcast(
+            _avg_vectors(assigned, "list_id", "cvec2").withColumnRenamed(
+                "cvec2", "centvec"
+            )
+        )
+    lists = nearest(cand, "cid2", "cvec2", cent, 1)  # (cid2, cvec2, list_id)
+
+    q = queries.select(F.col(q_id).alias("q2"), _dbl(F.col(q_vec)).alias("qvec2"))
+    probes = nearest(q, "q2", "qvec2", cent, nprobe)  # (q2, qvec2, list_id)
+    pairs = (
+        probes.join(lists, "list_id")
+        .filter(F.col("q2") != F.col("cid2"))
+        .select(
+            F.col("q2").alias(q_id),
+            F.col("cid2").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec2"), F.col("cvec2")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("int"))
     )

@@ -232,6 +232,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(queries, cands, dim=64, k=10)
 
 
+# ---------------------------------------------------------------- ANN: IVF (rows-only)
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic hash-sampled centroids
+    refined by DataFrame-native Lloyd rounds; candidates pruned to the
+    query's nprobe nearest inverted lists, then exactly re-ranked.
+    Rows-only; tests assert recall@10 against brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return S.ivf_topk(queries, cands, k=10)
+
+
 # ---------------------------------------------------------------- embedding near-dup pairs
 # Threshold 0.35: the synthetic embeddings top out at cosine ≈ 0.48, so
 # a classic 0.95 near-dup cut would be vacuously empty at every sf.

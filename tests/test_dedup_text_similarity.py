@@ -122,3 +122,17 @@ def test_lsh_topk_recall(spark):
     bf = {(r.qid, r.neighbor_id) for r in QUERIES["ann_cosine_topk"](spark, sf).collect()}
     lsh = {(r.qid, r.neighbor_id) for r in QUERIES["ann_lsh_topk"](spark, sf).collect()}
     assert len(bf & lsh) / len(bf) >= 0.3
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF ANN: recall@10 vs brute force on the synthetic embeddings,
+    and run-to-run determinism (hash-sampled centroids, no RNG)."""
+    from panditya_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.qid, r.neighbor_id) for r in QUERIES["ann_cosine_topk"](spark, sf).collect()}
+    r1 = QUERIES["ann_ivf_topk"](spark, sf).collect()
+    ivf = {(r.qid, r.neighbor_id) for r in r1}
+    assert len(bf & ivf) / len(bf) >= 0.4
+    r2 = QUERIES["ann_ivf_topk"](spark, sf).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
