@@ -36,6 +36,7 @@ HEADLINE = [
     "stream_tumbling_hourly",
     "text_quality",
     "t3_overlap_partition",
+    "mm_image_features",
 ]
 
 
