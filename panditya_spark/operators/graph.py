@@ -176,7 +176,10 @@ def khop_bfs(
     flips the expansion join to broadcast; visited accumulates via
     union + localCheckpoint to keep lineage flat.
     """
-    adj = undirected_multi(edges).cache()
+    # Partitioned once by the per-round join key: every hop's
+    # frontier-expansion join reuses this layout and shuffles only the
+    # (small) frontier side — the iterative-join co-location pattern.
+    adj = undirected_multi(edges).repartition("a").cache()
     visited = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
@@ -254,7 +257,9 @@ def connected_components(
     large-star/small-star contraction variant could cut rounds to
     O(log n) — documented trade-off, diameter here is small.
     """
-    und = undirected_multi(edges).cache()
+    # Partitioned once by the message join key (b): each round's
+    # delta-message join shuffles only the changed-label side.
+    und = undirected_multi(edges).repartition("b").cache()
     nodes = (
         vertices.select(F.col(vertices.columns[0]).alias("node"))
         if vertices is not None
