@@ -83,3 +83,37 @@ def stream_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
+
+
+@register(
+    "stream_sessionize_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS INTEGER) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) as a batch gaps-and-islands
+    plan — the oracle-checkable twin of the applyInPandasWithState
+    streaming sessionizer (streaming/windows.py sessionize), pinning
+    the session-boundary semantics both must share."""
+    from panditya_spark.streaming.windows import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)

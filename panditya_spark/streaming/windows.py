@@ -86,7 +86,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     passes their gap timeout."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    gap_ms = gap_minutes * 60 * 1000
+    gap_us = gap_minutes * 60 * 1000_000
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -97,35 +97,37 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         for pdf in pdfs:
             ts = pd.to_datetime(pdf["ts"]).sort_values()
             for t in ts:
-                tms = int(t.value // 10**6)
-                if end is not None and tms - end > gap_ms:
+                # microsecond precision: matches the batch twin
+                # (sessionize_batch) and the parquet micros exactly.
+                tus = int(t.value // 10**3)
+                if end is not None and tus - end > gap_us:
                     yield pd.DataFrame(
                         {
                             "user_id": [user_id],
                             "n_events": [n],
-                            "session_start": [pd.Timestamp(start, unit="ms")],
-                            "session_end": [pd.Timestamp(end, unit="ms")],
+                            "session_start": [pd.Timestamp(start, unit="us")],
+                            "session_end": [pd.Timestamp(end, unit="us")],
                         }
                     )
-                    n, start = 0, tms
+                    n, start = 0, tus
                 if start is None:
-                    start = tms
+                    start = tus
                 n += 1
-                end = tms
+                end = tus
         if state.hasTimedOut:
             if n:
                 yield pd.DataFrame(
                     {
                         "user_id": [user_id],
                         "n_events": [n],
-                        "session_start": [pd.Timestamp(start, unit="ms")],
-                        "session_end": [pd.Timestamp(end, unit="ms")],
+                        "session_start": [pd.Timestamp(start, unit="us")],
+                        "session_end": [pd.Timestamp(end, unit="us")],
                     }
                 )
             state.remove()
         else:
             state.update((n, start, end))
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_us // 1000)
 
     return (
         events.withWatermark("ts", f"{gap_minutes} minutes")
@@ -133,10 +135,39 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .applyInPandasWithState(
             update,
             outputStructType=SESSION_STATE_SCHEMA,
-            stateStructType="n_events INT, start_ms LONG, end_ms LONG",
+            stateStructType="n_events INT, start_us LONG, end_us LONG",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch equivalent of sessionize(): gaps-and-islands via lag +
+    running sum — a session break is a gap > gap_minutes, the running
+    count of breaks is the session id. Pure window functions (one
+    shuffle by user), so it is oracle-checkable in ANSI SQL and pins
+    the session semantics the stateful streaming operator must match.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_minutes * 60 * 1000_000
+    ts_us = F.unix_micros(F.col("ts"))
+    brk = F.when(
+        F.lag(ts_us).over(w).isNull() | (ts_us - F.lag(ts_us).over(w) > gap_us), 1
+    ).otherwise(0)
+    sess = events.select(
+        "user_id", "ts", F.sum(brk).over(w).alias("session_seq")
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_seq", "n_events", "session_start", "session_end")
     )
 
 

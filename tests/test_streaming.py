@@ -56,3 +56,17 @@ def test_stream_sessionize(spark):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 < s2  # disjoint, ordered
+
+    # Every closed streaming session must appear verbatim in the batch
+    # gaps-and-islands sessionization (the oracle-checked twin).
+    from panditya_spark.sources.loaders import load_table
+    from panditya_spark.streaming.windows import sessionize_batch
+
+    batch = {
+        (str(r.user_id), r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(
+            load_table(spark, SF_DIR, "events"), gap_minutes=30
+        ).collect()
+    }
+    for s in sessions:
+        assert (s.user_id, s.session_start, s.session_end, s.n_events) in batch
