@@ -164,3 +164,58 @@ def first_match_per_group(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """As-of join (absent from the reference; the classic trades/quotes
+    operator a training-data pipeline needs for point-in-time-correct
+    feature lookup): for every left row, the payload of the LATEST
+    right row with right_time <= left_time on matching keys; null when
+    no prior right row exists (left-join semantics).
+
+    Spark-first design — a single co-shuffle, not a range join: tag
+    both sides, union, and run last(ignorenulls) over a window ordered
+    by (time, side) with right rows sorting first at equal timestamps
+    (inclusive <=). Each key partition is scanned once; at 100 TB this
+    is one shuffle by key of left+right, versus the quadratic blowup a
+    time-range theta-join would produce.
+
+    `payload_cols` must not collide with left's column names (rename on
+    the right beforehand); ties among right rows at identical
+    (keys, time) should be pre-deduped for determinism.
+    """
+    from pyspark.sql.window import Window as W
+
+    lt = (
+        left.withColumn("_asof_t", F.col(left_time))
+        .withColumn("_asof_side", F.lit(1))
+    )
+    rt = right.select(
+        *keys, F.col(right_time).alias("_asof_t"), *payload_cols
+    ).withColumn("_asof_side", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("_asof_t", "_asof_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = filled.filter(F.col("_asof_side") == 1).drop(
+        "_asof_side", "_asof_t", *payload_cols
+    )
+    for c in payload_cols:
+        out = out.withColumnRenamed(f"_asof_{c}", c)
+    return out

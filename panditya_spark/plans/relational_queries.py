@@ -686,3 +686,56 @@ def p10_13_rowskip_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.trim(F.col("text")) != "")
         & (F.col("source") == "src0")
     ).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------- as-of join
+# Extension op (no reference counterpart): point-in-time-correct
+# lookup — for each click, the user's latest purchase at-or-before.
+# DuckDB's native ASOF JOIN is the oracle.
+@register(
+    "j_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts AS purchase_ts,
+             CAST(max(event_id) AS BIGINT) AS purchase_id,
+             max_by(value, event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.click_id, c.click_ts,
+           p.purchase_ts, p.purchase_id, p.purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON p.user_id = c.user_id AND p.purchase_ts <= c.click_ts
+    """,
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panditya_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    # Dedupe right rows at identical (user, ts) for deterministic ties.
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(
+            F.max("event_id").cast("bigint").alias("purchase_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_time="click_ts",
+        right_time="purchase_ts",
+        payload_cols=["purchase_ts", "purchase_id", "purchase_value"],
+    )

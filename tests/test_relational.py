@@ -85,3 +85,30 @@ def test_top_n_and_first_match(spark):
         "work", "pos", "year",
     )
     assert fm == [("w1", 1, 900), ("w2", 0, 700)]
+
+
+def test_asof_join(spark):
+    import datetime as dt
+
+    from panditya_spark.operators.relational import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [("u1", 1, t(10)), ("u1", 2, t(20)), ("u2", 3, t(10)), ("u3", 4, t(10))],
+        ["k", "lid", "lt"],
+    )
+    right = spark.createDataFrame(
+        [("u1", t(10), 100.0), ("u1", t(15), 150.0), ("u2", t(11), 999.0)],
+        ["k", "rt", "rv"],
+    )
+    out = {
+        r.lid: (r.rt, r.rv)
+        for r in asof_join(
+            left, right, keys=["k"], left_time="lt", right_time="rt",
+            payload_cols=["rt", "rv"],
+        ).collect()
+    }
+    assert out[1] == (t(10), 100.0)   # inclusive: equal ts matches
+    assert out[2] == (t(15), 150.0)   # latest at-or-before, not first
+    assert out[3] == (None, None)     # u2's only right row is AFTER lt
+    assert out[4] == (None, None)     # u3 has no right rows at all
