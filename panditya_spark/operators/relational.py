@@ -190,6 +190,14 @@ def asof_join(
     `payload_cols` must not collide with left's column names (rename on
     the right beforehand); ties among right rows at identical
     (keys, time) should be pre-deduped for determinism.
+
+    Whole-row semantics: the payload columns are packed into ONE struct
+    and a single last(ignorenulls) runs over that struct, so every
+    output row carries the payload of exactly one right row — a NULL
+    field in the latest match stays NULL rather than being backfilled
+    from an older right row (matches SQL ASOF JOIN). Right rows with a
+    NULL right_time are excluded up front (no match target, and they
+    would otherwise sort nulls-first into the window).
     """
     from pyspark.sql.window import Window as W
 
@@ -197,9 +205,15 @@ def asof_join(
         left.withColumn("_asof_t", F.col(left_time))
         .withColumn("_asof_side", F.lit(1))
     )
-    rt = right.select(
-        *keys, F.col(right_time).alias("_asof_t"), *payload_cols
-    ).withColumn("_asof_side", F.lit(0))
+    rt = (
+        right.filter(F.col(right_time).isNotNull())
+        .select(
+            *keys,
+            F.col(right_time).alias("_asof_t"),
+            F.struct(*payload_cols).alias("_asof_payload"),
+        )
+        .withColumn("_asof_side", F.lit(0))
+    )
     u = lt.unionByName(rt, allowMissingColumns=True)
     w = (
         W.partitionBy(*keys)
@@ -208,14 +222,12 @@ def asof_join(
     )
     filled = u.select(
         "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload_cols
-        ],
+        F.last(F.col("_asof_payload"), ignorenulls=True)
+        .over(w)
+        .alias("_asof_match"),
     )
-    out = filled.filter(F.col("_asof_side") == 1).drop(
-        "_asof_side", "_asof_t", *payload_cols
-    )
-    for c in payload_cols:
-        out = out.withColumnRenamed(f"_asof_{c}", c)
+    out = filled.filter(F.col("_asof_side") == 1).select(
+        "*",
+        *[F.col(f"_asof_match.{c}").alias(c) for c in payload_cols],
+    ).drop("_asof_side", "_asof_t", "_asof_payload", "_asof_match")
     return out

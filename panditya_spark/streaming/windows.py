@@ -78,12 +78,62 @@ SESSION_STATE_SCHEMA = StructType(
 )
 
 
+def merge_session_events(
+    sessions: list[list[int]], ts_us: list[int], gap_us: int
+) -> list[list[int]]:
+    """Fold event timestamps (ascending, microseconds) into a list of
+    disjoint session intervals ``[n_events, start_us, end_us]`` ordered
+    by start, merging neighbors whose separation is within ``gap_us``.
+    Pure helper behind sessionize(); exactly the gaps-and-islands
+    semantics of sessionize_batch."""
+    import bisect
+
+    sessions = [list(s) for s in sessions]
+    starts = [s[1] for s in sessions]
+    for tus in ts_us:
+        i = bisect.bisect_right(starts, tus)
+        sessions.insert(i, [1, tus, tus])
+        starts.insert(i, tus)
+        while i > 0 and sessions[i][1] - sessions[i - 1][2] <= gap_us:
+            left = sessions.pop(i - 1)
+            starts.pop(i - 1)
+            i -= 1
+            sessions[i] = [
+                left[0] + sessions[i][0],
+                min(left[1], sessions[i][1]),
+                max(left[2], sessions[i][2]),
+            ]
+            starts[i] = sessions[i][1]
+        while i + 1 < len(sessions) and sessions[i + 1][1] - sessions[i][2] <= gap_us:
+            right = sessions.pop(i + 1)
+            starts.pop(i + 1)
+            sessions[i] = [
+                sessions[i][0] + right[0],
+                min(sessions[i][1], right[1]),
+                max(sessions[i][2], right[2]),
+            ]
+    return sessions
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Custom stateful operator: session windows per user via
     applyInPandasWithState — the escape hatch for semantics window()
     can't express (dynamic, gap-based windows). Emits one row per
-    CLOSED session; open sessions stay in state until the watermark
-    passes their gap timeout."""
+    CLOSED session; the open session stays in state until the watermark
+    passes its gap timeout.
+
+    Ordering: all Arrow chunks of a micro-batch are concatenated and
+    sorted globally before folding (chunk boundaries are arbitrary), and
+    events are merged into the session list as closed intervals
+    (min-start / max-end / neighbor re-merge) rather than assuming
+    monotone arrival — a late-but-within-watermark event that precedes
+    the open session either chains into it or forms its own earlier
+    session. Sessions are closed as soon as a >gap separation from the
+    next known interval exists; with a finite availableNow run the final
+    open session per user is only emitted if a later trigger advances
+    the watermark past its timeout (the batch twin `sessionize_batch`
+    is the complete-output equivalent).
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1000_000
@@ -92,42 +142,52 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         import pandas as pd
 
         (user_id,) = key
+
+        def emit(n, start, end):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                }
+            )
+
         old = state.get if state.exists else None
         n, start, end = (old[0], old[1], old[2]) if old else (0, None, None)
-        for pdf in pdfs:
-            ts = pd.to_datetime(pdf["ts"]).sort_values()
-            for t in ts:
-                # microsecond precision: matches the batch twin
-                # (sessionize_batch) and the parquet micros exactly.
-                tus = int(t.value // 10**3)
-                if end is not None and tus - end > gap_us:
-                    yield pd.DataFrame(
-                        {
-                            "user_id": [user_id],
-                            "n_events": [n],
-                            "session_start": [pd.Timestamp(start, unit="us")],
-                            "session_end": [pd.Timestamp(end, unit="us")],
-                        }
-                    )
-                    n, start = 0, tus
-                if start is None:
-                    start = tus
-                n += 1
-                end = tus
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # Concatenate ALL Arrow chunks and sort globally: chunk
+            # boundaries are arbitrary and must not affect folding.
+            ts = pd.to_datetime(
+                pd.concat([c["ts"] for c in chunks], ignore_index=True)
+            ).sort_values()
+            # Microsecond precision: matches the batch twin
+            # (sessionize_batch) and the parquet micros exactly.
+            ts_us = [int(t.value // 10**3) for t in ts]
+            seed = [[n, start, end]] if end is not None else []
+            sessions = merge_session_events(seed, ts_us, gap_us)
+            # Every interval but the last is >gap away from its
+            # successor in the known data: closed. The last stays open.
+            for sn, ss, se in sessions[:-1]:
+                yield emit(sn, ss, se)
+            n, start, end = sessions[-1]
+
         if state.hasTimedOut:
             if n:
-                yield pd.DataFrame(
-                    {
-                        "user_id": [user_id],
-                        "n_events": [n],
-                        "session_start": [pd.Timestamp(start, unit="us")],
-                        "session_end": [pd.Timestamp(end, unit="us")],
-                    }
-                )
+                yield emit(n, start, end)
             state.remove()
-        else:
+        elif end is not None:
             state.update((n, start, end))
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_us // 1000)
+            # Close at session_end + gap; must stay ahead of the
+            # current watermark or Spark rejects the timestamp.
+            state.setTimeoutTimestamp(
+                max(
+                    (end // 1000) + gap_us // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
 
     return (
         events.withWatermark("ts", f"{gap_minutes} minutes")

@@ -112,3 +112,32 @@ def test_asof_join(spark):
     assert out[2] == (t(15), 150.0)   # latest at-or-before, not first
     assert out[3] == (None, None)     # u2's only right row is AFTER lt
     assert out[4] == (None, None)     # u3 has no right rows at all
+
+
+def test_asof_join_whole_row_and_null_time(spark):
+    """A NULL field in the latest match must stay NULL (whole-row
+    semantics, not per-column backfill); NULL right_time rows are
+    excluded rather than sorting nulls-first into the window."""
+    import datetime as dt
+
+    from panditya_spark.operators.relational import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([("u1", 1, t(20)), ("u4", 2, t(20))], ["k", "lid", "lt"])
+    right = spark.createDataFrame(
+        [
+            ("u1", t(10), 100.0, "old"),
+            ("u1", t(15), None, "new"),    # latest match has NULL rv
+            ("u4", None, 777.0, "ghost"),  # NULL right_time: never a match
+        ],
+        ["k", "rt", "rv", "tag"],
+    )
+    out = {
+        r.lid: (r.rv, r.tag)
+        for r in asof_join(
+            left, right, keys=["k"], left_time="lt", right_time="rt",
+            payload_cols=["rv", "tag"],
+        ).collect()
+    }
+    assert out[1] == (None, "new")   # rv NOT backfilled from the t(10) row
+    assert out[2] == (None, None)    # ghost row excluded entirely

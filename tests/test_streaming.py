@@ -29,6 +29,25 @@ def test_stream_tumbling_agrees_with_batch(spark):
     assert rows(got) == rows(expected)
 
 
+def test_merge_session_events_pure():
+    from panditya_spark.streaming.windows import merge_session_events
+
+    gap = 100
+    # In-order fold: two sessions separated by >gap.
+    assert merge_session_events([], [0, 50, 300], gap) == [[2, 0, 50], [1, 300, 300]]
+    # Boundary: separation == gap chains.
+    assert merge_session_events([], [0, 100, 200], gap) == [[3, 0, 200]]
+    # Out-of-order straggler BEFORE the open session, within gap:
+    # extends the session backwards instead of corrupting boundaries.
+    assert merge_session_events([[2, 200, 250]], [150], gap) == [[3, 150, 250]]
+    # Straggler bridges two would-be sessions into one.
+    assert merge_session_events([[2, 500, 550]], [390, 450], gap) == [[4, 390, 550]]
+    # Straggler >gap before the open session forms its own earlier session.
+    assert merge_session_events([[2, 500, 550]], [10], gap) == [[1, 10, 10], [2, 500, 550]]
+    # Interior event just increments the count.
+    assert merge_session_events([[2, 100, 300]], [200], gap) == [[3, 100, 300]]
+
+
 def test_stream_sessionize(spark):
     from pyspark.sql import functions as F
 
