@@ -481,40 +481,74 @@ def betweenness_centrality(
     edges: DataFrame,
     sample_sources: int | None = None,
     seed: int = 42,
+    mode: str = "auto",
+    max_broadcast_edges: int = 2_000_000,
 ) -> DataFrame:
     """Betweenness centrality (utils/analyze.py:166 — exact Brandes via
-    NetworkX in the reference).
+    NetworkX in the reference). Directed, unweighted, endpoint-excluded.
 
-    Spark design: Brandes is one BFS + dependency accumulation per
-    source — embarrassingly parallel over sources. The adjacency list
-    is broadcast once; sources are distributed as a DataFrame and each
-    partition runs vectorized-ish per-source Brandes in Python,
-    emitting (node, partial_score) pairs that a final groupBy sums.
-    This is the documented Pandas-on-partition escape hatch: the inner
-    loop is inherently sequential per source, so built-in operators
-    can't express it.
+    Two physical strategies, chosen by edge count (``mode='auto'``):
 
-    Scale mode: exact all-sources is O(V·E) — fine at the reference's
-    17k nodes, quadratic at 100 TB. `sample_sources` switches to the
-    standard sampled approximation (scores scaled by V/k), which is the
-    documented scale path.
+    - **broadcast** (≤ ``max_broadcast_edges`` distinct edges): Brandes
+      is one BFS + dependency accumulation per source — embarrassingly
+      parallel over sources. The adjacency list is streamed to the
+      driver partition-by-partition (``toLocalIterator``, never a
+      single giant ``collect`` buffer) and broadcast once; sources are
+      a DataFrame and each partition runs per-source Brandes in Python,
+      emitting (node, partial) pairs a final groupBy sums.
+    - **distributed** (larger graphs): no driver materialization at
+      all. A multi-source frontier BFS (keyed by (source, node),
+      accumulating path counts σ as a map-side sum over predecessor
+      frontiers) runs forward; then dependency accumulation runs the
+      level structure backwards, each step a join of level d with level
+      d+1 through the edge table — O(diameter) rounds of pure
+      DataFrame joins. Defaults to the standard sampled approximation
+      (``sample_sources`` or 256 sources, scores scaled by V/k):
+      exact all-sources is O(V·E) work regardless of engine, and
+      sampling is how betweenness is run at scale.
     """
-    sc = edges.sparkSession.sparkContext
-    # Directed, as in the reference (nx.betweenness_centrality on the
-    # DiGraph, analyze.py:166).
-    adj_rows = edges.select("src", "dst").distinct().collect()
+    e = edges.select("src", "dst").distinct().cache()
+    n_edges = e.count()
+    use_broadcast = mode == "broadcast" or (
+        mode == "auto" and n_edges <= max_broadcast_edges
+    )
+    try:
+        if use_broadcast:
+            return _betweenness_broadcast(e, sample_sources, seed)
+        if sample_sources is None:
+            sample_sources = 256
+        nodes = (
+            e.select(F.col("src").alias("source"))
+            .union(e.select(F.col("dst")))
+            .distinct()
+        )
+        n_nodes = nodes.count()
+        scale = 1.0
+        sources = nodes
+        if sample_sources < n_nodes:
+            sources = nodes.sample(fraction=sample_sources / n_nodes, seed=seed)
+            scale = n_nodes / max(sample_sources, 1)
+        return _betweenness_distributed(e, sources, scale)
+    finally:
+        e.unpersist()
+
+
+def _betweenness_broadcast(
+    e: DataFrame, sample_sources: int | None, seed: int
+) -> DataFrame:
+    """Broadcast-adjacency Brandes: partition-parallel over sources."""
+    sc = e.sparkSession.sparkContext
     adj: dict[str, list[str]] = {}
     node_set: set[str] = set()
-    for r in adj_rows:
+    # Streamed, not collect(): bounded driver memory per partition.
+    for r in e.toLocalIterator(prefetchPartitions=True):
         adj.setdefault(r.src, []).append(r.dst)
         node_set.add(r.src)
         node_set.add(r.dst)
     all_nodes = sorted(node_set)
     b_adj = sc.broadcast(adj)
 
-    nodes_df = edges.sparkSession.createDataFrame(
-        [(n,) for n in all_nodes], ["source"]
-    )
+    nodes_df = e.sparkSession.createDataFrame([(n,) for n in all_nodes], ["source"])
     scale = 1.0
     if sample_sources is not None and sample_sources < len(all_nodes):
         frac = sample_sources / len(all_nodes)
@@ -554,6 +588,112 @@ def betweenness_centrality(
         scores.groupBy("node")
         .agg((F.sum("partial") * F.lit(scale)).alias("betweenness"))
     )
+
+
+def _betweenness_distributed(
+    e: DataFrame, sources: DataFrame, scale: float, max_depth: int = 64
+) -> DataFrame:
+    """Multi-source Brandes as DataFrame joins — zero driver-side graph.
+
+    Forward: BFS levels keyed by (source, node); σ(w) at depth d+1 is
+    the sum of σ over depth-d in-neighbors (every depth-d neighbor of a
+    depth-(d+1) node is a shortest-path predecessor). Backward: δ(v) =
+    Σ_w σ(v)/σ(w)·(1+δ(w)) over successors w one level deeper, one join
+    per level. Each level is materialized once and spilled to parquet
+    periodically (stats reset — see _LoopState); levels stay live for
+    the backward pass, so cleanup is explicit at the end.
+    """
+    spark = e.sparkSession
+    levels: list[DataFrame] = []
+    spilled: list[DataFrame] = []
+
+    def keep(df: DataFrame, spill: bool) -> DataFrame:
+        out = _checkpoint(df) if spill else df.localCheckpoint(eager=True)
+        if spill:
+            spilled.append(out)
+        return out
+
+    frontier = keep(
+        sources.select(
+            "source",
+            F.col("source").alias("node"),
+            F.lit(1.0).alias("sigma"),
+        ),
+        spill=True,
+    )
+    levels.append(frontier)
+    depth = 0
+    while depth < max_depth:
+        visited = levels[0] if len(levels) == 1 else reduce_union(levels)
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .groupBy("source", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("source", "node"), ["source", "node"], "left_anti")
+        )
+        nxt = keep(nxt, spill=(depth % 8 == 7))
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+        depth += 1
+
+    # Backward accumulation; level index == depth.
+    score_frames: list[DataFrame] = []
+    deltas = levels[-1].withColumn("delta", F.lit(0.0))
+    if len(levels) > 1:
+        score_frames.append(deltas.select("node", "delta"))
+    for d in range(len(levels) - 2, -1, -1):
+        cur = levels[d]
+        succ = deltas.select(
+            "source",
+            F.col("node").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            cur.join(e, cur.node == e.src)
+            .join(succ, (cur.source == succ.source) & (e.dst == succ.w))
+            .groupBy(cur.source, cur.node)
+            .agg(
+                F.sum(
+                    (cur.sigma / F.col("sigma_w")) * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("delta")
+            )
+        )
+        deltas = (
+            cur.join(contrib, ["source", "node"], "left_outer")
+            .select(
+                "source",
+                "node",
+                "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if d >= 1:  # depth-0 rows are the sources themselves (excluded)
+            score_frames.append(deltas.select("node", "delta"))
+
+    if not score_frames:
+        out = spark.createDataFrame([], "node string, betweenness double")
+    else:
+        out = (
+            reduce_union(score_frames)
+            .groupBy("node")
+            .agg((F.sum("delta") * F.lit(scale)).alias("betweenness"))
+        )
+    # Defensively materialize before releasing the parquet levels the
+    # plan reads from.
+    out = out.localCheckpoint(eager=True)
+    for s in spilled:
+        _release(s)
+    return out
+
+
+def reduce_union(dfs: list[DataFrame]) -> DataFrame:
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), dfs)
 
 
 def pagerank(

@@ -107,3 +107,43 @@ def test_pagerank_mass_conservation(spark, chain_graph):
     assert abs(total - n) < 1e-6  # ranks sum to n with dangling handling
     ranks = dict(rows(pr, "node", "rank"))
     assert ranks["b"] > ranks["a"]  # b has in-links, a has none
+
+
+def test_betweenness_broadcast_hand_values(spark):
+    from panditya_spark.operators.graph import betweenness_centrality
+
+    # Directed path a->b->c->d: interior nodes b, c each lie on 2
+    # shortest paths ((a,c),(a,d) and (a,d),(b,d)).
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = dict(rows(betweenness_centrality(e, mode="broadcast"), "node", "betweenness"))
+    assert got == {"b": 2.0, "c": 2.0, "d": 0.0}
+
+
+def test_betweenness_distributed_matches_broadcast(spark):
+    """The distributed multi-source-BFS path must agree exactly with
+    the broadcast Brandes path when run over all sources."""
+    from panditya_spark.operators.graph import betweenness_centrality
+
+    e = spark.createDataFrame(
+        [
+            # diamond a->{b,c}->d->e plus a side chain x->y->d and a
+            # disconnected pair p->q
+            ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+            ("x", "y"), ("y", "d"), ("p", "q"),
+        ],
+        ["src", "dst"],
+    )
+    bc = dict(rows(betweenness_centrality(e, mode="broadcast"), "node", "betweenness"))
+    # sample_sources >= |V| means the sample is the full node set.
+    dist = dict(
+        rows(
+            betweenness_centrality(e, mode="distributed", sample_sources=10**6),
+            "node",
+            "betweenness",
+        )
+    )
+    assert set(bc) == set(dist)
+    for k in bc:
+        assert abs(bc[k] - dist[k]) < 1e-9, (k, bc[k], dist[k])
