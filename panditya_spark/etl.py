@@ -66,10 +66,44 @@ COLLECTION_SUBTYPE_LABELS: dict[str, tuple | str] = {
 
 
 def _with_row_idx(df: DataFrame) -> DataFrame:
-    """File-order row index. Single partition → monotonic id == file
-    order. The reference semantics depend on row order (dict upserts);
-    a cluster-scale input would ship an explicit sequence column."""
-    return df.coalesce(1).withColumn("row_idx", F.monotonically_increasing_id())
+    """File-order row index WITHOUT collapsing to one partition — the
+    distributed zipWithIndex scheme: per-partition row offsets come from
+    ``monotonically_increasing_id`` (partition id in the upper bits,
+    in-partition offset in the lower 33), per-partition row counts are a
+    tiny aggregate (one row per partition) cumulative-summed on the
+    driver and broadcast back. The reference semantics depend on row
+    order (dict upserts), and splits of a single file are ordered by
+    byte offset, so partition-id order == file order for the reference's
+    single-CSV inputs at any partitioning. Multi-file directories follow
+    Spark's deterministic split-packing order; a cluster-scale ingest
+    would ship an explicit sequence column instead.
+
+    The tagged scan is cached so the count pass and the output pass see
+    the identical partition layout (monotonic ids are only stable for a
+    fixed layout)."""
+    parts = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .cache()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    return (
+        parts.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            "row_idx",
+            F.col("_off") + F.col("_mono") - F.shiftleft(F.col("_pid").cast("long"), 33),
+        )
+        .drop("_pid", "_mono", "_off")
+    )
 
 
 def _mentions(rows: DataFrame, ids_col: str, names_col: str) -> DataFrame:

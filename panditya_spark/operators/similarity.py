@@ -281,17 +281,67 @@ def ivf_topk(
 
 
 def cosine_near_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    mode: str = "auto",
+    exact_max_rows: int = 1000,
+    dim: int | None = None,
+    n_planes: int = 4,
+    n_tables: int = 12,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, all-pairs). The
-    scale path replaces the cross join with lsh_bucketed candidates —
-    same re-rank tail."""
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    """Embedding-cosine near-duplicate pairs.
+
+    ``mode='auto'`` routes by size: at or below ``exact_max_rows`` the
+    exact all-pairs path runs (O(n²) but trivially cheap, and the
+    deterministic oracle twin for the correctness gate); above it, the
+    LSH-candidate path — sign-sketch buckets, (table, bucket) equi-join
+    on the deduped id pairs, exact cosine re-rank of survivors only.
+    The equi-join shuffles by bucket, so the pair count scales with
+    bucket occupancy rather than n² — the only viable shape at 100 TB.
+
+    The LSH path is approximate (standard for near-dup mining): recall
+    depends on how far `threshold` sits from 1.0. Near-duplicate
+    regimes (≥0.9, the real-world use) collide with near-certainty at
+    the default 4 planes × 12 tables; looser thresholds need coarser
+    tables (fewer planes) or more of them.
+    """
+    use_exact = mode == "exact" or (mode == "auto" and df.count() <= exact_max_rows)
+    if use_exact:
+        a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+        b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+        sim = F.round(cosine(F.col("v1"), F.col("v2")), 4)
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+        )
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    tables = [
+        random_hyperplanes(dim, n_planes, seed=11 + 17 * t) for t in range(n_tables)
+    ]
+    sketch = sign_sketch_udf(tables)
+    buckets = df.select(
+        F.col(id_col).alias("bid"),
+        F.posexplode(sketch(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    cand = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), ["tbl", "bucket"])
+        .filter(F.col("l.bid") < F.col("r.bid"))
+        .select(F.col("l.bid").alias("id1"), F.col("r.bid").alias("id2"))
+        .distinct()
+    )
+    v1 = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     sim = F.round(cosine(F.col("v1"), F.col("v2")), 4)
     return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
+        cand.join(v1, "id1")
+        .join(v2, "id2")
         .select("id1", "id2", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

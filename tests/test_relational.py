@@ -141,3 +141,17 @@ def test_asof_join_whole_row_and_null_time(spark):
     }
     assert out[1] == (None, "new")   # rv NOT backfilled from the t(10) row
     assert out[2] == (None, None)    # ghost row excluded entirely
+
+
+def test_with_row_idx_multi_partition(spark):
+    """The partition-offset row index must equal global read order on a
+    multi-partition input (spark.range partitions are contiguous and
+    ordered, so id IS the file order here)."""
+    from panditya_spark.etl import _with_row_idx
+
+    df = spark.range(0, 1000, 1, 7).withColumnRenamed("id", "payload")
+    assert df.rdd.getNumPartitions() == 7
+    out = _with_row_idx(df).collect()
+    assert len(out) == 1000
+    for r in out:
+        assert r.row_idx == r.payload, (r.row_idx, r.payload)
