@@ -17,13 +17,37 @@ from pyspark.sql import functions as F
 # non-space symbol — the standard pre-tokenization split used before BPE.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
-# Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+# Tiny per-language stopword anchors (kept for stopword_ratio consumers).
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "a"],
     "de": ["der", "die", "und", "das", "ist"],
     "fr": ["le", "la", "les", "et", "est"],
     "es": ["el", "la", "los", "que", "es"],
 }
+
+# Character-trigram profiles (classic Cavnar–Trenkle-style top-trigram
+# anchors, ASCII-only so the regex scan is byte-for-byte identical in
+# Spark's Java regex and DuckDB's RE2: same-length alternatives make the
+# non-overlapping scan engine-independent). Spaces encoded as \s in the
+# compiled pattern.
+LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", "ed ", "ing", "ng ", " an", "and", "nd ",
+           " of", "of ", " to", "to ", "er ", " in", " a ", "at "],
+    "de": ["der", "ein", "ich", "sch", "die", "und", "ung", "cht",
+           " ge", "gen", "ber", " zu"],
+    "fr": ["ent", " le", "le ", "les", " et", "et ", "que", " qu",
+           "ait", "ons", "eur", "oir"],
+    "es": ["os ", "los", " el", "el ", "que", " qu", "ión", "ado",
+           " es", "sta", "nte", "ara"],
+}
+
+# Han-script ratio stands in for a zh trigram profile: CJK text is
+# identified by codepoint range, not latin trigrams.
+CJK_CHAR_CLASS = "[" + chr(0x4E00) + "-" + chr(0x9FFF) + "]"
+
+
+def trigram_pattern(grams: list[str]) -> str:
+    return "|".join(g.replace(" ", r"\s") for g in grams)
 
 
 def words(text: Column) -> Column:
@@ -71,21 +95,35 @@ def quality_features(text: Column) -> list[Column]:
     ]
 
 
-def lang_id(text: Column, threshold: float = 0.05) -> Column:
-    """Heuristic language ID: the language whose marker-stopword ratio is
-    highest, if above threshold; else 'und'. Deterministic tie-break by
-    language code (struct array_max compares fields in order)."""
+def trigram_score(text: Column, grams: list[str]) -> Column:
+    """Fraction of trigram positions hit by a language's profile: count
+    of non-overlapping profile-trigram matches over (char_len - 2).
+    Builtin-only — one regexp scan per language, zero shuffles."""
+    hits = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(trigram_pattern(grams)), F.lit(0))
+    )
+    return hits.cast("double") / F.greatest(F.length(text) - 2, F.lit(1))
+
+
+def cjk_score(text: Column) -> Column:
+    hits = F.size(F.regexp_extract_all(text, F.lit(CJK_CHAR_CLASS), F.lit(0)))
+    return hits.cast("double") / F.greatest(F.length(text) - 2, F.lit(1))
+
+
+def lang_id(text: Column, threshold: float = 0.02) -> Column:
+    """Character-n-gram language ID: each language scores the density of
+    its profile trigrams (Han-codepoint density for zh); the argmax wins
+    if above threshold, else 'und'. Deterministic tie-break: array_max
+    over (score, lang) structs ties to the lexicographically largest
+    code — the oracle replays this with ORDER BY score DESC, lang DESC."""
     scored = F.array(
         *[
             F.struct(
-                stopword_ratio(text, m).alias("score"),
-                # negative-lexicographic tiebreak not expressible cheaply;
-                # array_max picks highest (score, lang) — ties go to the
-                # lexicographically largest code, deterministically.
-                F.lit(lang).alias("lang"),
+                trigram_score(text, grams).alias("score"), F.lit(lang).alias("lang")
             )
-            for lang, m in LANG_MARKERS.items()
-        ]
+            for lang, grams in LANG_TRIGRAM_PROFILES.items()
+        ],
+        F.struct(cjk_score(text).alias("score"), F.lit("zh").alias("lang")),
     )
     best = F.array_max(scored)
     return F.when(best["score"] >= threshold, best["lang"]).otherwise(F.lit("und"))

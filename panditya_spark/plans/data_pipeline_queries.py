@@ -148,39 +148,39 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- text: lang-id
-# The argmax-over-marker-ratios heuristic is fully deterministic:
-# array_max over (score, lang) structs ties to the lexicographically
-# largest code, which the oracle's CASE replays in descending code
-# order (fr > es > en > de).
-@register(
-    "text_langid",
-    oracle=r"""
-    WITH f AS (
-      SELECT doc_id, lang,
-             len(list_filter(string_split_regex(trim(text), '\s+'),
-                             x -> x <> '')) AS n,
-             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b')) AS h_en,
-             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS h_de,
-             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS h_fr,
-             len(regexp_extract_all(lower(text), '\b(el|la|los|que|es)\b')) AS h_es
-      FROM documents
-    ), s AS (
-      SELECT doc_id, lang,
-             CASE WHEN n > 0 THEN CAST(h_en AS DOUBLE)/n ELSE 0.0 END AS s_en,
-             CASE WHEN n > 0 THEN CAST(h_de AS DOUBLE)/n ELSE 0.0 END AS s_de,
-             CASE WHEN n > 0 THEN CAST(h_fr AS DOUBLE)/n ELSE 0.0 END AS s_fr,
-             CASE WHEN n > 0 THEN CAST(h_es AS DOUBLE)/n ELSE 0.0 END AS s_es
-      FROM f
+# Character-trigram profile scoring (operators/text.py). The oracle is
+# GENERATED from the same LANG_TRIGRAM_PROFILES constants, so the two
+# engines scan the identical patterns; all alternatives are length-3,
+# making the non-overlapping regexp scan engine-independent. Tie-break:
+# ORDER BY score DESC, lang DESC == array_max over (score, lang).
+def _langid_oracle() -> str:
+    parts = [
+        "SELECT doc_id, lang, '{l}' AS cand, "
+        "CAST(len(regexp_extract_all(lower(text), '{p}')) AS DOUBLE)"
+        " / greatest(length(text) - 2, 1) AS score FROM documents".format(
+            l=lang, p=T.trigram_pattern(grams)
+        )
+        for lang, grams in T.LANG_TRIGRAM_PROFILES.items()
+    ]
+    parts.append(
+        r"SELECT doc_id, lang, 'zh' AS cand, "
+        r"CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE)"
+        r" / greatest(length(text) - 2, 1) AS score FROM documents"
+    )
+    return f"""
+    WITH ls AS ({' UNION ALL '.join(parts)}),
+    r AS (
+      SELECT doc_id, lang, cand, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+      FROM ls
     )
     SELECT doc_id, lang,
-           CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 0.05 THEN 'und'
-                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                ELSE 'de' END AS predicted_lang
-    FROM s
-    """,
-)
+           CASE WHEN score >= 0.02 THEN cand ELSE 'und' END AS predicted_lang
+    FROM r WHERE rn = 1
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(

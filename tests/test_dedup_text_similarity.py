@@ -90,12 +90,15 @@ def test_text_functions(spark):
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [("the cat and the dog sat in the house",),
-         ("der Hund und die Katze ist hier",),
+         ("der Hund und die Katze gingen durch den schönen Wald",),
+         ("les enfants mangent leur dîner dans le jardin",),
+         ("los niños están jugando en el parque que está cerca",),
+         ("今天天气很好我们去公园散步",),
          ("zzz qqq xxx",)],
         ["t"],
     )
     out = [r[0] for r in df.select(lang_id(F.col("t")).alias("l")).collect()]
-    assert out[0] == "en" and out[1] == "de" and out[2] == "und"
+    assert out == ["en", "de", "fr", "es", "zh", "und"]
 
 
 def test_cosine_and_topk(spark):
