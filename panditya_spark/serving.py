@@ -164,6 +164,164 @@ def subgraph_response(
     }
 
 
+def _nested_links(links: DataFrame) -> dict:
+    """work_id → collection → (sorted url list | subtype → sorted url
+    list), single-subtype collections flattened to the bare list — the
+    ETEXT_LINKS value shape (transform.py:246-270). Aggregation in
+    Spark, dict fold at the collect boundary."""
+    grouped = (
+        links.groupBy("work_id", "collection", "subtype")
+        .agg(F.array_sort(F.collect_set("url")).alias("urls"))
+        .collect()
+    )
+    mapping: dict = {}
+    for r in grouped:
+        mapping.setdefault(r.work_id, {}).setdefault(r.collection, {})[r.subtype] = list(
+            r.urls
+        )
+    for colls in mapping.values():
+        for cname, subtypes in list(colls.items()):
+            if len(subtypes) == 1:
+                colls[cname] = next(iter(subtypes.values()))
+    return mapping
+
+
+def valid_collections(links: DataFrame) -> list[str]:
+    """VALID_COLLECTIONS (flask_app.py:24): the collections known to the
+    e-text summary — here, the distinct collections in the links table."""
+    return [r.collection for r in links.select("collection").distinct().collect()]
+
+
+def by_collection_response(
+    links: DataFrame, collection: str | None, include_other_collections: bool = False
+) -> dict:
+    """GET /api/seti/by_collection (flask_app.py:297-328 over
+    get_works_by_collection, flask_app.py:261-293): every work that has
+    at least one link in `collection`; other collections' contributions
+    are hidden unless include_other_collections. 'all' returns the full
+    mapping. The '...' placeholder work id is dropped."""
+    if not collection:
+        return {"error": "Missing required parameter: collection"}
+    if collection.lower() == "all":
+        # flask_app.py:274-275 returns ETEXT_LINKS verbatim — the '...'
+        # placeholder is only popped in the per-collection path.
+        return _nested_links(links)
+    valid = valid_collections(links)
+    if collection not in valid:
+        return {"error": f"Invalid collection: {collection}. Valid options: {sorted(valid)}"}
+    in_coll = links.filter(F.col("collection") == collection).select("work_id").distinct()
+    sub = links.join(in_coll, "work_id", "left_semi").filter(F.col("work_id") != "...")
+    if not include_other_collections:
+        sub = sub.filter(F.col("collection") == collection)
+    return _nested_links(sub)
+
+
+def unique_to_collection_response(links: DataFrame, collection: str | None) -> dict:
+    """GET /api/seti/by_collection/unique (flask_app.py:331-361): works
+    whose ONLY collection is `collection`, restricted to it."""
+    if not collection:
+        return {"error": "Missing required parameter: collection"}
+    valid = valid_collections(links)
+    if collection not in valid:
+        return {"error": f"Invalid collection: {collection}. Valid options: {sorted(valid)}"}
+    only = (
+        links.groupBy("work_id")
+        .agg(F.collect_set("collection").alias("colls"))
+        .filter((F.size("colls") == 1) & (F.col("colls")[0] == collection))
+        .select("work_id")
+    )
+    return _nested_links(links.join(only, "work_id", "left_semi"))
+
+
+def overlap_response(
+    links: DataFrame, collection1: str | None, collection2: str | None
+) -> dict:
+    """GET /api/seti/by_collection/overlap (flask_app.py:364-416):
+    three-way partition of works across two collections, each side
+    restricted to its own collection(s)."""
+    if not collection1 or not collection2:
+        return {"error": "Both collection1 and collection2 are required"}
+    valid = valid_collections(links)
+    if collection1 not in valid or collection2 not in valid:
+        return {
+            "error": f"Invalid collection(s): {collection1}, {collection2}. "
+            f"Valid options: {sorted(valid)}"
+        }
+    member = links.groupBy("work_id").agg(F.collect_set("collection").alias("colls"))
+    in1 = F.array_contains("colls", collection1)
+    in2 = F.array_contains("colls", collection2)
+    both = member.filter(in1 & in2).select("work_id")
+    only1 = member.filter(in1 & ~in2).select("work_id")
+    only2 = member.filter(in2 & ~in1).select("work_id")
+    pair = links.filter(F.col("collection").isin([collection1, collection2]))
+    return {
+        "overlap": _nested_links(pair.join(both, "work_id", "left_semi")),
+        f"only_in_{collection1}": _nested_links(
+            pair.filter(F.col("collection") == collection1).join(
+                only1, "work_id", "left_semi"
+            )
+        ),
+        f"only_in_{collection2}": _nested_links(
+            pair.filter(F.col("collection") == collection2).join(
+                only2, "work_id", "left_semi"
+            )
+        ),
+    }
+
+
+def by_work_response(links: DataFrame, entities: DataFrame, ids_param: str | None) -> dict:
+    """GET /api/seti/by_work (flask_app.py:419-454): comma-separated
+    numeric ids → nested link data for the valid WORK ids among them."""
+    import re
+
+    if not ids_param or not ids_param.strip():
+        return {"error": "List input must be non-empty."}
+    stripped = ids_param.strip()
+    if not re.fullmatch(r"[\d,]*", stripped):
+        return {
+            "error": "List input should not contain any characters besides numbers "
+            "and comma (no whitespace, quotation marks, etc.)"
+        }
+    ids = [i for i in stripped.split(",") if i]
+    if not ids:
+        return {"error": "No IDs provided"}
+    valid_ids = {
+        r.id
+        for r in entities.filter(
+            (F.col("type") == "work") & F.col("id").isin(ids)
+        ).select("id").collect()
+    }
+    if not valid_ids:
+        return {"error": "No valid work IDs provided"}
+    return _nested_links(links.filter(F.col("work_id").isin(list(valid_ids))))
+
+
+def visualize_collection_params(
+    links: DataFrame, entities: DataFrame, collection: str
+) -> dict:
+    """GET /seti/by_collection/<collection>/visualize
+    (flask_app.py:467-490): the initial_params handed to the D3 page —
+    the collection's works plus every author of those works."""
+    works_data = by_collection_response(links, collection)
+    if "error" in works_data and isinstance(works_data.get("error"), str):
+        return works_data
+    works = list(works_data.keys())
+    author_rows = (
+        entities.filter(F.col("id").isin(works))
+        .select(F.explode_outer("author_ids").alias("aid"))
+        .filter(F.col("aid").isNotNull())
+        .distinct()
+        .collect()
+    )
+    return {
+        "works": works,
+        "authors": [r.aid for r in author_rows],
+        "hops": 0,
+        "exclude_list": [],
+        "repulsion": 50,
+    }
+
+
 def entity_labels_response(entities: DataFrame, ids: list[str]) -> dict:
     """GET /api/entities/labels (flask_app.py:109-146) — returns labels
     only for VALID ids (the reference builds from unvalidated input and

@@ -206,3 +206,97 @@ def test_dropdown_options_collated(spark, etl):
     labels = [o["label"] for o in opts["all"][:500]]
     keys = [sort_key_py(label) for label in labels]
     assert keys == sorted(keys)  # collation order holds
+
+
+@pytest.fixture(scope="module")
+def seti(spark):
+    from panditya_spark.etl import etext_links_from_csv
+
+    links, _ = etext_links_from_csv(spark, SETI_CSV)
+    links = links.cache()
+    golden = json.load(open(ETEXT_GOLDEN_JSON))["work_id_to_link_mapping"]
+    return links, golden
+
+
+def test_seti_by_collection_response(spark, seti):
+    """flask_app.py:297-328 semantics replayed in pure Python over the
+    golden mapping vs the Spark response."""
+    from panditya_spark.serving import by_collection_response
+
+    links, golden = seti
+    for coll in ("GRETIL", "SARIT"):
+        expected = {
+            wid: {coll: data[coll]} for wid, data in golden.items() if coll in data
+        }
+        expected.pop("...", None)
+        assert by_collection_response(links, coll) == expected
+
+        expected_full = {wid: data for wid, data in golden.items() if coll in data}
+        expected_full.pop("...", None)
+        assert (
+            by_collection_response(links, coll, include_other_collections=True)
+            == expected_full
+        )
+    # 'all' returns the mapping verbatim (no '...' pop).
+    assert by_collection_response(links, "all") == golden
+    assert by_collection_response(links, None) == {
+        "error": "Missing required parameter: collection"
+    }
+    err = by_collection_response(links, "NOPE")
+    assert err["error"].startswith("Invalid collection: NOPE. Valid options: [")
+
+
+def test_seti_unique_and_overlap(spark, seti):
+    from panditya_spark.serving import overlap_response, unique_to_collection_response
+
+    links, golden = seti
+    coll = "GRETIL"
+    expected = {
+        wid: {coll: data[coll]}
+        for wid, data in golden.items()
+        if coll in data and len(data) == 1
+    }
+    assert unique_to_collection_response(links, coll) == expected
+
+    c1, c2 = "GRETIL", "SARIT"
+    exp = {"overlap": {}, f"only_in_{c1}": {}, f"only_in_{c2}": {}}
+    for wid, data in golden.items():
+        in1, in2 = c1 in data, c2 in data
+        if in1 and in2:
+            exp["overlap"][wid] = {c1: data[c1], c2: data[c2]}
+        elif in1:
+            exp[f"only_in_{c1}"][wid] = {c1: data[c1]}
+        elif in2:
+            exp[f"only_in_{c2}"][wid] = {c2: data[c2]}
+    assert overlap_response(links, c1, c2) == exp
+
+
+def test_seti_by_work_and_visualize(spark, seti, etl):
+    from panditya_spark.serving import by_work_response, visualize_collection_params
+
+    links, golden = seti
+    entities, _ = etl
+    some = sorted(w for w in golden if w.isdigit())[:2]
+    resp = by_work_response(links, entities, ",".join(some))
+    assert resp == {wid: golden[wid] for wid in some}
+    assert by_work_response(links, entities, None) == {
+        "error": "List input must be non-empty."
+    }
+    assert "besides numbers" in by_work_response(links, entities, "12,ab")["error"]
+    assert by_work_response(links, entities, "999999999") == {
+        "error": "No valid work IDs provided"
+    }
+
+    params = visualize_collection_params(links, entities, "SARIT")
+    works = {w for w, d in golden.items() if "SARIT" in d} - {"..."}
+    assert set(params["works"]) == works
+    assert params["hops"] == 0 and params["exclude_list"] == [] and params["repulsion"] == 50
+    # authors = union of author_ids over the collection's works
+    expected_authors = {
+        a
+        for r in entities.filter(F.col("id").isin(list(works)))
+        .select("author_ids")
+        .collect()
+        for a in (r.author_ids or [])
+    }
+    assert set(params["authors"]) == expected_authors
