@@ -401,6 +401,50 @@ def g8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(key_chain_edges(spark, sf_dir), iters=10)
 
 
+# ---------------------------------------------------------------- G8 exact (rows-only)
+@register("g8_eigenvector")
+def g8_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact eigenvector centrality with the reference's fail-to-null
+    behavior (analyze.py:169-172): nx-style (I + Aᵀ) power iteration,
+    L2-normalized, Σ|Δx| < n·tol convergence; non-convergence returns
+    an EMPTY frame (the reference stores None — and on its own
+    bipartite-DAG graph nx does fail, pinned by pytest). Registered on
+    the UNDIRECTED key-chain projection, where the iteration converges
+    (symmetric operator), with a documented looser tol. Rows-only:
+    iterative float fixpoint."""
+    from panditya_spark.operators.graph import eigenvector_centrality, undirected
+
+    und = undirected(key_chain_edges(spark, sf_dir)).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    out = eigenvector_centrality(und, max_iter=50, tol=1e-4)
+    if out is None:
+        return spark.createDataFrame([], "node string, centrality double")
+    return out
+
+
+# ---------------------------------------------------------------- G9 modularity (rows-only)
+@register("g9_lpa_modularity")
+def g9_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the LPA partition — the quality metric that
+    quantifies the LPA-for-Louvain substitution (SURVEY §2.8 G9:
+    python-louvain maximizes exactly this objective) — next to the
+    connected-components partition as the structural upper-baseline on
+    the key-chain forest. Two rows (partition, modularity)."""
+    from panditya_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+        modularity,
+    )
+
+    edges = key_chain_edges(spark, sf_dir)
+    q_lpa = modularity(edges, label_propagation(edges, max_iter=4))
+    q_cc = modularity(edges, connected_components(edges))
+    return spark.createDataFrame(
+        [("lpa", q_lpa), ("components", q_cc)], "partition string, modularity double"
+    )
+
+
 # ---------------------------------------------------------------- G9 (rows-only)
 @register("g9_label_propagation")
 def g9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -147,3 +147,58 @@ def test_betweenness_distributed_matches_broadcast(spark):
     assert set(bc) == set(dist)
     for k in bc:
         assert abs(bc[k] - dist[k]) < 1e-9, (k, bc[k], dist[k])
+
+
+def test_eigenvector_matches_numpy(spark):
+    """nx-semantics power iteration vs numpy on a small digraph."""
+    import numpy as np
+
+    from panditya_spark.operators.graph import eigenvector_centrality
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    nodes = sorted({x for e in edges for x in e})
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = dict(rows(eigenvector_centrality(e, max_iter=200, tol=1e-10), "node", "centrality"))
+
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    x = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(200):
+        xl = x
+        x = x + A.T @ x
+        x = x / np.linalg.norm(x)
+        if np.abs(x - xl).sum() < len(nodes) * 1e-10:
+            break
+    for n in nodes:
+        assert abs(got[n] - x[idx[n]]) < 1e-6, (n, got[n], x[idx[n]])
+
+
+def test_eigenvector_fail_to_null(spark):
+    """Non-convergence within max_iter returns None, like the
+    reference's except-branch."""
+    from panditya_spark.operators.graph import eigenvector_centrality
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    assert eigenvector_centrality(e, max_iter=1, tol=1e-15) is None
+
+
+def test_modularity_hand_values(spark):
+    """Two triangles joined by one edge: the 2-community partition has
+    Q = 2*(3/7 - (7/14)^2) = 5/14; the all-one-community partition has
+    Q = 0 by construction."""
+    from panditya_spark.operators.graph import modularity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x"), ("a", "x")],
+        ["src", "dst"],
+    )
+    two = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("x", 2), ("y", 2), ("z", 2)],
+        ["node", "community"],
+    )
+    one = two.select("node", (F.col("community") * 0).alias("community"))
+    assert abs(modularity(e, two) - 5.0 / 14.0) < 1e-9
+    assert abs(modularity(e, one)) < 1e-9
