@@ -33,7 +33,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
-    "stream_tumbling_hourly",
+    "stream_tumbling_hourly",   # batch twin of the windowed agg
+    "stream_tumbling_microbatch",  # the real availableNow micro-batch run
     "text_quality",
     "t3_overlap_partition",
     "mm_image_features",

@@ -45,6 +45,17 @@ _CKPT_ROOT: str | None = None
 _CKPT_SEQ = 0
 
 
+def _cleanup_ckpt_root() -> None:
+    """Delete the spill root at process exit — final loop generations
+    (still referenced by returned DataFrames) live until then."""
+    global _CKPT_ROOT
+    if _CKPT_ROOT is not None:
+        import shutil
+
+        shutil.rmtree(_CKPT_ROOT, ignore_errors=True)
+        _CKPT_ROOT = None
+
+
 def _checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut lineage AND reset plan statistics via a parquet roundtrip.
 
@@ -63,9 +74,11 @@ def _checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     checkpoints anyway (swap the tmp dir for an HDFS/S3 path)."""
     global _CKPT_ROOT, _CKPT_SEQ
     if _CKPT_ROOT is None:
+        import atexit
         import tempfile
 
         _CKPT_ROOT = tempfile.mkdtemp(prefix="panditya-iter-ckpt-")
+        atexit.register(_cleanup_ckpt_root)
     import os
 
     path = os.path.join(_CKPT_ROOT, f"c{_CKPT_SEQ}")
@@ -156,6 +169,19 @@ class _LoopState:
             out = [d if id(d) in self._seen else self.minor(d) for d in dfs]
         return out
 
+    def finish(self, *keep: DataFrame) -> None:
+        """Release every checkpoint this loop produced except the ones
+        the returned result plans still read from (`keep`). Call at
+        loop exit; the kept generation's files are deleted by the
+        atexit _CKPT_ROOT cleanup. Bounds per-invocation leakage to the
+        final generation only."""
+        kept = {id(d) for d in keep}
+        for c in self._old_window + self._old_spilled + self._window + self._spilled:
+            if id(c) not in kept:
+                _release(c)
+        self._old_window, self._old_spilled = [], []
+        self._window, self._spilled = [], []
+
 
 def khop_bfs(
     edges: DataFrame,
@@ -217,6 +243,8 @@ def khop_bfs(
         edges.join(vnodes.withColumnRenamed("node", "src"), "src", "left_semi")
         .join(vnodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
     )
+    adj.unpersist()
+    state.finish(visited)
     return visited, sub_edges
 
 
@@ -331,6 +359,7 @@ def connected_components(
         if labels.filter("changed").isEmpty():
             break
     und.unpersist()
+    state.finish(labels)
     return labels.select("node", "component")
 
 
@@ -445,6 +474,7 @@ def _list_chain_depth(e: DataFrame, max_iter: int) -> DataFrame:
         )
         if t.filter(F.col("ptr").isNotNull()).isEmpty():
             break
+    state.finish(t)
     return t.select("node", "chain_depth")
 
 
@@ -496,6 +526,8 @@ def label_propagation(
                 "node", F.coalesce("community", F.col("node")).alias("community")
             )
         )
+    und.unpersist()
+    state.finish(labels)
     return labels
 
 
@@ -784,8 +816,10 @@ def eigenvector_centrality(
     e.unpersist()
     nodes.unpersist()
     if not converged:
+        state.finish()
         return None
     out = x.select("node", F.col("x").alias("centrality")).localCheckpoint(eager=True)
+    state.finish()
     return out
 
 
@@ -898,4 +932,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    adj.unpersist()
+    nodes.unpersist()
+    state.finish(ranks)
     return ranks

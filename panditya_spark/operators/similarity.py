@@ -259,7 +259,11 @@ def ivf_topk(
                 "cvec2", "centvec"
             )
         )
-    lists = nearest(cand, "cid2", "cvec2", cent, 1)  # (cid2, cvec2, list_id)
+    # Materialize the inverted lists, then release the candidate cache:
+    # the returned plan reads the materialized lists, so nothing pins
+    # the cache across invocations.
+    lists = nearest(cand, "cid2", "cvec2", cent, 1).localCheckpoint(eager=True)
+    cand.unpersist()
 
     q = queries.select(F.col(q_id).alias("q2"), _dbl(F.col(q_vec)).alias("qvec2"))
     probes = nearest(q, "q2", "qvec2", cent, nprobe)  # (q2, qvec2, list_id)

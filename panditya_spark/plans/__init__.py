@@ -56,7 +56,11 @@ _WINDOW = [
     # Serving / label core.
     "o1_collation_sort",
     "f1_f2_entity_labels",
-    "f2_entity_labels",
+    # The real micro-batch streaming run (availableNow → memory sink),
+    # oracle-verified against the same SQL as its batch twin. Replaces
+    # f2_entity_labels in the window (a subset of f1_f2_entity_labels,
+    # green in round 1).
+    "stream_tumbling_microbatch",
     "a11_edge_pattern_count",
     "j8_expand_to_authors",
     "j9_summary_counts",

@@ -56,6 +56,42 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_hourly(_t(spark, sf_dir, "events"))
 
 
+_MICROBATCH_SEQ = [0]
+
+
+@register(
+    "stream_tumbling_microbatch",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path, not the batch twin: a
+    readStream file source driven to completion with availableNow
+    micro-batches into a memory sink (complete mode). The result must
+    equal the batch aggregation exactly, so the same DuckDB oracle
+    verifies the streaming machinery end-to-end — trigger scheduling,
+    watermarking, and state-store aggregation included."""
+    from panditya_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_counts_stream,
+    )
+
+    _MICROBATCH_SEQ[0] += 1
+    return run_stream_to_memory(
+        tumbling_counts_stream(
+            read_events_stream(spark, sf_dir), watermark="0 seconds"
+        ),
+        f"stream_tumbling_microbatch_{_MICROBATCH_SEQ[0]}",
+        mode="complete",
+    )
+
+
 @register(
     "stream_sliding_daily",
     oracle="""
