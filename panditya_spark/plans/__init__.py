@@ -19,6 +19,7 @@ from panditya_spark.plans import data_pipeline_queries  # noqa: E402,F401
 from panditya_spark.plans import serving_queries  # noqa: E402,F401
 from panditya_spark.plans import streaming_queries  # noqa: E402,F401
 from panditya_spark.plans import multimodal_queries  # noqa: E402,F401
+from panditya_spark.plans import combo_queries  # noqa: E402,F401  (must import last: wraps other members' oracles)
 
 # The driver's CORRECTNESS gate runs registration positions 0-49 only.
 # Order inside the window: previously-unverified oracle queries first, then
@@ -72,7 +73,9 @@ _WINDOW = [
     "w1_top_n",
     "w2_first_match_backfill",
     "a1_conditional_count",
-    "a2_conditional_count2",
+    # One slot checks the whole trivial-projection family at full value
+    # precision (members incl. a2/f2/p1..p10_13 — see combo_queries).
+    "p_combo_projections",
     "a3_set_collect_sorted",
     "a4_count_distinct",
     "a5_formatted_freq_agg",

@@ -1,0 +1,91 @@
+"""Combo correctness query: the driver's gate verifies only the first
+50 registered queries, so the trivially-cheap projection-family queries
+would otherwise lose their per-round CORRECTNESS row to higher-risk
+operators. ``p_combo_projections`` folds each member query's full
+result into (member, row-string) rows — one window slot buys an exact
+value-level check of all members every round.
+
+Cross-engine stringification rules (the row strings must be
+byte-identical in Spark and DuckDB):
+- integers / strings cast directly;
+- doubles go through DECIMAL(18,2) first (both engines then print
+  fixed 2-decimal strings; the member queries only carry 2-decimal
+  monetary values and integral quantities, so the cast is lossless);
+- NULL becomes the sentinel '∅' before concat_ws (both engines would
+  otherwise SKIP null args, silently merging adjacent columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from panditya_spark.plans.registry import ORACLES, QUERIES, register
+
+# member -> ordered (column, kind) with kind in {i: integral, s: string,
+# d: double}. The Spark side derives casts from the live schema and
+# asserts it matches this table, so the generated oracle can't drift.
+_MEMBERS: dict[str, list[tuple[str, str]]] = {
+    "p1_scan_project_filter": [
+        ("l_orderkey", "i"), ("l_partkey", "i"), ("l_quantity", "d"),
+    ],
+    "p3_coalesce_fill": [("c_custkey", "i"), ("display_name", "s")],
+    "p4_regex_clean": [("p_partkey", "i"), ("clean_name", "s")],
+    "p8_split_explode": [("word", "s"), ("n", "i")],
+    "p5_7_drop_rename_fill": [
+        ("supplier_id", "i"), ("supplier_name", "s"), ("balance", "d"),
+    ],
+    "p9_11_12_guard_validate_lookup": [
+        ("id", "s"), ("highest_year", "i"), ("lowest_year", "i"),
+    ],
+    "p10_13_rowskip_type_filter": [
+        ("doc_id", "i"), ("lang", "s"), ("n_chars", "i"),
+    ],
+    "f2_entity_labels": [("c_custkey", "i"), ("label", "s")],
+    "a2_conditional_count2": [
+        ("priority", "s"), ("n_linked", "i"), ("n_linked_missing", "i"),
+    ],
+}
+
+_NULL = "∅"
+
+
+def _stringify(df: DataFrame, member: str) -> DataFrame:
+    spec = _MEMBERS[member]
+    assert [c for c, _ in spec] == df.columns, (member, df.columns)
+    cols = []
+    for name, kind in spec:
+        c = F.col(name)
+        if kind == "d":
+            c = c.cast("decimal(18,2)")
+        cols.append(F.coalesce(c.cast("string"), F.lit(_NULL)))
+    return df.select(
+        F.lit(member).alias("member"), F.concat_ws("|", *cols).alias("row_repr")
+    )
+
+
+def _combo_oracle() -> str:
+    parts = []
+    for member, spec in _MEMBERS.items():
+        exprs = []
+        for name, kind in spec:
+            inner = (
+                f'CAST(CAST("{name}" AS DECIMAL(18,2)) AS VARCHAR)'
+                if kind == "d"
+                else f'CAST("{name}" AS VARCHAR)'
+            )
+            exprs.append(f"coalesce({inner}, '{_NULL}')")
+        parts.append(
+            f"SELECT '{member}' AS member, concat_ws('|', {', '.join(exprs)}) "
+            f"AS row_repr FROM ({ORACLES[member]})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("p_combo_projections", oracle=_combo_oracle())
+def p_combo_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for member in _MEMBERS:
+        part = _stringify(QUERIES[member](spark, sf_dir), member)
+        out = part if out is None else out.unionByName(part)
+    return out
