@@ -135,10 +135,17 @@ def _minhash_cols(num_hashes: int, seed: int = 42) -> list[Column]:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc, mh_0..mh_{n-1}) minhash signature table."""
-    sh = _shingle_table(df, text_col, id_col, k)
+    """(doc, mh_0..mh_{n-1}) minhash signature table. Pass a
+    precomputed (cached) `shingles` table to share the shingling scan
+    with the verify stage."""
+    sh = shingles if shingles is not None else _shingle_table(df, text_col, id_col, k)
     return sh.groupBy("doc").agg(*_minhash_cols(num_hashes))
 
 
@@ -149,13 +156,14 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band bucket.
     rows/band = num_hashes/bands; pair survives if all rows in some band
     match. Returns distinct (doc1, doc2)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, shingles=shingles)
     band_entries = sig.select(
         "doc",
         F.explode(
@@ -194,8 +202,13 @@ def minhash_dedup_pairs(
     """Scale-path near-dedup: LSH candidates verified with exact Jaccard.
     Output ⊆ ngram_jaccard_pairs; recall depends on the band curve
     (1-(1-s^r)^b)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, bands)
+    # One cached shingle table feeds BOTH the signature/banding stage
+    # and the exact-Jaccard verify stage — shingling is the dominant
+    # text scan and would otherwise run twice.
     sh = _shingle_table(df, text_col, id_col, k).cache()
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, k, num_hashes, bands, shingles=sh
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("doc", "doc1")
     b = sh.withColumnRenamed("doc", "doc2")
