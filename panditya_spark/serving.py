@@ -60,16 +60,15 @@ def subgraph_response(
     nodes, sub_edges = khop_bfs(edges, seeds, hops, exclude=exclude_df)
 
     # Unknown seed ids → the reference raises KeyError → 400.
-    known = nodes.join(
-        entities.select(F.col("id").alias("node")), "node", "left_semi"
-    ).count()
-    if known < nodes.count():
-        missing = (
-            nodes.join(entities.select(F.col("id").alias("node")), "node", "left_anti")
-            .limit(1)
-            .collect()[0][0]
-        )
-        return {"error": f"Invalid ID: '{missing}'"}
+    # One left-anti probe: non-empty ⇒ some subgraph node lacks an
+    # entity row; the first one names the error.
+    unknown = (
+        nodes.join(entities.select(F.col("id").alias("node")), "node", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if unknown:
+        return {"error": f"Invalid ID: '{unknown[0][0]}'"}
 
     dates = date_info(
         F.col("type"),
