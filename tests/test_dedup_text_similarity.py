@@ -115,16 +115,17 @@ def test_cosine_and_topk(spark):
 
 
 def test_lsh_topk_recall(spark):
-    """LSH ANN must recover a substantial fraction of the exact top-10
-    on the synthetic embeddings (whose neighbors sit at cosine 0.3-0.5,
-    far below the near-duplicate regime — recall 1.0 is not expected;
-    the exact re-rank guarantees precision of what IS returned)."""
+    """LSH ANN at the registered multiprobe radius (3) must recover
+    nearly all of the exact top-10 even on the synthetic embeddings,
+    whose neighbors sit at cosine 0.3-0.5 — far below the
+    near-duplicate regime (measured 1.00 at sf0.01; the exact re-rank
+    guarantees precision of what IS returned)."""
     from panditya_spark.plans import QUERIES
 
     sf = "/root/testdata/sf0.001"
     bf = {(r.qid, r.neighbor_id) for r in QUERIES["ann_cosine_topk"](spark, sf).collect()}
     lsh = {(r.qid, r.neighbor_id) for r in QUERIES["ann_lsh_topk"](spark, sf).collect()}
-    assert len(bf & lsh) / len(bf) >= 0.3
+    assert len(bf & lsh) / len(bf) >= 0.9
 
 
 def test_ivf_topk_recall_and_determinism(spark):
