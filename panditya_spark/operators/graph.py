@@ -293,14 +293,21 @@ def connected_components(
     # buys nothing (measured 11.6s vs 4.2s at sf0.1). The cache only
     # prevents per-round re-scans of the source.
     und = undirected_multi(edges).cache()
-    nodes = (
-        vertices.select(F.col(vertices.columns[0]).alias("node"))
-        if vertices is not None
-        else und.select(F.col("a").alias("node"))
-    ).distinct()
-    # Initial state: localCheckpoint is enough (a fresh plan has honest
-    # stats; the parquet spill cadence inside the loop handles growth).
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    # Without an explicit vertex table the node universe IS the key set
+    # of the round-0 neighborhood aggregate (every edge endpoint appears
+    # as `a` in the undirected projection), so labels need no separate
+    # init table or init⋈nbr_min join — round 0 derives them straight
+    # from the aggregate, one full shuffle cheaper.
+    explicit_vertices = vertices is not None
+    if explicit_vertices:
+        nodes = vertices.select(F.col(vertices.columns[0]).alias("node")).distinct()
+        # Initial state: localCheckpoint is enough (a fresh plan has
+        # honest stats; the parquet spill cadence handles growth).
+        labels = nodes.withColumn("component", F.col("node")).localCheckpoint(
+            eager=True
+        )
+    else:
+        labels = None
 
     # Hash-to-min with pointer jumping: each round takes (1) the min
     # label over the neighborhood, then (2) L(v) ← L(L(v)) — following
@@ -319,7 +326,8 @@ def connected_components(
     # round 2 on — the dominant cost once the bulk of the graph has
     # settled. The merge and pointer-jump remain O(V) joins; the
     # checkpointed labels table is the per-round state.
-    labels = labels.withColumn("changed", F.lit(True))
+    if labels is not None:
+        labels = labels.withColumn("changed", F.lit(True))
     state = _LoopState()
     for it in range(max_iter):
         if it == 0:
@@ -336,15 +344,24 @@ def connected_components(
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.min("component").alias("nbr_comp"))
             )
-        cand = (
-            labels.select("node", "component")
-            .join(nbr_min, "node", "left_outer")
-            .select(
+        if labels is None:
+            # Round 0, implicit vertices: nbr_min's key set is the node
+            # universe and every label is still the node id.
+            cand = nbr_min.select(
                 "node",
-                F.col("component").alias("old_comp"),
-                F.least("component", "nbr_comp").alias("component"),
+                F.col("node").alias("old_comp"),
+                F.least("node", "nbr_comp").alias("component"),
             )
-        )
+        else:
+            cand = (
+                labels.select("node", "component")
+                .join(nbr_min, "node", "left_outer")
+                .select(
+                    "node",
+                    F.col("component").alias("old_comp"),
+                    F.least("component", "nbr_comp").alias("component"),
+                )
+            )
         parent = cand.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
