@@ -1,0 +1,129 @@
+"""Scale-strategy queries (no reference counterpart — the reference
+joins pandas frames in RAM; these exercise the partitioning strategies
+a 100 TB deployment leans on, from operators/partitioning.py).
+
+All three are semantically plain joins/aggregates — the STRATEGY is the
+operator under test — so each has an exact DuckDB oracle. They register
+after the driver's 50-query window (their plain-join semantics are
+already covered by j5/j1 in-window); the plan SHAPES are pinned by
+tests/test_partitioning.py (bucketed join = zero Exchange, salted join
+≡ plain join).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from panditya_spark.operators.partitioning import (
+    bucketed_join,
+    bucketed_write,
+    salted_join,
+    top_skewed_keys,
+)
+from panditya_spark.plans.registry import register
+from panditya_spark.sources.loaders import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from panditya_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------- salted skew join
+@register(
+    "j_salted_join",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def j_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer⋈nation through the skew-salted path: nationkey is the
+    classic low-cardinality hot key (25 values over the whole customer
+    table). The oracle is the PLAIN join — salting must be invisible in
+    the result."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("key"), "c_acctbal"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"), "n_name"
+    )
+    joined = salted_join(c, n, on="key", n_salts=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_acctbal"),
+    )
+
+
+# --------------------------------------------------- bucketed co-located join
+@register(
+    "j_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈customer through co-bucketed external tables: both sides
+    are bucketed+sorted by custkey (the one up-front shuffle), so the
+    join itself plans with NO Exchange (pinned by
+    tests/test_partitioning.py::test_bucketed_join_no_exchange). The
+    oracle is the plain join — bucketing must be invisible in the
+    result."""
+    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"panditya_buckets_{suffix}")
+    ct, ot = f"pspark_cust_{suffix}", f"pspark_ord_{suffix}"
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {ct}")
+    spark.sql(f"DROP TABLE IF EXISTS {ot}")
+    bucketed_write(c, ct, ["custkey"], n_buckets=8, path=os.path.join(base, ct))
+    bucketed_write(o, ot, ["custkey"], n_buckets=8, path=os.path.join(base, ot))
+    joined = bucketed_join(spark, ot, ct, ["custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# ------------------------------------------------------- skew diagnostics
+@register(
+    "skew_key_profile",
+    oracle="""
+    SELECT o_custkey AS key, CAST(cnt AS BIGINT) AS cnt
+    FROM (
+      SELECT o_custkey, COUNT(*) AS cnt
+      FROM orders GROUP BY o_custkey
+      ORDER BY cnt DESC, o_custkey
+      LIMIT 10
+    )
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest-key profile over orders.o_custkey — the pre-join
+    diagnostic that decides between the plain, AQE-skew and salted
+    paths."""
+    o = _t(spark, sf_dir, "orders")
+    return top_skewed_keys(o, "o_custkey", top_n=10).select(
+        F.col("o_custkey").alias("key"), "cnt"
+    )

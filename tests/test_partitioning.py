@@ -1,0 +1,105 @@
+"""Partitioning-strategy tests: the RESULT must equal the plain join,
+and the PLAN must have the promised shape (bucketed join: no Exchange;
+salted join: hot key spread over n_salts partitions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from panditya_spark.operators.partitioning import (
+    bucketed_join,
+    bucketed_write,
+    salted_join,
+    top_skewed_keys,
+)
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def skewed(spark):
+    # one pathologically hot key + a long tail
+    hot = spark.range(5000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    tail = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    return hot.union(tail)
+
+
+def test_salted_join_equals_plain_inner(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k2", "B"), ("missing", "Z")], ["k", "label"]
+    )
+    plain = skewed.join(dim, "k").select("k", "v", "label")
+    salted = salted_join(skewed, dim, on="k", n_salts=8).select("k", "v", "label")
+    assert rows(salted) == rows(plain)
+    assert salted.count() == 5002
+
+
+def test_salted_join_equals_plain_left(spark, skewed):
+    dim = spark.createDataFrame([("hot", "H"), ("k1", "A")], ["k", "label"])
+    plain = skewed.join(dim, "k", "left").select("k", "v", "label")
+    salted = salted_join(skewed, dim, on="k", n_salts=4, how="left").select(
+        "k", "v", "label"
+    )
+    assert rows(salted) == rows(plain)
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    dim = spark.createDataFrame([("hot", "H")], ["k", "label"])
+    n_sub = (
+        salted_join(skewed, dim, on="k", n_salts=8)
+        .select(
+            F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(8)).alias(
+                "salt"
+            )
+        )
+        .distinct()
+        .count()
+    )
+    # the hot key's 5000 rows must land in >1 (in practice all 8) sub-keys
+    assert n_sub > 1
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    left = spark.range(1000).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("key"), (F.col("id") % 3).alias("b")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_bl")
+    spark.sql("DROP TABLE IF EXISTS t_br")
+    bucketed_write(left, "t_bl", ["key"], n_buckets=4, path=str(tmp_path / "bl"))
+    bucketed_write(right, "t_br", ["key"], n_buckets=4, path=str(tmp_path / "br"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (a broadcast would hide bucketing)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_bl", "t_br", ["key"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+        # result parity with the plain dataframe join
+        assert rows(joined, "key", "a", "b") == rows(
+            left.join(right, "key"), "key", "a", "b"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bl")
+        spark.sql("DROP TABLE IF EXISTS t_br")
+
+
+def test_top_skewed_keys(spark, skewed):
+    top = top_skewed_keys(skewed, "k", top_n=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["cnt"] == 5000
+    assert all(r["cnt"] == 1 for r in top[1:])
+
+
+def test_scale_queries_registered(spark):
+    from panditya_spark.plans import ORACLES, QUERIES
+
+    for name in ("j_salted_join", "j_bucketed_join", "skew_key_profile"):
+        assert name in QUERIES and name in ORACLES
