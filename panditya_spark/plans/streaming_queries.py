@@ -93,6 +93,34 @@ def stream_tumbling_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_microbatch",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-dedup driven through a real micro-batch run:
+    dropDuplicatesWithinWatermark on (user_id, event_type) with bounded
+    per-watermark state, then the downstream batch distinct that
+    collapses any cross-watermark re-emissions (the two-tier dedup
+    architecture — see streaming/windows.dedup_stream). Net output is
+    the exact DISTINCT key set, oracle-checked."""
+    from panditya_spark.streaming.windows import (
+        dedup_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    _MICROBATCH_SEQ[0] += 1
+    survivors = run_stream_to_memory(
+        dedup_stream(
+            read_events_stream(spark, sf_dir), ["user_id", "event_type"]
+        ),
+        f"stream_dedup_microbatch_{_MICROBATCH_SEQ[0]}",
+        mode="append",
+    )
+    return survivors.dropDuplicates(["user_id", "event_type"])
+
+
+@register(
     "stream_sliding_daily",
     oracle="""
     WITH slides AS (

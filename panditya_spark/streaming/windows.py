@@ -68,6 +68,33 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming deduplication — the training-pipeline guard against
+    replayed/duplicated records at ingest (a Kafka redelivery, a
+    re-uploaded shard). dropDuplicatesWithinWatermark keeps one row per
+    key tuple and EVICTS key state once the watermark passes, so state
+    is bounded by the key cardinality of one watermark span rather than
+    of the whole stream — the property that makes stream-dedup viable
+    on an unbounded 100 TB/day feed. The price of bounded state: a key
+    recurring AFTER its state was evicted is emitted again, so an exact
+    consumer collapses the (rare) cross-watermark survivors with a
+    downstream batch distinct — the standard two-tier dedup
+    architecture, and what the registered query does after the sink.
+
+    Only the key columns are projected, so "keep-first vs keep-any"
+    arrival nondeterminism is invisible: post-collapse the output is
+    exactly the DISTINCT key set, oracle-checkable as `SELECT DISTINCT`
+    over the same file.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
 SESSION_STATE_SCHEMA = StructType(
     [
         StructField("user_id", StringType()),

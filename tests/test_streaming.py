@@ -89,3 +89,17 @@ def test_stream_sessionize(spark):
     }
     for s in sessions:
         assert (s.user_id, s.session_start, s.session_end, s.n_events) in batch
+
+
+def test_stream_dedup_agrees_with_batch_distinct(spark):
+    """Two-tier streaming dedup (bounded watermark state + downstream
+    batch collapse) must produce exactly the batch DISTINCT key set."""
+    from panditya_spark.plans import QUERIES
+    from panditya_spark.sources.loaders import load_table
+
+    got = QUERIES["stream_dedup_microbatch"](spark, SF_DIR)
+    expected = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type"
+    ).distinct()
+    assert rows(got) == rows(expected)
+    assert got.count() > 1  # non-vacuous: multiple distinct keys exist
