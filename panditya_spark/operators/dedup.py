@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from panditya_spark.operators.relational import spread_small_input as _spread_small_input
 from panditya_spark.operators.text import fingerprint, words
 
 # Mersenne prime 2^31-1: modulus for the affine minhash permutations.
@@ -74,25 +75,6 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
     )
-
-
-def _spread_small_input(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the scan has fewer splits than
-    the cluster has cores — a small doc table in one parquet file
-    otherwise runs the CPU-heavy shingling as a single task (measured:
-    the whole minhash job single-threaded at sf0.1). At scale the input
-    has >> cores splits and this is a no-op; the guard keeps the
-    repartition from becoming a pointless full shuffle there."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        # File count is a metadata-only proxy for scan splits (df.rdd
-        # would compile a whole Python-RDD conversion plan just to ask).
-        n_splits = len(df.inputFiles())
-    except Exception:  # non-file source (memory, stream) — leave as-is
-        return df
-    if 0 < n_splits < target:
-        return df.repartition(target)
-    return df
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:

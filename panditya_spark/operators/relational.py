@@ -14,6 +14,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan has fewer splits than
+    the cluster has cores. A small table in one parquet file otherwise
+    runs any CPU-heavy per-row stage downstream (shingling, mapInPandas
+    codecs) as a single task (measured: the whole minhash job
+    single-threaded at sf0.1). At scale the input has >> cores splits
+    and this is a no-op — the guard keeps the repartition from becoming
+    a pointless full shuffle there. File count is a metadata-only proxy
+    for scan splits (df.rdd would compile a Python-RDD conversion plan
+    just to ask for the partition count)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file source (memory, stream) — leave as-is
+        return df
+    if 0 < n_splits < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- P3
 def coalesce_empty(primary: Column, fallback: Column) -> Column:
     """Fill empty-string/null primary from fallback.

@@ -30,8 +30,13 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents projected into the opaque-media shape: BINARY payload
     plus string id. Payload bytes == UTF-8 of text, so the oracle can
     recompute every derived value from the text column."""
+    from panditya_spark.operators.relational import spread_small_input
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # Spread a few-split scan across workers BEFORE the Arrow-batched
+    # decode: mapInPandas parallelism equals upstream partition count,
+    # and a single-file media table would otherwise decode on one core.
+    return spread_small_input(docs).select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
     )
