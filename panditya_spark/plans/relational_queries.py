@@ -739,3 +739,34 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="purchase_ts",
         payload_cols=["purchase_ts", "purchase_id", "purchase_value"],
     )
+
+
+# ---------------------------------------------------------------- rollup
+# Scale extension (no reference counterpart): hierarchical rollup — the
+# hypertable-style day->type->grand-total aggregate in ONE pass.
+# GROUPING SETS share the shuffle: Spark expands the grouping sets
+# map-side and aggregates all levels in a single exchange, vs three
+# separate jobs for three GROUP BYs — at 100 TB that is one scan and
+# one shuffle instead of three.
+@register(
+    "a_rollup_day_type",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           event_type,
+           CAST(GROUPING(CAST(ts AS DATE)) * 2 + GROUPING(event_type) AS BIGINT)
+             AS gid,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP(1, 2)
+    """,
+)
+def a_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.rollup(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    ).select("day", "event_type", "gid", "n_events", "total_value")

@@ -127,3 +127,27 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_skewed_keys(o, "o_custkey", top_n=10).select(
         F.col("o_custkey").alias("key"), "cnt"
     )
+
+
+# ------------------------------------------------------- sketch aggregates
+@register("sketch_aggregates")
+def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates per event_type: HyperLogLog++ distinct
+    users (approx_count_distinct) and a KLL-style quantile sketch
+    (percentile_approx) over value. These are THE 100 TB cardinality /
+    quantile answer — fixed-size sketch state, map-side combinable, one
+    shuffle of sketches instead of a shuffle of raw values (an exact
+    distinct count shuffles every (type, user) pair; the sketch ships
+    ~1.5 KB per partition per group).
+
+    Rows-only by design: sketch estimates are engine-specific, so no
+    cross-engine hash oracle exists; tests/test_sketches.py pins the
+    relative error against the exact answers instead (HLL rsd=0.02,
+    measured < 0.04 at sf0.01; quantile accuracy 10000).
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx(F.col("value"), [0.5, 0.95], 10000).alias("value_p50_p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
