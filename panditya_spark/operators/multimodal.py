@@ -186,3 +186,70 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         w, h = _fake_decode(payload)
         rows.append((f"m{i}", "image/fake", bytearray(payload), w, h))
     return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("n_samples", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("zero_crossings", IntegerType(), True),
+    ]
+)
+
+
+def _fake_audio_decode(payload: bytes):
+    """Deterministic stand-in for an audio codec: interprets the raw
+    bytes as little-endian int16 PCM at 16 kHz mono (truncating a
+    trailing odd byte). Swap for `soundfile.read` in a real deployment
+    — signature (bytes -> (samples ndarray, sample_rate)) and batch
+    flow are identical."""
+    import numpy as np
+
+    if payload is None:
+        raise NotImplementedError("real decoder required for null payloads")
+    b = bytes(payload)
+    usable = len(b) - (len(b) % 2)
+    samples = np.frombuffer(b[:usable], dtype="<i2").astype(np.float32) / 32768.0
+    return samples, 16_000
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    decoder=_fake_audio_decode,
+) -> DataFrame:
+    """Decode + featurize audio via mapInPandas (Arrow-batched):
+    (media_id, n_samples, duration_ms, rms, zero_crossings). The
+    integer columns are pure byte-length arithmetic (oracle-checkable);
+    rms / zero_crossings exercise the decoded sample vector and are
+    pinned by tests against a NumPy reference."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, dur, rms, zc = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, rate = decoder(payload if payload is not None else b"")
+                n = len(samples)
+                ids.append(mid)
+                ns.append(n)
+                dur.append(n * 1000 // rate)
+                rms.append(
+                    float(np.sqrt(np.mean(samples * samples))) if n else 0.0
+                )
+                zc.append(int(np.sum(np.signbit(samples[1:]) != np.signbit(samples[:-1]))) if n > 1 else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "duration_ms": pd.array(dur, dtype="int32"),
+                    "rms": pd.array(rms, dtype="float32"),
+                    "zero_crossings": pd.array(zc, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -98,3 +98,26 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("int").alias("n_frames"),
     )
     return M.frame_sample(media, every_n=10)
+
+
+# ---------------------------------------------------------------- audio path
+# Extension op: audio decode + feature extraction via mapInPandas
+# (operators/multimodal.py audio_features). The deterministic fake
+# codec reads payload bytes as int16@16kHz PCM, so the INTEGER features
+# are pure byte-length arithmetic DuckDB replays; the float features
+# (rms, zero_crossings) exercise the decoded sample vector and are
+# pinned by tests/test_functions.py::test_audio_features against a
+# NumPy reference.
+@register(
+    "mm_audio_features",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(octet_length(encode(text)) // 2 AS INTEGER) AS n_samples,
+           CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS INTEGER)
+             AS duration_ms
+    FROM documents
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = M.audio_features(_media(spark, sf_dir))
+    return feats.select("media_id", "n_samples", "duration_ms")

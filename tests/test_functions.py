@@ -207,3 +207,27 @@ def test_multimodal_resize_is_stubbed(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_audio_features(spark):
+    """Audio featurize path: float features must match a NumPy
+    reference computed directly from the same fake int16 PCM decode."""
+    import numpy as np
+
+    from panditya_spark.operators.multimodal import (
+        _fake_audio_decode,
+        audio_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=16)
+    got = {r.media_id: r for r in audio_features(media).collect()}
+    for row in media.collect():
+        samples, rate = _fake_audio_decode(bytes(row.payload))
+        g = got[row.media_id]
+        assert g.n_samples == len(samples)
+        assert g.duration_ms == len(samples) * 1000 // rate
+        assert abs(g.rms - float(np.sqrt(np.mean(samples**2)))) < 1e-6
+        assert g.zero_crossings == int(
+            np.sum(np.signbit(samples[1:]) != np.signbit(samples[:-1]))
+        )
