@@ -38,6 +38,10 @@ HEADLINE = [
     "text_quality",
     "t3_overlap_partition",
     "mm_image_features",
+    "mm_audio_features",
+    "a_rollup_day_type",        # one-shuffle grouping-sets rollup
+    "j_salted_join",            # skew-salted join path
+    "sketch_aggregates",        # HLL + quantile sketch state
 ]
 
 
