@@ -308,3 +308,58 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every character k-gram, then per sliding
+    window of `window` consecutive hashes keep the minimum — ties to
+    the leftmost position (the classic picks rightmost; either is a
+    valid winnowing and this one is exactly `min(struct(h, pos))`).
+    Guarantees: any shared substring of length >= k + window - 1
+    contributes at least one IDENTICAL fingerprint to both documents,
+    so fingerprint overlap lower-bounds substring-level copying — the
+    property md5-style whole-doc fingerprints lack.
+
+    Returns (doc, pos, fp) — the selected fingerprint set, ~1/window
+    the density of the full k-gram set.
+
+    Scale shape: k-gram hashing is a per-row projection (explode of a
+    transform over a substring sequence, all JVM-side); the window
+    minimum is ONE analytic window (partitionBy doc, orderBy pos) —
+    a single shuffle by doc id, the same key every text operator
+    shuffles on, and per-doc state is O(window).
+    """
+    from pyspark.sql.window import Window as W
+
+    spread = _spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    txt = F.col(text_col)
+    n_grams = F.length(txt) - (k - 1)
+    grams = spread.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.when(
+                n_grams >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda i: F.xxhash64(txt.substr(i, F.lit(k))),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "h"),
+    )
+    win = W.partitionBy("doc").orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    cnt = W.partitionBy("doc")
+    return (
+        grams.withColumn("n", F.count(F.lit(1)).over(cnt))
+        # windows that would run past the last k-gram are not windows
+        .filter(F.col("pos") <= F.col("n") - window)
+        .select("doc", F.min(F.struct("h", "pos")).over(win).alias("m"))
+        .distinct()
+        .select("doc", F.col("m.pos").alias("pos"), F.col("m.h").alias("fp"))
+    )

@@ -272,3 +272,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the scale plan."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.cosine_near_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+# ------------------------------------------------- winnowing fingerprints
+@register("fingerprint_winnowing")
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint census (k=8 char grams, window=4):
+    (doc, n_fps, n_distinct_fps). Rows-only: the rolling hash is
+    Spark's xxhash64, which DuckDB cannot replay; the selection
+    invariants (shared-substring guarantee, 1/window density,
+    subset-of-grams) are pinned by tests/test_dedup_text_similarity.py.
+    """
+    from panditya_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "text", "doc_id")
+    return fps.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.countDistinct("fp").alias("n_distinct_fps"),
+    )

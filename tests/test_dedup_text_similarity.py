@@ -168,3 +168,60 @@ def test_cosine_near_pairs_lsh_path(spark):
     approx = {(r.id1, r.id2) for r in approx_df.collect()}
     assert exact  # the 40 planted pairs exist
     assert approx == exact  # near-dup regime: LSH finds all of them
+
+
+def test_winnowing_fingerprints(spark):
+    """Winnowing invariants (Schleimer et al.): density ~1/window,
+    selections are real k-gram hashes at their positions, identical
+    docs yield identical sets, and a shared substring of length
+    >= k + window - 1 yields a shared fingerprint."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB ending one here"),
+            (2, "CCCCCC prefix differs " + shared + " DDDD"),
+            (3, "completely unrelated text with nothing in common xyzw"),
+            (4, "AAAA " + shared + " BBBB ending one here"),  # == doc 1
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs, "text", "doc_id", k=k, window=w)
+    by_doc = {
+        d: {(r["pos"], r["fp"]) for r in grp}
+        for d, grp in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r["doc"]), key=lambda r: r["doc"]
+        )
+    }
+    # identical docs -> identical fingerprint sets
+    assert by_doc[1] == by_doc[4]
+    # shared substring >= k+w-1 -> at least one shared fingerprint VALUE
+    vals = lambda d: {fp for _, fp in by_doc[d]}
+    assert vals(1) & vals(2)
+    assert not (vals(3) & vals(1)) or len(vals(3) & vals(1)) < 3
+    # density: |selected| is ~n_grams/w, never more than n_windows
+    n1 = len(by_doc[1])
+    text1 = docs.filter("doc_id = 1").first()["text"]
+    n_grams = len(text1) - k + 1
+    assert n_grams / (2 * w) <= n1 <= n_grams - w + 1
+    # every fingerprint is the true k-gram hash at its position
+    grams = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (k - 1)),
+                lambda i: F.xxhash64(F.col("text").substr(i, F.lit(k))),
+            )
+        ).alias("pos", "h"),
+    )
+    mismatches = (
+        winnowing_fingerprints(docs, "text", "doc_id", k=k, window=w)
+        .join(grams, ["doc", "pos"], "left")
+        .filter((F.col("h").isNull()) | (F.col("h") != F.col("fp")))
+        .count()
+    )
+    assert mismatches == 0
