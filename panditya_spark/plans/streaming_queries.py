@@ -181,3 +181,40 @@ def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panditya_spark.streaming.windows import sessionize_batch
 
     return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "stream_attribution_join",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 60 MINUTES
+    """,
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase attribution within
+    60 min) driven through a real availableNow micro-batch run. The
+    time-bounded predicate + both-sides watermarks bound the join state
+    to one horizon span (streaming/windows.attribution_join_stream);
+    with the finite source the append-mode output equals the batch
+    interval join, which the DuckDB oracle computes directly."""
+    from panditya_spark.streaming.windows import (
+        attribution_join_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    _MICROBATCH_SEQ[0] += 1
+    return run_stream_to_memory(
+        attribution_join_stream(read_events_stream(spark, sf_dir)),
+        f"stream_attribution_join_{_MICROBATCH_SEQ[0]}",
+        mode="append",
+    )

@@ -280,3 +280,49 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return stream_df.sparkSession.table(query_name)
+
+
+def attribution_join_stream(
+    events: DataFrame, horizon_minutes: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    view by the same user within the preceding `horizon_minutes` — the
+    canonical streaming attribution shape. Both sides carry watermarks
+    and the join predicate bounds purchase.ts to [view.ts, view.ts +
+    horizon], so Spark can evict view state once the purchase-side
+    watermark passes view.ts + horizon: state is bounded by one horizon
+    span per user, the property that keeps a stream-stream join viable
+    on an unbounded feed (without the time bound the state is infinite
+    and Spark rejects the append-mode query).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return views.join(purchases, cond).select(
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

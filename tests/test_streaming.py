@@ -103,3 +103,30 @@ def test_stream_dedup_agrees_with_batch_distinct(spark):
     ).distinct()
     assert rows(got) == rows(expected)
     assert got.count() > 1  # non-vacuous: multiple distinct keys exist
+
+
+def test_stream_attribution_join_agrees_with_batch(spark):
+    """Watermarked stream-stream interval join over the finite source
+    must equal the batch interval join exactly."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.plans import QUERIES
+    from panditya_spark.sources.loaders import load_table
+
+    got = QUERIES["stream_attribution_join"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.filter("event_type = 'view'").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    expected = v.join(
+        p,
+        (v.user_id == p.p_user)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 60 MINUTES")),
+    ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
+    assert rows(got) == rows(expected)
