@@ -130,3 +130,37 @@ def test_stream_attribution_join_agrees_with_batch(spark):
         & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 60 MINUTES")),
     ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
     assert rows(got) == rows(expected)
+
+
+def test_merge_session_events_property():
+    """Property: folding timestamps in ANY arrival order must produce
+    exactly the sessions of a sorted gaps-and-islands pass."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from panditya_spark.streaming.windows import merge_session_events
+
+    GAP = 100
+
+    def reference(ts):
+        out = []
+        for t in sorted(ts):
+            if out and t - out[-1][2] <= GAP:
+                out[-1][0] += 1
+                out[-1][2] = max(out[-1][2], t)
+            else:
+                out.append([1, t, t])
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=40),
+        st.randoms(),
+    )
+    def check(ts, rnd):
+        shuffled = list(ts)
+        rnd.shuffle(shuffled)
+        got = merge_session_events([], shuffled, GAP)
+        assert got == reference(ts)
+
+    check()
