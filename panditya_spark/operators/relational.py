@@ -251,3 +251,51 @@ def asof_join(
         *[F.col(f"_asof_match.{c}").alias(c) for c in payload_cols],
     ).drop("_asof_side", "_asof_t", "_asof_payload", "_asof_match")
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key — the classic
+    nested-loop trap (Spark plans a raw `p BETWEEN s AND e` theta join
+    as BroadcastNestedLoopJoin: every point × every interval).
+
+    Scale path: quantize the range dimension into buckets of
+    `bucket_width` (same units as the columns — days for dates cast to
+    int, seconds for epochs). Each interval explodes to the buckets it
+    covers, each point maps to exactly one bucket, and the join becomes
+    an EQUI-join on bucket followed by the exact BETWEEN filter. Cost
+    is O(points + intervals × avg_span/bucket_width + collisions) and
+    it shuffles by bucket — the standard interval-bucketing rewrite
+    (what Databricks' range-join hint does under the hood), expressible
+    in open Spark with explode + join.
+
+    Columns must be numeric (cast dates with datediff/epoch first).
+    Pick bucket_width ≈ the typical interval span: wider → fewer
+    interval replicas, narrower → fewer false bucket collisions.
+    """
+    p = points.withColumn(
+        "_rj_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    i = intervals.withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, "_rj_bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_rj_bucket")
+    )

@@ -151,3 +151,46 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx(F.col("value"), [0.5, 0.95], 10000).alias("value_p50_p95"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ------------------------------------------------------- bucketed range join
+@register(
+    "j_range_join",
+    oracle="""
+    WITH i AS (
+      SELECT o_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    p AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+      FROM lineitem
+    )
+    SELECT o_orderkey, count(*) AS n_shipments
+    FROM i JOIN p ON p.d >= i.s AND p.d <= i.s + 60
+    GROUP BY o_orderkey
+    """,
+)
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join WITHOUT an equi key: shipments
+    falling inside each sampled order's 60-day window. Goes through the
+    interval-bucketing rewrite (operators/relational.py range_join) —
+    an equi-join on 64-day buckets + exact BETWEEN filter — instead of
+    the BroadcastNestedLoopJoin a raw BETWEEN predicate plans (shape
+    pinned by tests/test_partitioning.py::test_range_join). The oracle
+    is the plain theta join."""
+    from panditya_spark.operators.relational import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    intervals = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.unix_date(F.to_date("o_orderdate")).alias("s"),
+        (F.unix_date(F.to_date("o_orderdate")) + 60).alias("e"),
+    )
+    points = li.select(F.unix_date(F.to_date("l_shipdate")).alias("d"))
+    return (
+        range_join(points, intervals, "d", "s", "e", bucket_width=64)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_shipments"))
+    )

@@ -103,3 +103,20 @@ def test_scale_queries_registered(spark):
 
     for name in ("j_salted_join", "j_bucketed_join", "skew_key_profile"):
         assert name in QUERIES and name in ORACLES
+
+
+def test_range_join(spark):
+    """Bucketed range join: result equals the naive theta join, and the
+    plan is an equi hash/merge join, NOT BroadcastNestedLoopJoin."""
+    from panditya_spark.operators.relational import range_join
+
+    pts = spark.range(0, 500).select(F.col("id").alias("p"))
+    iv = spark.createDataFrame(
+        [(1, 10, 40), (2, 35, 36), (3, 450, 600), (4, -20, -5)],
+        ["iv_id", "s", "e"],
+    )
+    got = range_join(pts, iv, "p", "s", "e", bucket_width=16)
+    naive = pts.join(iv, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")))
+    assert rows(got, "iv_id", "p") == rows(naive, "iv_id", "p")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
