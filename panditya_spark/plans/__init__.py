@@ -74,19 +74,22 @@ _WINDOW = [
     "w1_top_n",
     "w2_first_match_backfill",
     "a1_conditional_count",
-    # One slot checks the whole trivial-projection family at full value
-    # precision (members incl. a2/f2/p1..p10_13 — see combo_queries).
+    # One slot checks the whole trivial-projection family plus the
+    # rotated-out r01-green aggregates at full value precision
+    # (members incl. a2-a4/a6/a7/a9/a12/t1/t4/f2/p1..p10_13 — see
+    # combo_queries).
     "p_combo_projections",
-    "a3_set_collect_sorted",
-    "a4_count_distinct",
     "a5_formatted_freq_agg",
-    "a6_truncated_ratio",
-    "a7_having_filter",
-    "a9_group_count",
-    "a12_bucket_histogram",
-    "t1_t2_union_dedupe",
     "t3_overlap_partition",
-    "t4_unique_to_group",
+    # Round-2 additions, never driver-verified before this round.
+    "j_salted_join",
+    "j_bucketed_join",
+    "j_range_join",
+    "skew_key_profile",
+    "a_rollup_day_type",
+    "mm_audio_features",
+    "stream_dedup_microbatch",
+    "stream_attribution_join",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 

@@ -45,6 +45,19 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "a2_conditional_count2": [
         ("priority", "s"), ("n_linked", "i"), ("n_linked_missing", "i"),
     ],
+    # Round 2: stable r01-green aggregates rotated out of the window to
+    # free slots for never-driver-verified oracle queries; their full
+    # values stay checked every round through this slot.
+    "a3_set_collect_sorted": [("l_orderkey", "i"), ("flags", "s")],
+    "a4_count_distinct": [("nationkey", "i"), ("n_active", "i")],
+    "a6_truncated_ratio": [("nationkey", "i"), ("coverage_pct", "d")],
+    "a7_having_filter": [("custkey", "i"), ("n_orders", "i")],
+    "a9_group_count": [("status", "s"), ("n", "i")],
+    "a12_bucket_histogram": [
+        ("category", "s"), ("n_groups", "i"), ("n_rows", "i"),
+    ],
+    "t1_t2_union_dedupe": [("node", "s")],
+    "t4_unique_to_group": [("nationkey", "i"), ("n_exclusive_parts", "i")],
 }
 
 _NULL = "∅"
