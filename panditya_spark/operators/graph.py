@@ -202,12 +202,17 @@ def khop_bfs(
     flips the expansion join to broadcast; visited accumulates via
     union + localCheckpoint to keep lineage flat.
     """
-    # Cached, NOT pre-repartitioned: AQE broadcasts the small frontier
+    # Cached, NOT key-repartitioned: AQE broadcasts the small frontier
     # into the expansion join, so the adjacency never shuffles — an
     # up-front repartition("a") is a full O(E) shuffle that buys
     # nothing (same finding as connected_components, measured at
-    # sf0.1). The cache only prevents per-hop re-scans.
-    adj = undirected_multi(edges).cache()
+    # sf0.1). A ROUND-ROBIN spread does pay off when the source has
+    # fewer splits than cores (per-hop scans of the cached table would
+    # otherwise run 1-2 tasks); the guard makes it a no-op at scale.
+    # The cache prevents per-hop re-scans.
+    from panditya_spark.operators.relational import spread_small_input
+
+    adj = spread_small_input(undirected_multi(edges)).cache()
     visited = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
@@ -287,12 +292,17 @@ def connected_components(
     large-star/small-star contraction variant could cut rounds to
     O(log n) — documented trade-off, diameter here is small.
     """
-    # Cached, NOT pre-repartitioned: from round 1 on the delta side is
+    # Cached, NOT key-repartitioned: from round 1 on the delta side is
     # tiny and AQE broadcasts it, so the edge table is never shuffled at
     # all — an up-front repartition("b") costs a full O(E) shuffle and
-    # buys nothing (measured 11.6s vs 4.2s at sf0.1). The cache only
-    # prevents per-round re-scans of the source.
-    und = undirected_multi(edges).cache()
+    # buys nothing (measured 11.6s vs 4.2s at sf0.1). A ROUND-ROBIN
+    # spread is a different matter: a few-split source otherwise scans
+    # the cached table on 1-2 tasks every round (guarded no-op at
+    # scale; measured 8.5→5.7s cold). The cache prevents per-round
+    # re-scans.
+    from panditya_spark.operators.relational import spread_small_input
+
+    und = spread_small_input(undirected_multi(edges)).cache()
     # Without an explicit vertex table the node universe IS the key set
     # of the round-0 neighborhood aggregate (every edge endpoint appears
     # as `a` in the undirected projection), so labels need no separate
