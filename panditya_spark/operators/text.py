@@ -10,7 +10,7 @@ scan→project with zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # A BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
@@ -134,3 +134,24 @@ def fingerprint(text: Column) -> Column:
     text. Stable across engines (both Spark and DuckDB emit lowercase
     hex md5), so near-identical formatting variants collide."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def heavy_hitters(df: DataFrame, text_col: str, top_n: int = 25) -> DataFrame:
+    """Corpus-wide top-N token frequencies — the vocabulary census a
+    tokenizer-training or stopword-mining pass starts from.
+
+    Plan shape at 100 TB: explode(words) is a per-row projection; the
+    count groupBy gets a map-side partial aggregation (the token key
+    space is Zipfian, so partials collapse most of the volume before
+    the shuffle); the final top-N plans as TakeOrderedAndProject, never
+    a global sort. Ties break on the token string so the result is a
+    total order both engines agree on."""
+    toks = df.select(
+        F.explode(words(F.lower(F.col(text_col)))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_n)
+    )

@@ -67,20 +67,25 @@ _WINDOW = [
     "j8_expand_to_authors",
     "j9_summary_counts",
     "p14_16_map_ops",
-    # Relational joins / aggregates.
-    "j1_adjacency_list",
-    "j2_inverse_adjacency",
+    # Relational joins / aggregates. (j1/j2/w1/a1/t3 rotated into the
+    # combo slot mid-round-2 to free window slots for the five new
+    # queries below.)
     "j5_broadcast_join_agg",
-    "w1_top_n",
     "w2_first_match_backfill",
-    "a1_conditional_count",
     # One slot checks the whole trivial-projection family plus the
-    # rotated-out r01-green aggregates at full value precision
-    # (members incl. a2-a4/a6/a7/a9/a12/t1/t4/f2/p1..p10_13 — see
+    # rotated-out green aggregates at full value precision (members
+    # incl. a1-a4/a6/a7/a9/a12/j1/j2/w1/t1/t3/t4/f2/p1..p10_13 — see
     # combo_queries).
     "p_combo_projections",
     "a5_formatted_freq_agg",
-    "t3_overlap_partition",
+    # New in round 2 (cont.): TPC-H headline shapes, dedup cluster
+    # canonicalization, vocabulary heavy hitters, deterministic
+    # stratified sampling — never driver-verified before.
+    "tpch_q1_pricing",
+    "tpch_q3_top_orders",
+    "dedup_cluster_canonical",
+    "text_heavy_hitters",
+    "sample_stratified",
     # Round-2 additions, never driver-verified before this round.
     "j_salted_join",
     "j_bucketed_join",

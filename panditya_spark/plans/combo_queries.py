@@ -58,6 +58,18 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     ],
     "t1_t2_union_dedupe": [("node", "s")],
     "t4_unique_to_group": [("nationkey", "i"), ("n_exclusive_parts", "i")],
+    # Round 2 (cont.): r01+r02-green joins/windows rotated out to make
+    # room for the TPC-H, sampling, and dedup-cluster queries. w1's
+    # revenue is a sum of DECIMAL(18,2) casts → scale-2 lossless.
+    "j1_adjacency_list": [("custkey", "i"), ("order_ids", "s")],
+    "j2_inverse_adjacency": [
+        ("partkey", "i"), ("order_ids", "s"), ("n_orders", "i"),
+    ],
+    "a1_conditional_count": [
+        ("nation", "s"), ("n_customers", "i"), ("n_positive", "i"),
+    ],
+    "w1_top_n": [("custkey", "i"), ("revenue", "d")],
+    "t3_overlap_partition": [("status", "s"), ("n_parts", "i")],
 }
 
 _NULL = "∅"

@@ -291,3 +291,110 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_fps"),
         F.countDistinct("fp").alias("n_distinct_fps"),
     )
+
+
+# ------------------------------------------------- dedup: cluster canonicalization
+# The terminal dedup stage: transitive closure over the exact-Jaccard
+# pair graph (same pairs as dedup_ngram_jaccard), one canonical keeper
+# (min doc_id) per cluster. Oracle = recursive closure over the same
+# pair CTE; min-label per reachable set.
+@register(
+    "dedup_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM words WHERE len(w) >= 3
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2
+      FROM common
+      JOIN sizes s1 ON s1.doc_id = doc1
+      JOIN sizes s2 ON s2.doc_id = doc2
+      WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6
+    ),
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, a AS lab FROM edges
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node AS doc_id,
+           min(lab) AS canonical_id,
+           CAST(node = min(lab) AS INTEGER) AS keep
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.6)
+    return D.cluster_canonical(pairs)
+
+
+# ------------------------------------------------- text: heavy hitters
+@register(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS cnt
+    FROM toks GROUP BY token
+    ORDER BY cnt DESC, token LIMIT 25
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.heavy_hitters(docs, "text", top_n=25)
+
+
+# ------------------------------------------------- sampling: deterministic stratified
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH r AS (
+      SELECT lang, source, doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, source, doc_id, CAST(rn AS INTEGER) AS rn,
+           CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '2a' AS INTEGER)
+             AS in_hash_sample
+    FROM r WHERE rn <= 3
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-subset selection: exactly 3 docs per
+    (lang, source) stratum by md5(doc_id) order, plus the Bernoulli-
+    style hash-prefix flag (operators/sampling.py) — both decisions are
+    pure key functions, so any engine at any parallelism re-derives the
+    identical subset."""
+    from panditya_spark.operators.sampling import in_sample_flag, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("lang", "source", "doc_id"), ["lang", "source"], "doc_id", 3
+    ).withColumn("in_hash_sample", in_sample_flag(F.col("doc_id")))

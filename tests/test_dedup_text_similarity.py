@@ -225,3 +225,53 @@ def test_winnowing_fingerprints(spark):
         .count()
     )
     assert mismatches == 0
+
+
+def test_cluster_canonical_hand_values(spark):
+    from panditya_spark.operators.dedup import cluster_canonical
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc1", "doc2"]
+    )
+    out = {r[0]: (r[1], r[2]) for r in rows(cluster_canonical(pairs))}
+    # {1,2,3} closes transitively; {10,11} is separate; keep = min only.
+    assert out == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0),
+        10: (10, 1), 11: (10, 0),
+    }
+
+
+def test_heavy_hitters_counts_and_tiebreak(spark):
+    from panditya_spark.operators.text import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(1, "b a  B"), (2, "a c"), (3, "C")], ["doc_id", "text"]
+    )
+    out = [tuple(r) for r in heavy_hitters(df, "text", top_n=2).collect()]
+    # a:2, b:2, c:2 after lowercasing; ties break alphabetically.
+    assert out == [("a", 2), ("b", 2)]
+
+
+def test_stratified_sample_deterministic(spark):
+    from panditya_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ("x", "y") for i in range(20)], ["grp", "k"]
+    )
+    a = rows(stratified_sample(df, ["grp"], "k", 3))
+    b = rows(stratified_sample(df, ["grp"], "k", 3))
+    assert a == b  # pure key function: identical across runs
+    per = {}
+    for grp, _, rn in a:
+        per.setdefault(grp, []).append(rn)
+    assert all(sorted(v) == [1, 2, 3] for v in per.values())
+
+
+def test_deterministic_sample_is_pure_filter(spark):
+    from panditya_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(256)], ["k"])
+    out = rows(deterministic_sample(df, "k"))
+    again = rows(deterministic_sample(df.repartition(7), "k"))
+    assert out == again  # partition-layout independent
+    assert 0 < len(out) < 256
