@@ -263,22 +263,43 @@ def run_stream_to_memory(
     query_name: str,
     mode: str = "complete",
     timeout_sec: int = 180,
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Drive a streaming aggregation to completion against the finite
     file source and return the materialized result (memory sink;
     'complete' for windowed aggs, 'append' for stateful emit-on-close
-    operators). Test/bench harness helper."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    operators). Test/bench harness helper.
+
+    The number of state-store instances per stateful operator is pinned
+    at query start to spark.sql.shuffle.partitions, and EVERY store
+    pays a per-micro-batch snapshot/commit cost — with a stream-stream
+    join that is 4 stores × partitions × batches regardless of data
+    volume. 32 partitions is right for the batch queries but pure
+    overhead for a local micro-batch harness, so the conf is lowered
+    around .start() (the query keeps its start-time value; batch
+    queries planned afterwards are unaffected). A production deployment
+    sizes this to keys-per-watermark-span ÷ target-state-per-task, not
+    to CPU count."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # Restored only after termination: the stream thread snapshots the
+    # conf asynchronously when it constructs the first batch, so
+    # restoring right after start() would race it.
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.awaitTermination(timeout_sec)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.table(query_name)
 
 
