@@ -42,6 +42,10 @@ HEADLINE = [
     "a_rollup_day_type",        # one-shuffle grouping-sets rollup
     "j_salted_join",            # skew-salted join path
     "sketch_aggregates",        # HLL + quantile sketch state
+    "tpch_q1_pricing",          # full-scan partial-agg rollup (TPC-H Q1)
+    "tpch_q3_top_orders",       # selective 3-way join + top-N (TPC-H Q3)
+    "dedup_cluster_canonical",  # pair-graph closure + canonical election
+    "text_heavy_hitters",       # vocabulary census (explode + Zipf agg)
 ]
 
 

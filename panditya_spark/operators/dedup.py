@@ -410,3 +410,31 @@ def winnowing_fingerprints(
         .distinct()
         .select("doc", F.col("m.pos").alias("pos"), F.col("m.h").alias("fp"))
     )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: which corpus docs share ≥ min_shared
+    distinct word k-grams with a benchmark/eval document (the standard
+    n-gram contamination test run before training). Inverted-index
+    equi-join on the shingle — the benchmark side is tiny relative to
+    the corpus, so at scale it broadcasts and the corpus streams
+    through map-side; never an all-pairs comparison. Returns
+    (doc, bench, n_shared)."""
+    c_sh = _shingle_table(corpus, text_col, id_col, k)
+    b_sh = (
+        _shingle_table(benchmark, text_col, id_col, k)
+        .withColumnRenamed("doc", "bench")
+    )
+    return (
+        c_sh.join(b_sh, "sh")
+        .groupBy("doc", "bench")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

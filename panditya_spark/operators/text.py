@@ -155,3 +155,74 @@ def heavy_hitters(df: DataFrame, text_col: str, top_n: int = 25) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(top_n)
     )
+
+
+def _plain_words(text: Column) -> Column:
+    """Lambda-free lowercase word array (safe to reference inside other
+    higher-order-function lambdas — see shingles() in dedup.py for the
+    Catalyst nested-lambda mis-binding this avoids)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def _dup_ngram_frac(w: Column, n: int) -> Column:
+    """Fraction of word n-grams that are duplicates of an earlier one:
+    1 - distinct/total. Pure array ops — per-row, zero shuffle."""
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dup_2gram: float = 0.2,
+    max_dup_3gram: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1):
+    documents dominated by repeated n-grams are boilerplate/spam-like
+    and get keep=0. Computed entirely with array builtins per row —
+    at 100 TB this is a map-only scan, no shuffle, no Python."""
+    w = _plain_words(F.col(text_col))
+    d2 = _dup_ngram_frac(w, 2)
+    d3 = _dup_ngram_frac(w, 3)
+    return df.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        d2.alias("dup_2gram_frac"),
+        d3.alias("dup_3gram_frac"),
+        ((d2 <= max_dup_2gram) & (d3 <= max_dup_3gram)).cast("int").alias("keep"),
+    )
+
+
+# PII patterns: ASCII-conservative so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte — no backreferences, no lookaround.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_REGEX = r"https?://[^\s]+"
+PHONE_REGEX = r"[+(]?[0-9][0-9()\s-]{7,}[0-9]"
+
+
+def pii_counts(text: Column) -> list[Column]:
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_REGEX), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(URL_REGEX), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_REGEX), F.lit(0))).alias("n_phones"),
+    ]
+
+
+def pii_redact(text: Column) -> Column:
+    """Scrub emails, then URLs, then phone-like digit runs (order
+    matters: the earlier replacements cannot create later matches —
+    the placeholder tokens contain no digits or '@'). Map-only."""
+    out = F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>")
+    out = F.regexp_replace(out, URL_REGEX, "<URL>")
+    return F.regexp_replace(out, PHONE_REGEX, "<PHONE>")

@@ -63,10 +63,12 @@ _WINDOW = [
     # f2_entity_labels in the window (a subset of f1_f2_entity_labels,
     # green in round 1).
     "stream_tumbling_microbatch",
-    "a11_edge_pattern_count",
-    "j8_expand_to_authors",
-    "j9_summary_counts",
+    # (a11/j8/j9 rotated into the combo slot mid-round-2 to free window
+    # slots for the repetition/contamination/PII queries below.)
     "p14_16_map_ops",
+    "text_repetition_filter",
+    "text_contamination",
+    "text_pii_redact",
     # Relational joins / aggregates. (j1/j2/w1/a1/t3 rotated into the
     # combo slot mid-round-2 to free window slots for the five new
     # queries below.)

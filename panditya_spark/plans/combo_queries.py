@@ -70,6 +70,14 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     ],
     "w1_top_n": [("custkey", "i"), ("revenue", "d")],
     "t3_overlap_partition": [("status", "s"), ("n_parts", "i")],
+    # Serving-core trio rotated out for the repetition/contamination/PII
+    # queries. j9's coverage is floor(x*10)/10 → 1-decimal lossless.
+    "a11_edge_pattern_count": [("relationship", "s"), ("n_edges", "i")],
+    "j8_expand_to_authors": [("author_key", "i")],
+    "j9_summary_counts": [
+        ("collection", "s"), ("works", "i"), ("total_links", "i"),
+        ("etext_coverage", "d"),
+    ],
 }
 
 _NULL = "∅"

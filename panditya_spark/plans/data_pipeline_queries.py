@@ -398,3 +398,150 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs.select("lang", "source", "doc_id"), ["lang", "source"], "doc_id", 3
     ).withColumn("in_hash_sample", in_sample_flag(F.col("doc_id")))
+
+
+# ------------------------------------------------- text: repetition filter
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
+      FROM (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
+        FROM (
+          SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM w WHERE len(w) >= 2
+        )
+      ) GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
+      FROM (
+        SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        FROM (
+          SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+          FROM w WHERE len(w) >= 3
+        )
+      ) GROUP BY doc_id
+    ),
+    f AS (
+      SELECT w.doc_id,
+             CAST(len(w.w) AS INTEGER) AS n_words,
+             coalesce(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0)
+               AS dup_2gram_frac,
+             coalesce(1.0 - CAST(g3.dist AS DOUBLE) / g3.total, 0.0)
+               AS dup_3gram_frac
+      FROM w
+      LEFT JOIN g2 ON g2.doc_id = w.doc_id
+      LEFT JOIN g3 ON g3.doc_id = w.doc_id
+    )
+    SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac,
+           CAST(dup_2gram_frac <= CAST(0.2 AS DOUBLE)
+                AND dup_3gram_frac <= CAST(0.18 AS DOUBLE) AS INTEGER) AS keep
+    FROM f
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-n-gram quality filter over documents —
+    non-vacuous on this corpus (word-salad docs repeat heavily, so both
+    keep classes are populated)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.repetition_features(docs, "text", "doc_id")
+
+
+# ------------------------------------------------- text: benchmark contamination
+@register(
+    "text_contamination",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM words WHERE len(w) >= 3
+      )
+    )
+    SELECT c.doc_id AS doc, b.doc_id AS bench, count(*) AS n_shared
+    FROM sh c JOIN sh b ON c.s = b.s
+    WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥5 distinct
+    3-grams with a held-out benchmark slice (doc_id % 50 = 0 stands in
+    for the eval set). min_shared=2 suits this short-doc synthetic
+    corpus (the usual 8-13-gram / higher-count settings would be
+    vacuous here: the shared-count tail at sf0.01 is 1:352, 2:33,
+    3:4, 23:1)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return D.contamination_pairs(corpus, bench, "text", "doc_id", k=3, min_shared=2)
+
+
+# ------------------------------------------------- text: PII redaction
+# The synthetic documents corpus contains no PII-shaped strings, so the
+# registered query scrubs CONSTRUCTED contact lines derived from the
+# customer table — the regex semantics are exercised on strings where
+# every pattern fires (lowercase hex note: both engines build the exact
+# same contact string, so the oracle checks the redaction transform
+# itself, not a vacuous identity).
+@register(
+    "text_pii_redact",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             'Contact ' || c_name || ' <' || lower(replace(c_name, ' ', '.'))
+             || '@example.com> call +1-555-'
+             || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+             || ' or visit https://example.com/u/' || CAST(c_custkey AS VARCHAR)
+               AS contact
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(contact, 'https?://[^\\s]+')) AS INTEGER)
+             AS n_urls,
+           CAST(len(regexp_extract_all(contact,
+             '[+(]?[0-9][0-9()\\s-]{7,}[0-9]')) AS INTEGER) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(contact,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+             '[+(]?[0-9][0-9()\\s-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM c
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    key_str = F.col("c_custkey").cast("string")
+    contact = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), " ", ".")),
+        F.lit("@example.com> call +1-555-"),
+        F.lpad(key_str, 7, "0"),
+        F.lit(" or visit https://example.com/u/"),
+        key_str,
+    )
+    base = cust.select("c_custkey", contact.alias("contact"))
+    return base.select(
+        "c_custkey",
+        *T.pii_counts(F.col("contact")),
+        T.pii_redact(F.col("contact")).alias("redacted"),
+    )

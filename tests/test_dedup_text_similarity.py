@@ -275,3 +275,65 @@ def test_deterministic_sample_is_pure_filter(spark):
     again = rows(deterministic_sample(df.repartition(7), "k"))
     assert out == again  # partition-layout independent
     assert 0 < len(out) < 256
+
+
+def test_repetition_features_hand_values(spark):
+    from panditya_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "one two three four five")], ["doc_id", "text"]
+    )
+    out = {r[0]: r for r in rows(repetition_features(df, "text", "doc_id"))}
+    # doc 1: 2-grams [ab,ba,ab,ba,ab] → 5 total, 2 distinct → dup 0.6;
+    # 3-grams [aba,bab,aba,bab] → 4 total, 2 distinct → dup 0.5 → drop.
+    _, n1, d2, d3, keep1 = out[1]
+    assert (n1, keep1) == (6, 0)
+    assert abs(d2 - 0.6) < 1e-12 and abs(d3 - 0.5) < 1e-12
+    # doc 2: no repeats at all → keep.
+    assert out[2][1:] == (5, 0.0, 0.0, 1)
+
+
+def test_contamination_pairs_hand_values(spark):
+    from panditya_spark.operators.dedup import contamination_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares 3 grams w/ bench
+            (2, "totally unrelated words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta zeta")], ["doc_id", "text"]
+    )
+    out = rows(contamination_pairs(corpus, bench, "text", "doc_id", k=3, min_shared=2))
+    # shared distinct 3-grams: "alpha beta gamma", "beta gamma delta" → 2.
+    assert out == [(1, 100, 2)]
+
+
+def test_pii_redaction(spark):
+    from panditya_spark.operators.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@sub.example.org now",),
+            ("see https://a.b/c?d=1 and http://plain.net",),
+            ("call +1-555-123-4567 or (020) 7946 0958 today",),
+            ("nothing sensitive here",),
+        ],
+        ["t"],
+    )
+    out = df.select(
+        F.col("t"), *pii_counts(F.col("t")), pii_redact(F.col("t")).alias("r")
+    ).collect()
+    by_text = {r["t"]: r for r in out}
+    r0 = by_text["mail bob.smith+x@sub.example.org now"]
+    assert (r0["n_emails"], r0["r"]) == (1, "mail <EMAIL> now")
+    r1 = by_text["see https://a.b/c?d=1 and http://plain.net"]
+    assert (r1["n_urls"], r1["r"]) == (2, "see <URL> and <URL>")
+    r2 = by_text["call +1-555-123-4567 or (020) 7946 0958 today"]
+    assert r2["n_phones"] == 2
+    assert r2["r"] == "call <PHONE> or <PHONE> today"
+    r3 = by_text["nothing sensitive here"]
+    assert (r3["n_emails"], r3["n_urls"], r3["n_phones"]) == (0, 0, 0)
+    assert r3["r"] == "nothing sensitive here"
