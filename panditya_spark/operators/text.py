@@ -226,3 +226,70 @@ def pii_redact(text: Column) -> Column:
     out = F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>")
     out = F.regexp_replace(out, URL_REGEX, "<URL>")
     return F.regexp_replace(out, PHONE_REGEX, "<PHONE>")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    stride: int = 56,
+) -> DataFrame:
+    """Sliding-window document chunking (context-window preparation:
+    fixed-size word chunks with chunk_size - stride words of overlap).
+    The chunk list is built per row with array builtins and exploded —
+    map-only, no shuffle; at 100 TB the chunker is pure scan
+    throughput. Returns (id, chunk_idx, n_words, chunk_text)."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.least(F.lit(chunk_size), F.size(w) - s + 1).alias("n_words"),
+            F.concat_ws(" ", F.slice(w, s, chunk_size)).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "c")
+    ).select(
+        F.col(id_col),
+        (F.col("pos") + 1).cast("int").alias("chunk_idx"),
+        F.col("c.n_words").cast("int").alias("n_words"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n_col: str,
+    budget: int = 512,
+) -> DataFrame:
+    """Concat-and-cut sequence packing (the standard pretraining
+    packing: concatenate documents in a deterministic order, cut at
+    every `budget` tokens). Each doc's placement is its exclusive
+    running-sum offset; bin_first/bin_last are the cut intervals it
+    lands in (straddling docs span two).
+
+    Scale shape: the running sum is windowed PER GROUP (shard), never a
+    global single-partition window — the packing any 1000-executor run
+    does shard-locally. One shuffle on the group key."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(n_col).over(w), F.lit(0)).cast("bigint")
+    return df.select(
+        F.col(group_col),
+        F.col(order_col),
+        F.col(n_col).cast("int").alias("n_words"),
+        start.alias("start_offset"),
+        F.floor(start / budget).cast("int").alias("bin_first"),
+        F.floor((start + F.col(n_col) - 1) / budget).cast("int").alias("bin_last"),
+    )

@@ -55,9 +55,10 @@ _WINDOW = [
     "text_quality",
     "text_token_stats",
     "text_langid",
-    # Serving / label core.
+    # Serving / label core. (f1_f2 and a5 rotated into the combo slot
+    # mid-round-2 for the chunking/packing queries.)
     "o1_collation_sort",
-    "f1_f2_entity_labels",
+    "text_chunking",
     # The real micro-batch streaming run (availableNow → memory sink),
     # oracle-verified against the same SQL as its batch twin. Replaces
     # f2_entity_labels in the window (a subset of f1_f2_entity_labels,
@@ -79,7 +80,7 @@ _WINDOW = [
     # incl. a1-a4/a6/a7/a9/a12/j1/j2/w1/t1/t3/t4/f2/p1..p10_13 — see
     # combo_queries).
     "p_combo_projections",
-    "a5_formatted_freq_agg",
+    "seq_packing",
     # New in round 2 (cont.): TPC-H headline shapes, dedup cluster
     # canonicalization, vocabulary heavy hitters, deterministic
     # stratified sampling — never driver-verified before.

@@ -78,6 +78,9 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("collection", "s"), ("works", "i"), ("total_links", "i"),
         ("etext_coverage", "d"),
     ],
+    # Rotated out for the chunking/packing queries.
+    "a5_formatted_freq_agg": [("custkey", "i"), ("freq_label", "s")],
+    "f1_f2_entity_labels": [("id", "s"), ("label", "s")],
 }
 
 _NULL = "∅"

@@ -545,3 +545,68 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         *T.pii_counts(F.col("contact")),
         T.pii_redact(F.col("contact")).alias("redacted"),
     )
+
+
+# ------------------------------------------------- chunking / packing
+@register(
+    "text_chunking",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w), 1), 56)) AS st
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((st - 1) // 56 + 1 AS INTEGER) AS chunk_idx,
+           CAST(least(64, len(w) - st + 1) AS INTEGER) AS n_words,
+           array_to_string(w[st:st+63], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of documents (64-word chunks, 8-word
+    overlap) — context-window preparation as a map-only explode."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, "text", "doc_id", chunk_size=64, stride=56)
+
+
+@register(
+    "seq_packing",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    o AS (
+      SELECT source, doc_id, n,
+             coalesce(SUM(n) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM d
+    )
+    SELECT source, doc_id,
+           CAST(n AS INTEGER) AS n_words,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // 512 AS INTEGER) AS bin_first,
+           CAST((start_offset + n - 1) // 512 AS INTEGER) AS bin_last
+    FROM o
+    """,
+)
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing per source shard (budget 512
+    words): deterministic offsets/bins for every doc."""
+    from panditya_spark.operators.text import words as _w  # noqa: F401
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
+    )
+    return T.pack_sequences(d, "source", "doc_id", "n", budget=512)

@@ -337,3 +337,36 @@ def test_pii_redaction(spark):
     r3 = by_text["nothing sensitive here"]
     assert (r3["n_emails"], r3["n_urls"], r3["n_phones"]) == (0, 0, 0)
     assert r3["r"] == "nothing sensitive here"
+
+
+def test_chunk_documents_hand_values(spark):
+    from panditya_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), (2, "solo")],
+        ["doc_id", "text"],
+    )
+    out = rows(chunk_documents(df, "text", "doc_id", chunk_size=4, stride=3))
+    assert out == [
+        (1, 1, 4, "w1 w2 w3 w4"),
+        (1, 2, 4, "w4 w5 w6 w7"),
+        (1, 3, 4, "w7 w8 w9 w10"),
+        (1, 4, 1, "w10"),
+        (2, 1, 1, "solo"),
+    ]
+
+
+def test_pack_sequences_hand_values(spark):
+    from panditya_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [("s", 1, 3), ("s", 2, 4), ("s", 3, 2), ("t", 9, 7)],
+        ["source", "doc_id", "n"],
+    )
+    out = rows(pack_sequences(df, "source", "doc_id", "n", budget=5))
+    assert out == [
+        ("s", 1, 3, 0, 0, 0),   # words 0-2 → bin 0
+        ("s", 2, 4, 3, 0, 1),   # words 3-6 → straddles the cut at 5
+        ("s", 3, 2, 7, 1, 1),   # words 7-8 → bin 1
+        ("t", 9, 7, 0, 0, 1),   # separate shard restarts at offset 0
+    ]
