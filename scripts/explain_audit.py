@@ -77,6 +77,49 @@ CHECKS = [
             ("single shuffle: partial then final agg", r"partial"),
         ],
     ),
+    (
+        "tpch_q1_pricing",
+        [
+            ("shipdate filter pushed to parquet scan", r"PushedFilters: \[.*l_shipdate"),
+            ("partial aggregation before shuffle", r"partial"),
+            # (codegen-id annotations are hidden inside an unexecuted
+            # AdaptiveSparkPlan, so assert pruning instead: the scan
+            # must read exactly the 7 needed of 11 lineitem columns.)
+            ("scan prunes to the 7 needed columns",
+             r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp"),
+        ],
+    ),
+    (
+        "tpch_q3_top_orders",
+        [
+            ("segment filter pushed to customer scan", r"PushedFilters: \[.*c_mktsegment"),
+            ("date filters pushed to fact scans", r"PushedFilters: \[.*l_shipdate"),
+            ("top-N compiles to TakeOrderedAndProject", r"TakeOrderedAndProject"),
+            ("no cartesian/nested-loop join", r"^(?!.*CartesianProduct)(?!.*BroadcastNestedLoop)"),
+        ],
+    ),
+    (
+        "text_chunking",
+        [
+            ("map-only: no Exchange anywhere in the plan", r"^(?!.*Exchange)"),
+            ("no Python eval in plan", r"^(?!.*BatchEvalPython)(?!.*ArrowEvalPython)"),
+        ],
+    ),
+    (
+        "text_repetition_filter",
+        [
+            ("map-only: no Exchange anywhere in the plan", r"^(?!.*Exchange)"),
+            ("whole-stage codegen active", r"codegen id : \d"),
+        ],
+    ),
+    (
+        "text_pii_redact",
+        [
+            ("map-only: no Exchange anywhere in the plan", r"^(?!.*Exchange)"),
+            ("scan reads only the two needed customer columns",
+             r"ReadSchema: struct<c_custkey:bigint,c_name:string"),
+        ],
+    ),
 ]
 
 
