@@ -47,7 +47,7 @@ _WINDOW = [
     "a10_degree_stats",
     # Data-pipeline core.
     "j_asof_join",
-    "dedup_exact",
+    "j_scd2_intervals",
     "dedup_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -55,9 +55,10 @@ _WINDOW = [
     "text_quality",
     "text_token_stats",
     "text_langid",
-    # Serving / label core. (f1_f2 and a5 rotated into the combo slot
-    # mid-round-2 for the chunking/packing queries.)
-    "o1_collation_sort",
+    # Serving / label core. (f1_f2/a5, then o1/p14_16/dedup_exact,
+    # rotated into the combo slot mid-round-2 for the chunking/packing
+    # and pivot/unpivot/SCD2 queries.)
+    "a_pivot_daily",
     "text_chunking",
     # The real micro-batch streaming run (availableNow → memory sink),
     # oracle-verified against the same SQL as its batch twin. Replaces
@@ -66,7 +67,7 @@ _WINDOW = [
     "stream_tumbling_microbatch",
     # (a11/j8/j9 rotated into the combo slot mid-round-2 to free window
     # slots for the repetition/contamination/PII queries below.)
-    "p14_16_map_ops",
+    "a_unpivot_metrics",
     "text_repetition_filter",
     "text_contamination",
     "text_pii_redact",

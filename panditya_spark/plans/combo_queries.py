@@ -81,6 +81,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # Rotated out for the chunking/packing queries.
     "a5_formatted_freq_agg": [("custkey", "i"), ("freq_label", "s")],
     "f1_f2_entity_labels": [("id", "s"), ("label", "s")],
+    # Rotated out for the pivot/unpivot/SCD2 queries. o1's rank column
+    # makes the collation ORDER itself value-checked here.
+    "o1_collation_sort": [("p_name", "s"), ("rank", "i")],
+    "p14_16_map_ops": [("work_id", "i"), ("collection", "s"), ("n", "i")],
+    "dedup_exact": [("content_hash", "s"), ("keeper_id", "i"), ("n_copies", "i")],
 }
 
 _NULL = "∅"

@@ -770,3 +770,109 @@ def a_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     ).select("day", "event_type", "gid", "n_events", "total_value")
+
+
+# ---------------------------------------------------------------- pivot
+# Long→wide pivot over the events log: one row per day, one count
+# column per event type. Spark's pivot() with an EXPLICIT value list
+# compiles to the same partial-aggregated single shuffle as the CASE
+# sums the oracle spells out (an implicit list would add a distinct
+# pre-pass — never do that at 100 TB).
+@register(
+    "a_pivot_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY 1
+    """,
+)
+def a_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+    for k in kinds:
+        out = out.withColumnRenamed(k, f"n_{k}")
+    return out
+
+
+# ---------------------------------------------------------------- unpivot
+# Wide→long melt of the per-doc quality features: the metric-store
+# layout. unpivot() is a zero-shuffle row expansion (each input row
+# emits one row per value column).
+@register(
+    "a_unpivot_metrics",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                  AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, 'n_words' AS metric, n_words AS v FROM q
+    UNION ALL
+    SELECT doc_id, 'n_tokens', n_tokens FROM q
+    UNION ALL
+    SELECT doc_id, 'n_punct', n_punct FROM q
+    """,
+)
+def a_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panditya_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        *[c.cast("bigint").alias(n) for c, n in zip(
+            quality_features(F.col("text"))[:3],
+            ["n_words", "n_tokens", "n_punct"],
+        )],
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["n_words", "n_tokens", "n_punct"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+
+
+# ---------------------------------------------------------------- SCD2 intervals
+# Change-log → slowly-changing-dimension type-2 intervals: each event
+# becomes an [effective_from, effective_to) validity row, open-ended
+# for the latest per key. One window shuffle on the key; (ts, event_id)
+# ordering makes the intervals deterministic under timestamp ties.
+@register(
+    "j_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           ts AS effective_from,
+           lead(ts) OVER w AS effective_to,
+           value,
+           CAST(lead(ts) OVER w IS NULL AS INTEGER) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def j_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        "value",
+        nxt.isNull().cast("int").alias("is_current"),
+    )
