@@ -41,9 +41,13 @@ _LIVE_CACHES: dict[str, DataFrame] = {}
 
 
 def _rotate_cache(family: str, df: DataFrame) -> DataFrame:
-    prev = _LIVE_CACHES.pop(family, None)
+    prev = _LIVE_CACHES.get(family)
     if prev is not None:
         try:
+            if prev.sameSemantics(df):
+                # Same input/plan (e.g. cluster canonicalization right
+                # after the pair query): keep the warm cache.
+                return prev
             prev.unpersist()
         except Exception:
             pass

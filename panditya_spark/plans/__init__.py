@@ -42,13 +42,13 @@ _WINDOW = [
     "g1_khop_bfs",
     "g5_connected_components",
     "g10_longest_chain",
+    "g13_triangle_counts",
     "g2_g11_full_undirected",
     "g12_density",
     "a10_degree_stats",
     # Data-pipeline core.
     "j_asof_join",
     "j_scd2_intervals",
-    "dedup_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_cosine_topk",

@@ -86,6 +86,9 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "o1_collation_sort": [("p_name", "s"), ("rank", "i")],
     "p14_16_map_ops": [("work_id", "i"), ("collection", "s"), ("n", "i")],
     "dedup_exact": [("content_hash", "s"), ("keeper_id", "i"), ("n_copies", "i")],
+    # Rotated out for triangle counting (fingerprint is 500 flat rows;
+    # g2_g11's 33k-row edge list would double this slot's cost).
+    "dedup_fingerprint": [("fp", "s"), ("keeper_id", "i"), ("n_copies", "i")],
 }
 
 _NULL = "∅"

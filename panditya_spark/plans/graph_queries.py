@@ -230,3 +230,42 @@ def g2_g11_full_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return undirected(key_chain_edges(spark, sf_dir)).select(
         F.col("a"), F.col("b")
     )
+
+
+# ---------------------------------------------------------------- G13 (ext.)
+# Triangle counting — no reference counterpart (NetworkX offers it but
+# the reference's commentary graph is a near-forest); run on the part
+# co-purchase graph (parts sharing an order), where triangles are real.
+@register(
+    "g13_triangle_counts",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lp x JOIN lp y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY node
+    """,
+)
+def g13_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panditya_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_counts(e)

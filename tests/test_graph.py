@@ -202,3 +202,19 @@ def test_modularity_hand_values(spark):
     one = two.select("node", (F.col("community") * 0).alias("community"))
     assert abs(modularity(e, two) - 5.0 / 14.0) < 1e-9
     assert abs(modularity(e, one)) < 1e-9
+
+
+def test_triangle_counts_hand_values(spark):
+    from panditya_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    # (5-6, no triangle) and a duplicate/reversed edge (must not double
+    # count).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (2, 1), (4, 3)],
+        ["src", "dst"],
+    )
+    from tests.conftest import rows
+
+    out = rows(triangle_counts(edges))
+    assert out == [(1, 3), (2, 3), (3, 3), (4, 3)]
