@@ -75,7 +75,7 @@ _WINDOW = [
     # combo slot mid-round-2 to free window slots for the five new
     # queries below.)
     "j5_broadcast_join_agg",
-    "w2_first_match_backfill",
+    "w_percentile_select",
     # One slot checks the whole trivial-projection family plus the
     # rotated-out green aggregates at full value precision (members
     # incl. a1-a4/a6/a7/a9/a12/j1/j2/w1/t1/t3/t4/f2/p1..p10_13 — see

@@ -89,6 +89,10 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # Rotated out for triangle counting (fingerprint is 500 flat rows;
     # g2_g11's 33k-row edge list would double this slot's cost).
     "dedup_fingerprint": [("fp", "s"), ("keeper_id", "i"), ("n_copies", "i")],
+    # Rotated out for the percentile-rank selection query.
+    "w2_first_match_backfill": [
+        ("l_orderkey", "i"), ("l_linenumber", "i"), ("l_returnflag", "s"),
+    ],
 }
 
 _NULL = "∅"

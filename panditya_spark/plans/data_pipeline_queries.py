@@ -610,3 +610,51 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
     )
     return T.pack_sequences(d, "source", "doc_id", "n", budget=512)
+
+
+# ------------------------------------------------- percentile-rank selection
+@register(
+    "w_percentile_select",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS INTEGER) AS n_words
+      FROM documents
+    )
+    SELECT source, doc_id, n_words,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY n_words, doc_id) AS pct_rank,
+           CAST(percent_rank() OVER (PARTITION BY source
+                                     ORDER BY n_words, doc_id) >= 0.75
+                AS INTEGER) AS keep
+    FROM d
+    """,
+)
+def w_percentile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality selection: keep the top quarter of docs
+    per source shard by word count. percent_rank over a TOTAL order
+    (doc_id tiebreak) is (row_number-1)/(n-1) — exact integer division
+    in double, so both engines agree bit-for-bit; one shuffle on the
+    shard key, the same plan as any per-group ranking."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("n_words"),
+    )
+    w = Window.partitionBy("source").orderBy("n_words", "doc_id")
+    pr = F.percent_rank().over(w)
+    return d.select(
+        "source",
+        "doc_id",
+        "n_words",
+        pr.alias("pct_rank"),
+        (pr >= 0.75).cast("int").alias("keep"),
+    )
