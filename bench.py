@@ -58,13 +58,24 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: absorb codegen/JIT/session-start cost outside the timings.
-    QUERIES["a9_group_count"](spark, sf_dir).count()
+    # Fault-isolated like the queries themselves (VERDICT r2 #2): one
+    # broken query must never zero the whole round's perf evidence.
+    try:
+        QUERIES["a9_group_count"](spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001 — report, don't die
+        print(f"warmup failed: {exc!r}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — per-query isolation
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -75,6 +86,9 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
+        out["skipped"] = sorted(errors)
     print(json.dumps(out))
     return 0
 

@@ -31,7 +31,10 @@ _WINDOW = [
     "a15_combined_histogram",
     "g6_degree_centrality",
     "g7_betweenness",
-    "f7_link_labels",
+    # (f7_link_labels rotated into the combo slot in round 3 — green in
+    # r2, pure int/string columns — to free a slot for the REAL stateful
+    # sessionize micro-batch run below.)
+    "stream_sessionize_microbatch",
     "g3_g4_annotate",
     "stream_tumbling_hourly",
     "stream_sliding_daily",
@@ -120,5 +123,17 @@ def _reorder() -> None:
 
 
 _reorder()
+
+# Rotation-ledger invariant (COVERAGE.md's claim, enforced): every
+# oracle-bearing query gets a value-level driver check each round —
+# either its own window slot or full-value membership in the combo
+# slot. A query rotated out without being folded in fails HERE, at
+# import time, not silently two rounds later.
+from panditya_spark.plans.combo_queries import _MEMBERS as _COMBO_MEMBERS  # noqa: E402
+
+_UNCOVERED = set(ORACLES) - set(_WINDOW) - set(_COMBO_MEMBERS)
+assert not _UNCOVERED, (
+    f"oracle-bearing queries with no per-round value check: {sorted(_UNCOVERED)}"
+)
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -93,6 +93,8 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "w2_first_match_backfill": [
         ("l_orderkey", "i"), ("l_linenumber", "i"), ("l_returnflag", "s"),
     ],
+    # Round 3: rotated out for the real stateful sessionize micro-batch.
+    "f7_link_labels": [("o_orderkey", "i"), ("label", "s")],
 }
 
 _NULL = "∅"

@@ -26,20 +26,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media(
+    spark: SparkSession, sf_dir: str, spread_for_decode: bool = False
+) -> DataFrame:
     """documents projected into the opaque-media shape: BINARY payload
     plus string id. Payload bytes == UTF-8 of text, so the oracle can
-    recompute every derived value from the text column."""
+    recompute every derived value from the text column.
+
+    spread_for_decode: mapInPandas parallelism equals upstream partition
+    count, so a single-file media table decodes on one core unless
+    round-robin spread first — but the spread shuffles the PAYLOAD
+    bytes, so it only pays when decode CPU outweighs the bytes moved.
+    With the stubbed (near-free) codec it never does (measured at
+    sf0.1: 3.0s → 7.8s regression, VERDICT r2 #4), so the default is
+    False; a real PIL/libvips decode at ~10ms+/image flips the ratio,
+    and that deployment passes True. At 100 TB the input arrives in
+    thousands of scan splits and spread_small_input is a no-op either
+    way — this knob only matters for small single-split inputs."""
     from panditya_spark.operators.relational import spread_small_input
 
     docs = _t(spark, sf_dir, "documents")
-    # Spread a few-split scan across workers BEFORE the Arrow-batched
-    # decode: mapInPandas parallelism equals upstream partition count,
-    # and a single-file media table would otherwise decode on one core.
-    return spread_small_input(docs).select(
+    # Project BEFORE any spread so only (id, payload) ever moves.
+    media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
     )
+    if spread_for_decode:
+        media = spread_small_input(media)
+    return media
 
 
 # ---------------------------------------------------------------- decode+featurize

@@ -184,6 +184,60 @@ def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sessionize_microbatch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           CAST(count(*) AS INTEGER) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def stream_sessionize_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stateful sessionizer (applyInPandasWithState with
+    event-time timeout, streaming/windows.sessionize) driven to
+    completion: an availableNow micro-batch run over the events file
+    plus two far-future sentinel files that advance the watermark past
+    every real session's gap timeout, so ALL real sessions close and
+    emit. The sentinels' own (never-closing) sessions are filtered from
+    the output, leaving exactly the batch twin's session set — the same
+    DuckDB gaps-and-islands oracle therefore value-checks the custom
+    stateful operator end-to-end (state round-trips, timeout firing,
+    out-of-order chunk merging included)."""
+    from panditya_spark.streaming.windows import (
+        SENTINEL_USERS,
+        read_sessionize_stream,
+        run_stream_to_memory,
+        sessionize,
+    )
+
+    _MICROBATCH_SEQ[0] += 1
+    stream = read_sessionize_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"), "ts"
+    )
+    out = run_stream_to_memory(
+        sessionize(stream, gap_minutes=30),
+        f"stream_sessionize_microbatch_{_MICROBATCH_SEQ[0]}",
+        mode="append",
+    )
+    return out.filter(~F.col("user_id").isin([str(u) for u in SENTINEL_USERS]))
+
+
+@register(
     "stream_attribution_join",
     oracle="""
     SELECT v.user_id AS user_id,

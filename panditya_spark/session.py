@@ -54,11 +54,27 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     changed post-start, so we only touch runtime confs here."""
     global _CHECKPOINT_DIR
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        # events.parquet carries TIMESTAMP(NANOS); read as long + convert.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    # The driver's events.parquet timestamp physical type has changed
+    # across testdata generations: TIMESTAMP(NANOS) in one, then
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) — which Spark would infer
+    # as TIMESTAMP_NTZ, a type withWatermark/unix_micros reject. Both
+    # confs below make either shape arrive as something load_table /
+    # read_events_stream can normalize to plain TIMESTAMP; the loaders
+    # ALSO guard by schema (LongType → timestamp_micros, NTZ → cast), so
+    # a conf silently not applying cannot recur as a red round. The
+    # session tz is UTC, so NTZ-as-TIMESTAMP matches DuckDB's naive
+    # reading instant-for-instant.
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:
+            # Runtime-immutable on some deployments (e.g. Connect with a
+            # locked conf); the schema-level guards in the loaders are
+            # the real defense — do not mask THEIR failures.
+            pass
     try:
         if not spark.sparkContext.getCheckpointDir():
             if _CHECKPOINT_DIR is None:

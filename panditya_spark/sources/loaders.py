@@ -35,16 +35,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst pushes filters/projections from downstream operators into
     the file scan (check .explain() for PushedFilters / ReadSchema).
 
-    events.ts is TIMESTAMP(NANOS) in the files, which vanilla Spark
-    rejects; we read it as long (legacy nanosAsLong conf, set in
-    ensure_session_defaults) and truncate to microseconds — the same
-    ns→µs truncation DuckDB applies."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
+    events.ts has changed physical type across testdata generations:
+    TIMESTAMP(NANOS) (arrives as long under the legacy nanosAsLong
+    conf; truncated to micros like DuckDB does) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ unless
+    inferTimestampNTZ is disabled; cast to TIMESTAMP — identical
+    instants since the session tz is UTC). Both shapes are normalized
+    HERE, by schema, so downstream watermarks/unix_micros always see
+    plain TimestampType regardless of which conf stuck."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain TimestampType from any of
+    the physical shapes the driver testdata has shipped: long nanos
+    (legacy nanosAsLong read of TIMESTAMP(NANOS)) or TIMESTAMP_NTZ
+    (TIMESTAMP_MICROS isAdjustedToUTC=0). The UTC session timezone makes
+    the NTZ cast instant-preserving and DuckDB-identical."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -11,7 +11,11 @@ via applyInPandasWithState.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+from panditya_spark.sources.loaders import normalize_event_ts
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -28,14 +32,15 @@ def read_events_stream(
     """File-based streaming source over the events parquet — the local
     stand-in for Kafka; on a cluster only this reader changes
     (format('kafka') + from_json), every transformation downstream is
-    identical. The file stores ts as TIMESTAMP(NANOS), read as long
-    (legacy nanosAsLong conf) and truncated to microseconds exactly
-    like the batch loader."""
+    identical. The file's physical timestamp type has varied across
+    testdata generations (TIMESTAMP(NANOS) → long under nanosAsLong;
+    TIMESTAMP_MICROS isAdjustedToUTC=0 → TIMESTAMP_NTZ); both are
+    normalized to plain TIMESTAMP exactly like the batch loader, so
+    withWatermark always sees an event-time-capable column."""
     import os
 
-    from pyspark.sql.types import LongType
-
     from panditya_spark.session import ensure_session_defaults
+    from panditya_spark.sources.loaders import normalize_event_ts
 
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, "events.parquet")
@@ -48,9 +53,7 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -227,6 +230,88 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# Sentinel users injected by build_sessionize_stream_input: far-future
+# events that push the watermark past every REAL session's gap timeout
+# so the stateful sessionizer closes and emits them all. Two sentinels
+# (10d and 20d past the real max ts) so the close does not depend on
+# whether the engine schedules a trailing no-data micro-batch: the 20d
+# file's batch runs with the watermark already past 10d+gap, firing all
+# real timeouts during a DATA batch.
+SENTINEL_USERS = (-999_999, -999_998)
+
+_SENTINEL_INPUT_CACHE: dict[str, str] = {}
+
+
+def build_sessionize_stream_input(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a temp streaming-input directory: the real events
+    file plus two single-row far-future sentinel files (one per
+    SENTINEL_USERS entry), mtime-ordered so the file source processes
+    real data first. Cached per (path, mtime) so repeated invocations
+    (driver correctness run + pytest + bench) reuse one copy."""
+    import datetime
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = f"{src}:{os.path.getmtime(src)}"
+    cached = _SENTINEL_INPUT_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+
+    d = tempfile.mkdtemp(prefix="panditya-sessionize-in-")
+    shutil.copy(src, os.path.join(d, "00_events.parquet"))
+    hi = (
+        normalize_event_ts(spark.read.parquet(src))
+        .agg(F.max("ts").alias("hi"))
+        .first()["hi"]
+    )
+    # Build each sentinel row against the RAW file's arrow schema so a
+    # driver re-materialization with new columns keeps working: every
+    # non-(ts, user_id) field is null.
+    raw = pq.read_schema(src)
+    for i, (uid, days) in enumerate(zip(SENTINEL_USERS, (10, 20)), start=1):
+        ts = hi + datetime.timedelta(days=days)
+        arrays = []
+        for field in raw:
+            if field.name == "ts":
+                arrays.append(pa.array([ts], type=field.type))
+            elif field.name == "user_id":
+                arrays.append(pa.array([uid], type=field.type))
+            else:
+                arrays.append(pa.array([None], type=field.type))
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=raw),
+            os.path.join(d, f"{i:02d}_sentinel.parquet"),
+        )
+    # FileStreamSource orders by modification time: force real < s1 < s2.
+    now = _time.time()
+    for j, name in enumerate(sorted(os.listdir(d))):
+        os.utime(os.path.join(d, name), (now + j, now + j))
+    _SENTINEL_INPUT_CACHE[key] = d
+    return d
+
+
+def read_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + watermark-closing sentinels as a file stream, one file
+    per micro-batch, ts normalized to TimestampType like every other
+    events reader."""
+    from panditya_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    d = build_sessionize_stream_input(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(d, "00_events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return normalize_event_ts(stream)
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

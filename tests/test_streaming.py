@@ -91,6 +91,30 @@ def test_stream_sessionize(spark):
         assert (s.user_id, s.session_start, s.session_end, s.n_events) in batch
 
 
+def test_stream_sessionize_microbatch_equals_batch_twin(spark):
+    """The registered sentinel-closed stateful run must emit EXACTLY the
+    batch gaps-and-islands session set — not a subset: the far-future
+    sentinel batches advance the watermark past every real session's
+    timeout, so every session closes and emits."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.plans import QUERIES
+    from panditya_spark.sources.loaders import load_table
+    from panditya_spark.streaming.windows import sessionize_batch
+
+    got = QUERIES["stream_sessionize_microbatch"](spark, SF_DIR)
+    expected = sessionize_batch(
+        load_table(spark, SF_DIR, "events"), gap_minutes=30
+    ).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+    assert rows(got) == rows(expected)
+    assert got.count() > 100  # non-vacuous
+
+
 def test_stream_dedup_agrees_with_batch_distinct(spark):
     """Two-tier streaming dedup (bounded watermark state + downstream
     batch collapse) must produce exactly the batch DISTINCT key set."""
