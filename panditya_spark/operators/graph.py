@@ -338,33 +338,33 @@ def connected_components(
     # checkpointed labels table is the per-round state.
     if labels is not None:
         labels = labels.withColumn("changed", F.lit(True))
-    state = _LoopState()
-    for it in range(max_iter):
-        if it == 0:
-            # Round 0 labels are the node ids themselves, so the
-            # min-label message is a plain aggregate of the edge table —
-            # the full-graph round needs no join at all.
+
+    def round_plan(prev: DataFrame | None, use_delta: bool) -> DataFrame:
+        """One hash-to-min + pointer-jump round as a LAZY plan over
+        `prev` labels (None = labels are still the node ids)."""
+        if prev is None:
+            # Round 0: the min-label message is a plain aggregate of
+            # the edge table — no join at all.
             nbr_min = und.groupBy(F.col("a").alias("node")).agg(
                 F.min("b").alias("nbr_comp")
             )
-        else:
-            delta = labels.filter("changed").select("node", "component")
-            nbr_min = (
-                und.join(delta.withColumnRenamed("node", "b2"), und.b == F.col("b2"))
-                .groupBy(F.col("a").alias("node"))
-                .agg(F.min("component").alias("nbr_comp"))
-            )
-        if labels is None:
-            # Round 0, implicit vertices: nbr_min's key set is the node
-            # universe and every label is still the node id.
             cand = nbr_min.select(
                 "node",
                 F.col("node").alias("old_comp"),
                 F.least("node", "nbr_comp").alias("component"),
             )
         else:
+            msgs = prev.filter("changed") if use_delta else prev
+            nbr_min = (
+                und.join(
+                    msgs.select(F.col("node").alias("b2"), "component"),
+                    und.b == F.col("b2"),
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("component").alias("nbr_comp"))
+            )
             cand = (
-                labels.select("node", "component")
+                prev.select("node", "component")
                 .join(nbr_min, "node", "left_outer")
                 .select(
                     "node",
@@ -375,13 +375,29 @@ def connected_components(
         parent = cand.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
-        (labels,) = state.round_end(
+        return (
             cand.join(parent, cand.component == F.col("p_node"), "left_outer")
             .select(
                 "node",
                 F.least("component", "p_comp").alias("component"),
                 (F.least("component", "p_comp") < F.col("old_comp")).alias("changed"),
             )
+        )
+
+    # One materialization per round. A fused rounds-0+1 single plan was
+    # measured and REJECTED: the pointer-jump self-join makes each
+    # round's subtree appear twice in the next, so a two-round lazy
+    # plan carries the round-0 aggregate 8× — AQE re-optimizes each
+    # occurrence and exchange reuse does not collapse them (measured at
+    # sf0.1: 8.1s → 8.7s warm / 14s cold, and the small pair-graph
+    # invocation in dedup_cluster_canonical 5.6s → 12.1s). Per-round
+    # wall-clock here is scheduler fixed cost on a 3-round converge,
+    # not data volume; at cluster scale data dominates and the
+    # per-round structure is the right shape.
+    state = _LoopState()
+    for it in range(max_iter):
+        (labels,) = state.round_end(
+            round_plan(labels, use_delta=it >= 1)
         )
         if labels.filter("changed").isEmpty():
             break

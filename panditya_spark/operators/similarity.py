@@ -310,6 +310,7 @@ def cosine_near_pairs(
     dim: int | None = None,
     n_planes: int = 4,
     n_tables: int = 12,
+    row_count_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -326,8 +327,15 @@ def cosine_near_pairs(
     regimes (≥0.9, the real-world use) collide with near-certainty at
     the default 4 planes × 12 tables; looser thresholds need coarser
     tables (fewer planes) or more of them.
+
+    ``row_count_hint`` skips the mode-probe count() job when the caller
+    already knows the cardinality (e.g. from parquet footer metadata) —
+    one fewer Spark job per invocation.
     """
-    use_exact = mode == "exact" or (mode == "auto" and df.count() <= exact_max_rows)
+    n_rows = row_count_hint if row_count_hint is not None else (
+        df.count() if mode == "auto" else None
+    )
+    use_exact = mode == "exact" or (mode == "auto" and n_rows <= exact_max_rows)
     if use_exact:
         a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
         b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))

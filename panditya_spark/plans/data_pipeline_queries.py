@@ -270,8 +270,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs twin the DuckDB oracle mirrors; larger inputs route
     through LSH sign-sketch candidates + exact re-rank — no cross join
     in the scale plan."""
+    from panditya_spark.sources.loaders import table_row_count
+
     emb = _t(spark, sf_dir, "embeddings")
-    return S.cosine_near_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    # Footer-metadata cardinality → no count() probe job per invocation.
+    return S.cosine_near_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+        row_count_hint=table_row_count(sf_dir, "embeddings"),
+    )
 
 
 # ------------------------------------------------- winnowing fingerprints

@@ -66,6 +66,20 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count from the parquet footer — pure driver-side
+    metadata, no Spark job. Used to route size-gated operators (e.g.
+    cosine_near_pairs exact-vs-LSH) without paying a count() scan.
+    Returns None when the file is missing/unreadable (caller falls back
+    to counting)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+    except Exception:
+        return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
