@@ -95,6 +95,17 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     ],
     # Round 3: rotated out for the real stateful sessionize micro-batch.
     "f7_link_labels": [("o_orderkey", "i"), ("label", "s")],
+    # Round 3: sink round-trips (S6/S7/S9) — write through the real
+    # sink, read the artifact back, value-check the parsed rows. These
+    # were the last driver-"untested" surfaces in SURVEY §2.1.
+    "s6_csv_roundtrip": [("n_nationkey", "s"), ("n_name", "s")],
+    "s7_entity_map_roundtrip": [
+        ("id", "s"), ("name", "s"), ("aka", "s"), ("highest_year", "i"),
+    ],
+    "s9_gexf_roundtrip": [
+        ("node", "s"), ("label", "s"), ("r", "i"), ("g", "i"), ("b", "i"),
+        ("n_out", "i"),
+    ],
 }
 
 _NULL = "∅"

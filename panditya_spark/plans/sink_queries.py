@@ -1,0 +1,215 @@
+"""Sink round-trip queries (SURVEY §2.1 S6/S7/S9).
+
+The round-2 verdict listed the sink surfaces as "untested (pytest
+only)" at the driver level because a sink has no result rows to
+hash-compare. These queries close that gap: each WRITES through the
+real sink, READS the artifact back, and returns the parsed rows — so
+the driver's DuckDB oracle value-checks the serialization round-trip
+(CSV quoting/headers, JSON null-dropping, GEXF XML structure + RGB
+mapping) every round, not just at pytest time.
+
+Artifacts go to one process-lifetime temp dir, overwritten per
+invocation — repeated driver/bench runs don't accumulate files.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from panditya_spark.plans.registry import register
+from panditya_spark.sources.loaders import load_table, read_csv_all_string
+
+_SINK_TMP: str | None = None
+
+
+def _sink_dir(name: str) -> str:
+    global _SINK_TMP
+    if _SINK_TMP is None:
+        _SINK_TMP = tempfile.mkdtemp(prefix="panditya-sink-rt-")
+        atexit.register(lambda: shutil.rmtree(_SINK_TMP, ignore_errors=True))
+    d = os.path.join(_SINK_TMP, name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from panditya_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- S6
+@register(
+    "s6_csv_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name
+    FROM nation
+    """,
+)
+def s6_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink (S6, reference utils/extract.py write path) verified
+    end-to-end: write the nation projection with df.write.csv
+    (header), read it back with the all-string S1 scan, return the
+    re-read rows. Header naming, quoting, and value formatting must
+    all survive for the oracle hash to match."""
+    out = _sink_dir("s6_csv")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    return read_csv_all_string(spark, out).select("n_nationkey", "n_name")
+
+
+# ---------------------------------------------------------------- S7
+@register(
+    "s7_entity_map_roundtrip",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS id,
+           c_name AS name,
+           CASE WHEN c_custkey % 3 = 0 THEN NULL
+                ELSE 'aka_' || CAST(c_custkey AS VARCHAR) END AS aka,
+           c_nationkey AS highest_year
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def s7_entity_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-map JSON sink (S7, reference transform.py:167-171 /
+    data_models.to_dict): write `{id: entity_dict}` with null/empty
+    fields DROPPED through the real sink, parse the JSON back, and
+    re-surface the dropped fields as NULLs. Every third entity has a
+    null `aka`, so the null-dropping behavior itself is value-checked:
+    a sink that serialized nulls (or dropped the wrong field) would
+    hash-mismatch."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from panditya_spark.sources.sinks import entity_map_json
+
+    ents = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").cast("string").alias("id"),
+            F.lit("author").alias("type"),
+            F.col("c_name").alias("name"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("aka_"), F.col("c_custkey").cast("string")))
+            .alias("aka"),
+            F.col("c_nationkey").cast("long").alias("highest_year"),
+        )
+    )
+    path = os.path.join(_sink_dir("s7_json"), "entities.json")
+    entity_map_json(ents, path)
+    with open(path, encoding="utf-8") as f:
+        parsed = json.load(f)
+    rows = [
+        (
+            eid,
+            ent.get("name"),
+            ent.get("aka"),  # absent in the JSON when null at write time
+            ent.get("highest_year"),
+        )
+        for eid, ent in parsed.items()
+    ]
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("name", StringType()),
+            StructField("aka", StringType()),
+            StructField("highest_year", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------- S9
+@register(
+    "s9_gexf_roundtrip",
+    oracle="""
+    SELECT 'n' || CAST(o_orderkey AS VARCHAR) AS node,
+           'L' || CAST(o_orderkey AS VARCHAR) AS label,
+           CASE o_orderkey % 3 WHEN 0 THEN 255 WHEN 1 THEN 6 ELSE 128 END AS r,
+           CASE o_orderkey % 3 WHEN 0 THEN 0 WHEN 1 THEN 200 ELSE 128 END AS g,
+           CASE o_orderkey % 3 WHEN 0 THEN 0 WHEN 1 THEN 50 ELSE 128 END AS b,
+           CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS n_out
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def s9_gexf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEXF sink (S9, reference grapher.py:140-163) verified
+    end-to-end: build a small labeled, colored subgraph, write it
+    through the real XML sink, parse the XML back with ElementTree,
+    and return one row per node carrying the parsed viz:color channels
+    plus the parsed out-degree. The red/green/gray → RGB mapping and
+    the edge serialization are both value-checked."""
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from panditya_spark.sources.sinks import write_gexf
+
+    keys = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    color = F.element_at(
+        F.array(F.lit("red"), F.lit("green"), F.lit("gray")),
+        (F.col("o_orderkey") % 3 + 1).cast("int"),
+    )
+    nodes = keys.select(
+        F.concat(F.lit("n"), F.col("o_orderkey").cast("string")).alias("node"),
+        F.concat(F.lit("L"), F.col("o_orderkey").cast("string")).alias("label"),
+        color.alias("color"),
+    )
+    edges = keys.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.concat(F.lit("n"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), (F.col("o_orderkey") + 1).cast("string")).alias("dst"),
+    )
+    path = os.path.join(_sink_dir("s9_gexf"), "graph.gexf")
+    write_gexf(nodes, edges, path)
+
+    ns = {
+        "g": "http://www.gexf.net/1.2draft",
+        "viz": "http://www.gexf.net/1.2draft/viz",
+    }
+    root = ET.parse(path).getroot()
+    out_deg: dict[str, int] = {}
+    for e in root.findall(".//g:edges/g:edge", ns):
+        out_deg[e.get("source")] = out_deg.get(e.get("source"), 0) + 1
+    rows = []
+    for n in root.findall(".//g:nodes/g:node", ns):
+        c = n.find("viz:color", ns)
+        rows.append(
+            (
+                n.get("id"),
+                n.get("label"),
+                int(c.get("r")),
+                int(c.get("g")),
+                int(c.get("b")),
+                out_deg.get(n.get("id"), 0),
+            )
+        )
+    schema = StructType(
+        [
+            StructField("node", StringType()),
+            StructField("label", StringType()),
+            StructField("r", IntegerType()),
+            StructField("g", IntegerType()),
+            StructField("b", IntegerType()),
+            StructField("n_out", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
