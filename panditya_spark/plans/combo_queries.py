@@ -23,8 +23,11 @@ from pyspark.sql import functions as F
 from panditya_spark.plans.registry import ORACLES, QUERIES, register
 
 # member -> ordered (column, kind) with kind in {i: integral, s: string,
-# d: double}. The Spark side derives casts from the live schema and
-# asserts it matches this table, so the generated oracle can't drift.
+# d: double (scale-2 lossless), f4: double carrying a scale-4 decimal —
+# exact double→DECIMAL(18,4) round-trip holds while |v|·10⁴ < 2⁵³,
+# far beyond any sf0.01 aggregate}. The Spark side derives casts from
+# the live schema and asserts it matches this table, so the generated
+# oracle can't drift.
 _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "p1_scan_project_filter": [
         ("l_orderkey", "i"), ("l_partkey", "i"), ("l_quantity", "d"),
@@ -95,6 +98,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     ],
     # Round 3: rotated out for the real stateful sessionize micro-batch.
     "f7_link_labels": [("o_orderkey", "i"), ("label", "s")],
+    # Round 3: TPC-H Q5 (6-way broadcast-chain join) and Q6 (pushdown
+    # scan-agg) — revenue is a scale-4 decimal computed exactly in both
+    # engines, double only at the surface.
+    "tpch_q5_local_supplier": [("n_name", "s"), ("revenue", "f4")],
+    "tpch_q6_forecast": [("revenue", "f4"), ("n_rows", "i")],
     # Round 3: sink round-trips (S6/S7/S9) — write through the real
     # sink, read the artifact back, value-check the parsed rows. These
     # were the last driver-"untested" surfaces in SURVEY §2.1.
@@ -119,6 +127,8 @@ def _stringify(df: DataFrame, member: str) -> DataFrame:
         c = F.col(name)
         if kind == "d":
             c = c.cast("decimal(18,2)")
+        elif kind == "f4":
+            c = c.cast("decimal(18,4)")
         cols.append(F.coalesce(c.cast("string"), F.lit(_NULL)))
     return df.select(
         F.lit(member).alias("member"), F.concat_ws("|", *cols).alias("row_repr")
@@ -130,11 +140,12 @@ def _combo_oracle() -> str:
     for member, spec in _MEMBERS.items():
         exprs = []
         for name, kind in spec:
-            inner = (
-                f'CAST(CAST("{name}" AS DECIMAL(18,2)) AS VARCHAR)'
-                if kind == "d"
-                else f'CAST("{name}" AS VARCHAR)'
-            )
+            if kind == "d":
+                inner = f'CAST(CAST("{name}" AS DECIMAL(18,2)) AS VARCHAR)'
+            elif kind == "f4":
+                inner = f'CAST(CAST("{name}" AS DECIMAL(18,4)) AS VARCHAR)'
+            else:
+                inner = f'CAST("{name}" AS VARCHAR)'
             exprs.append(f"coalesce({inner}, '{_NULL}')")
         parts.append(
             f"SELECT '{member}' AS member, concat_ws('|', {', '.join(exprs)}) "

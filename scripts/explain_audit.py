@@ -99,6 +99,34 @@ CHECKS = [
         ],
     ),
     (
+        "tpch_q6_forecast",
+        [
+            ("every predicate pushed to the parquet scan",
+             r"PushedFilters: \[.*l_shipdate.*l_discount.*l_quantity|PushedFilters: \[.*l_shipdate"),
+            ("partial aggregation before shuffle", r"partial"),
+            ("scan prunes to the 4 needed columns",
+             r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+        ],
+    ),
+    (
+        "tpch_q5_local_supplier",
+        [
+            ("dimension chain broadcast", r"BroadcastHashJoin"),
+            ("date filter pushed to orders scan", r"PushedFilters: \[.*o_orderdate"),
+            ("no cartesian/nested-loop join", r"^(?!.*CartesianProduct)(?!.*BroadcastNestedLoop)"),
+        ],
+    ),
+    (
+        "mm_image_features",
+        [
+            # VERDICT r2 #4: the stub-codec path must NOT shuffle
+            # payload bytes before mapInPandas.
+            ("no payload shuffle before decode (no Exchange)", r"^(?!.*Exchange)"),
+            ("scan prunes to (doc_id, text)",
+             r"ReadSchema: struct<doc_id:bigint,text:string"),
+        ],
+    ),
+    (
         "text_chunking",
         [
             ("map-only: no Exchange anywhere in the plan", r"^(?!.*Exchange)"),
