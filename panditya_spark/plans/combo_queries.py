@@ -98,6 +98,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     ],
     # Round 3: rotated out for the real stateful sessionize micro-batch.
     "f7_link_labels": [("o_orderkey", "i"), ("label", "s")],
+    # Round 3: the spark.sql surface (views + SQL-authored window
+    # query); revenue is a scale-2 decimal sum, lossless at scale 2.
+    "sql_top_customer_per_nation": [
+        ("n_name", "s"), ("c_custkey", "i"), ("revenue", "d"),
+    ],
     # Round 3: TPC-H Q5 (6-way broadcast-chain join) and Q6 (pushdown
     # scan-agg) — revenue is a scale-4 decimal computed exactly in both
     # engines, double only at the surface.

@@ -391,3 +391,54 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+# The SQL surface: the engine's plans can equivalently be declared in
+# ANSI SQL over registered views (sources/views.register_views) —
+# Catalyst compiles both surfaces to the same logical operators, so
+# this window-function query exercises spark.sql end-to-end and its
+# oracle is nearly the same text.
+@register(
+    "sql_top_customer_per_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT c_nationkey, c_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_nationkey, c_custkey
+    ),
+    ranked AS (
+      SELECT n_name, c_custkey,
+             CAST(revenue AS DOUBLE) AS revenue,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY revenue DESC, c_custkey) AS rn
+      FROM rev JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT n_name, c_custkey, revenue FROM ranked WHERE rn <= 3
+    """,
+)
+def sql_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order revenue per nation, authored entirely
+    in spark.sql over the registered views — window function, join,
+    and exact-decimal aggregate all through the SQL parser."""
+    from panditya_spark.sources.views import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT c_nationkey, c_custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+          FROM customer JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_nationkey, c_custkey
+        ),
+        ranked AS (
+          SELECT n_name, c_custkey,
+                 CAST(revenue AS DOUBLE) AS revenue,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                    ORDER BY revenue DESC, c_custkey) AS rn
+          FROM rev JOIN nation ON n_nationkey = c_nationkey
+        )
+        SELECT n_name, c_custkey, revenue FROM ranked WHERE rn <= 3
+        """
+    )
