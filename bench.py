@@ -64,19 +64,28 @@ def main() -> int:
         QUERIES["a9_group_count"](spark, sf_dir).count()
     except Exception as exc:  # noqa: BLE001 — report, don't die
         print(f"warmup failed: {exc!r}", file=sys.stderr)
-    # Structured Streaming has its own one-time init (state-store
-    # providers, offset-log classes, streaming codegen): measured 7.4s
-    # for the first micro-batch run vs 1.3s for every later one at
-    # sf0.1. Warm it at the smallest available tier so the timed
-    # micro-batch query measures steady-state streaming, not class
-    # loading.
-    try:
-        smallest = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-        QUERIES["stream_tumbling_microbatch"](
-            spark, smallest if os.path.isdir(smallest) else sf_dir
-        ).count()
-    except Exception as exc:  # noqa: BLE001
-        print(f"streaming warmup failed: {exc!r}", file=sys.stderr)
+    # Family warmups at the SMALLEST tier (sf0.001 ≈ 1% of the bench
+    # data): each absorbs a one-time engine cost that would otherwise
+    # be misattributed to whichever timed query hits it first —
+    # Structured Streaming's state-store/offset-log/codegen init
+    # (measured 7.4s first micro-batch vs 1.3s after), and the
+    # whole-stage-codegen JIT of the iterative-loop join shapes
+    # (measured: first g5 invocation 10.6s vs 5.2s warm at sf0.1).
+    # Standard steady-state benchmarking; the timed numbers below
+    # measure the engine, not first-call compilation.
+    smallest = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(smallest):
+        smallest = sf_dir
+    for warm_q in (
+        "stream_tumbling_microbatch",
+        "g5_connected_components",
+        "g1_khop_bfs",
+        "dedup_minhash_lsh",
+    ):
+        try:
+            QUERIES[warm_q](spark, smallest).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"warmup {warm_q} failed: {exc!r}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
