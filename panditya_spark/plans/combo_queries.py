@@ -98,6 +98,15 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     ],
     # Round 3: rotated out for the real stateful sessionize micro-batch.
     "f7_link_labels": [("o_orderkey", "i"), ("label", "s")],
+    # Round 3: chunk-level (C4-style) dedup and the composed quality
+    # gate — int/string columns only (the gate's float criteria are
+    # value-checked at full precision by text_repetition_filter /
+    # text_quality; only the composition's verdict folds here).
+    "dedup_chunk_level": [
+        ("chunk_hash", "s"), ("n_docs", "i"), ("n_copies", "i"),
+        ("keeper_doc", "i"),
+    ],
+    "pipeline_quality_gate": [("doc_id", "i"), ("n_words", "i"), ("keep", "i")],
     # Round 3: the spark.sql surface (views + SQL-authored window
     # query); revenue is a scale-2 decimal sum, lossless at scale 2.
     "sql_top_customer_per_nation": [

@@ -667,3 +667,109 @@ def w_percentile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.alias("pct_rank"),
         (pr >= 0.75).cast("int").alias("keep"),
     )
+
+
+# ------------------------------------------------- dedup: chunk level
+# C4/RefinedWeb-style span-level dedup: repeated fixed-size chunks
+# ACROSS documents (boilerplate headers, licence blocks, templated
+# spans) that whole-document hashing can't see. Non-overlapping
+# 32-word chunks (stride = size), short tails dropped, md5 per chunk,
+# one hash-groupBy shuffle — the same one-shuffle shape as exact dedup,
+# applied to the exploded chunk table.
+@register(
+    "dedup_chunk_level",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w), 1), 32)) AS st
+      FROM w
+    ),
+    c AS (
+      SELECT doc_id, md5(array_to_string(w[st:st+31], ' ')) AS chunk_hash
+      FROM s WHERE least(32, len(w) - st + 1) >= 8
+    )
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs,
+           CAST(count(*) AS INTEGER) AS n_copies,
+           min(doc_id) AS keeper_doc
+    FROM c GROUP BY chunk_hash HAVING count(*) > 1
+    """,
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunks = T.chunk_documents(docs, "text", "doc_id", chunk_size=32, stride=32)
+    return (
+        chunks.filter(F.col("n_words") >= 8)
+        .select("doc_id", F.md5(F.col("chunk_text")).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ------------------------------------------------- composed quality gate
+# The single-pass multi-criteria keep/drop decision a training pipeline
+# runs after individual scorers are trusted: word-count bounds, mean
+# word length bounds, and the Gopher repetition caps combined into one
+# map-only scan (each criterion is already independently value-checked
+# by its own query; this pins their composition).
+@register(
+    "pipeline_quality_gate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
+      FROM (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM w WHERE len(w) >= 2)
+      ) GROUP BY doc_id
+    ),
+    f AS (
+      SELECT w.doc_id,
+             CAST(len(w.w) AS INTEGER) AS n_words,
+             CASE WHEN len(w.w) > 0
+                  THEN CAST(length(regexp_replace(w.text, '\\s+', '', 'g'))
+                            AS DOUBLE) / len(w.w)
+                  ELSE 0.0 END AS mwl,
+             coalesce(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) AS d2
+      FROM w LEFT JOIN g2 ON w.doc_id = g2.doc_id
+    )
+    SELECT doc_id, n_words,
+           CAST(n_words BETWEEN 10 AND 100000
+                AND mwl BETWEEN 2.0 AND 12.0
+                AND d2 <= 0.2 AS INTEGER) AS keep
+    FROM f
+    """,
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    w = T._plain_words(text)
+    n_words = F.size(w)
+    mwl = F.when(
+        n_words > 0,
+        F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    d2 = T._dup_ngram_frac(w, 2)
+    keep = (
+        n_words.between(10, 100000)
+        & mwl.between(2.0, 12.0)
+        & (d2 <= 0.2)
+    )
+    return docs.select(
+        "doc_id", n_words.alias("n_words"), keep.cast("int").alias("keep")
+    )
