@@ -80,6 +80,7 @@ def main() -> int:
         "stream_tumbling_microbatch",
         "g5_connected_components",
         "g1_khop_bfs",
+        "g10_longest_chain",
         "dedup_minhash_lsh",
     ):
         try:
