@@ -370,3 +370,26 @@ def test_pack_sequences_hand_values(spark):
         ("s", 3, 2, 7, 1, 1),   # words 7-8 → bin 1
         ("t", 9, 7, 0, 0, 1),   # separate shard restarts at offset 0
     ]
+
+
+def test_cluster_canonical_paths_agree(spark):
+    """The driver union-find (small) and distributed components (large)
+    paths of cluster_canonical must produce bit-identical output — the
+    size gate is a physical-strategy switch, never a semantics switch.
+    Random 150-edge graph over 80 nodes, fixed seed."""
+    import random
+
+    from panditya_spark.operators.dedup import cluster_canonical
+
+    rng = random.Random(7)
+    edges = list(
+        {
+            tuple(sorted(rng.sample(range(80), 2)))
+            for _ in range(150)
+        }
+    )
+    pairs = spark.createDataFrame(edges, ["doc1", "doc2"])
+    small = rows(cluster_canonical(pairs, small_collect_threshold=10**6))
+    large = rows(cluster_canonical(pairs, small_collect_threshold=0))
+    assert small == large
+    assert len(small) > 0
