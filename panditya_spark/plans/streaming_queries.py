@@ -162,8 +162,12 @@ def stream_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS session_seq
+             -- CAST: DuckDB types SUM(int) OVER as HUGEINT, which
+             -- surfaces through Arrow as decimal128(38,0); Spark's
+             -- running sum is int64. Values are identical but the
+             -- driver's value-hash sees Decimal('4') vs 4 — pin BIGINT.
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM marked
     )
     SELECT user_id, session_seq,

@@ -43,6 +43,60 @@ def df_multiset(cols, rows):
     return [cols[i] for i in order], out
 
 
+def arrow_family(t) -> str:
+    """Collapse an Arrow type to the Python-value class the driver's
+    hasher would see. DuckDB SUM(int) OVER yields HUGEINT → Arrow
+    decimal128(38,0) → Decimal cells, while Spark's running sum is
+    int64 → int cells: identical values, different representations —
+    exactly the mismatch that shipped round 3's one red row. This check
+    makes it fail LOCALLY."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_family(t.value_type)}>"
+    return str(t)
+
+
+def spark_family(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_family(dt.elementType)}>"
+    return dt.simpleString()
+
+
 def main() -> int:
     import duckdb
 
@@ -79,9 +133,13 @@ def main() -> int:
             print(f"ok   {name}: rows-only, {len(s_rows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(ORACLES[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            # Fetch via Arrow, like the driver does, so DuckDB's value
+            # REPRESENTATIONS (HUGEINT→decimal128, etc.) are visible.
+            tbl = con.execute(ORACLES[name]).fetch_arrow_table()
+            d_cols = list(tbl.schema.names)
+            d_rows = [
+                tuple(d[c] for c in d_cols) for d in tbl.to_pylist()
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
@@ -89,6 +147,16 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             failures.append(name)
             print(f"FAIL {name}: columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+            continue
+        type_diffs = []
+        s_types = {f.name: spark_family(f.dataType) for f in sdf.schema.fields}
+        for field in tbl.schema:
+            sf_fam, df_fam = s_types.get(field.name), arrow_family(field.type)
+            if sf_fam != df_fam:
+                type_diffs.append(f"{field.name}: spark={sf_fam} duckdb={df_fam}")
+        if type_diffs:
+            failures.append(name)
+            print(f"FAIL {name}: representation mismatch: {type_diffs}")
             continue
         if len(s_rows) != len(d_rows):
             failures.append(name)

@@ -52,7 +52,7 @@ CHECKS = [
         "a4_count_distinct",
         [
             ("partial aggregation", r"partial"),
-            ("no cartesian/nested-loop join", r"^(?!.*CartesianProduct)(?!.*BroadcastNestedLoop)"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
         ],
     ),
     (
@@ -67,7 +67,7 @@ CHECKS = [
     (
         "text_quality",
         [
-            ("pure column expressions — no Python eval in plan", r"^(?!.*BatchEvalPython)(?!.*ArrowEvalPython)"),
+            ("pure column expressions — no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
             ("whole-stage codegen active", r"codegen id : \d"),
         ],
     ),
@@ -95,7 +95,7 @@ CHECKS = [
             ("segment filter pushed to customer scan", r"PushedFilters: \[.*c_mktsegment"),
             ("date filters pushed to fact scans", r"PushedFilters: \[.*l_shipdate"),
             ("top-N compiles to TakeOrderedAndProject", r"TakeOrderedAndProject"),
-            ("no cartesian/nested-loop join", r"^(?!.*CartesianProduct)(?!.*BroadcastNestedLoop)"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
         ],
     ),
     (
@@ -113,7 +113,7 @@ CHECKS = [
         [
             ("dimension chain broadcast", r"BroadcastHashJoin"),
             ("date filter pushed to orders scan", r"PushedFilters: \[.*o_orderdate"),
-            ("no cartesian/nested-loop join", r"^(?!.*CartesianProduct)(?!.*BroadcastNestedLoop)"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
         ],
     ),
     (
@@ -121,7 +121,7 @@ CHECKS = [
         [
             # VERDICT r2 #4: the stub-codec path must NOT shuffle
             # payload bytes before mapInPandas.
-            ("no payload shuffle before decode (no Exchange)", r"^(?!.*Exchange)"),
+            ("no payload shuffle before decode (no Exchange)", ("absent", ["Exchange"])),
             ("scan prunes to (doc_id, text)",
              r"ReadSchema: struct<doc_id:bigint,text:string"),
         ],
@@ -129,21 +129,21 @@ CHECKS = [
     (
         "text_chunking",
         [
-            ("map-only: no Exchange anywhere in the plan", r"^(?!.*Exchange)"),
-            ("no Python eval in plan", r"^(?!.*BatchEvalPython)(?!.*ArrowEvalPython)"),
+            ("map-only: no Exchange anywhere in the plan", ("absent", ["Exchange"])),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
         ],
     ),
     (
         "text_repetition_filter",
         [
-            ("map-only: no Exchange anywhere in the plan", r"^(?!.*Exchange)"),
+            ("map-only: no Exchange anywhere in the plan", ("absent", ["Exchange"])),
             ("whole-stage codegen active", r"codegen id : \d"),
         ],
     ),
     (
         "text_pii_redact",
         [
-            ("map-only: no Exchange anywhere in the plan", r"^(?!.*Exchange)"),
+            ("map-only: no Exchange anywhere in the plan", ("absent", ["Exchange"])),
             ("scan reads only the two needed customer columns",
              r"ReadSchema: struct<c_custkey:bigint,c_name:string"),
         ],
@@ -166,7 +166,16 @@ def main() -> int:
             df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
         for desc, pattern in assertions:
-            ok = re.search(pattern, plan, re.S | re.M) is not None
+            if isinstance(pattern, tuple):
+                # ("absent", tokens): check absence DIRECTLY. The old
+                # ^(?!.*token) form under re.S|re.M was vacuous — any
+                # line start after the last occurrence of the token
+                # satisfied the lookahead (ADVICE r3).
+                kind, tokens = pattern
+                assert kind == "absent", kind
+                ok = not any(t in plan for t in tokens)
+            else:
+                ok = re.search(pattern, plan, re.S | re.M) is not None
             print(f"{'PASS' if ok else 'FAIL'} {qname}: {desc}")
             if not ok:
                 failures += 1

@@ -227,6 +227,49 @@ def test_winnowing_fingerprints(spark):
     assert mismatches == 0
 
 
+def test_stop_shingle_cap_bounds_hot_fanout(spark):
+    """A boilerplate shingle shared by every doc (license header, nav
+    bar) fans out quadratically in the inverted-index self-join — the
+    stop-shingle DF cap must neutralize it while leaving genuine
+    near-dup pairs (built from LOW-frequency shingles) intact."""
+    header = "standard license header text appears everywhere always"
+    # 20 docs: shared 7-word header + one unique tail word each. Every
+    # shingle touching only the header appears in all 20 docs; shingles
+    # touching the unique tail are per-doc.
+    boiler = [(i, f"{header} unique{i}") for i in range(20)]
+    # Plus one genuine near-dup pair with its OWN low-frequency content.
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = [(100, a), (101, a + " extra")]
+    docs = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+
+    # Uncapped: the header alone makes all 20 boilerplate docs mutual
+    # near-dups (jaccard = 5 shared of 7 per-doc shingles ≈ 0.56 — use
+    # threshold 0.5) → C(20,2) = 190 pairs plus the genuine one.
+    un = {
+        (r[0], r[1])
+        for r in rows(
+            ngram_jaccard_pairs(
+                docs, "text", "doc_id", k=3, threshold=0.5, max_doc_freq=None
+            )
+        )
+    }
+    assert (100, 101) in un
+    assert len(un) == 191
+
+    # Capped at DF ≤ 5: every header shingle (DF = 20) is stop-listed,
+    # the quadratic blowup disappears, and ONLY the genuine pair —
+    # whose shingles have DF ≤ 2 — survives.
+    capped = {
+        (r[0], r[1])
+        for r in rows(
+            ngram_jaccard_pairs(
+                docs, "text", "doc_id", k=3, threshold=0.5, max_doc_freq=5
+            )
+        )
+    }
+    assert capped == {(100, 101)}
+
+
 def test_cluster_canonical_hand_values(spark):
     from panditya_spark.operators.dedup import cluster_canonical
 
