@@ -164,10 +164,22 @@ def ngram_jaccard_pairs(
     in _rotate_cache makes the second invocation (e.g. the closure
     query right after the pair query in bench order) a warm cache read
     instead of a second self-join.
+
+    Two cache tiers: the raw shingle table (so the stop-list agg and
+    the anti-join don't each re-run the explode) AND the capped table
+    (so the self-join sides + sizes don't each re-run the anti-join —
+    measured +1.6s on this query when only the raw tier was cached).
     """
-    sh = _cap_shingle_df(
-        _rotate_cache("ngram_jaccard", _shingle_table(df, text_col, id_col, k)),
-        max_doc_freq,
+    # Family "shingles" is SHARED with minhash_dedup_pairs: both build
+    # the identical shingle plan, so separate families would hold two
+    # rotation slots for one CacheManager entry (and each other's
+    # unpersist). One family = one warm table across the whole dedup
+    # suite (sameSemantics makes cross-operator reuse automatic).
+    raw = _rotate_cache("shingles", _shingle_table(df, text_col, id_col, k))
+    sh = (
+        raw
+        if max_doc_freq is None
+        else _rotate_cache("shingles_capped", _cap_shingle_df(raw, max_doc_freq))
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("doc", "doc1")
@@ -286,10 +298,14 @@ def minhash_dedup_pairs(
     # text scan and would otherwise run twice. The stop-shingle cap is
     # applied to the shared table, so signatures, banding, and verify
     # all see the same capped sets (and agree with ngram_jaccard_pairs
-    # at the same cap).
-    sh = _cap_shingle_df(
-        _rotate_cache("minhash", _shingle_table(df, text_col, id_col, k)),
-        max_doc_freq,
+    # at the same cap). The capped tier is cached separately for the
+    # same reason as in ngram_jaccard_pairs: four downstream references
+    # would otherwise each re-run the stop-list anti-join.
+    raw = _rotate_cache("shingles", _shingle_table(df, text_col, id_col, k))
+    sh = (
+        raw
+        if max_doc_freq is None
+        else _rotate_cache("shingles_capped", _cap_shingle_df(raw, max_doc_freq))
     )
     cands = minhash_lsh_candidates(
         df, text_col, id_col, k, num_hashes, bands, shingles=sh

@@ -38,7 +38,9 @@ _WINDOW = [
     "stream_sessionize_microbatch",
     "g3_g4_annotate",
     "stream_tumbling_hourly",
-    "stream_sliding_daily",
+    # (stream_sliding_daily rotated into the combo slot in round 4 to
+    # free this slot for its REAL streaming run; same oracle SQL.)
+    "stream_sliding_microbatch",
     "stream_sessionize_batch",
     "mm_image_features",
     "mm_frame_sample",

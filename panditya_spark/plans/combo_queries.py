@@ -128,6 +128,16 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("node", "s"), ("label", "s"), ("r", "i"), ("g", "i"), ("b", "i"),
         ("n_out", "i"),
     ],
+    # Round 4: the sliding batch twin rotated here — its window slot now
+    # runs the REAL sliding streaming job against the same oracle. The
+    # window starts are whole hours, so the timestamp→string cast is
+    # fraction-free and byte-identical in both engines; events.value is
+    # exactly 2-decimal at every sf (verified across sf0.001-0.1), so
+    # the decimal(18,6) sum surfaced as double is an identity at scale
+    # 4 — the f4 cast rounds nothing in either engine.
+    "stream_sliding_daily": [
+        ("window_start", "s"), ("n_events", "i"), ("total_value", "f4"),
+    ],
 }
 
 _NULL = "∅"

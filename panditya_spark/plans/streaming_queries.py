@@ -150,6 +150,42 @@ def stream_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_microbatch",
+    oracle="""
+    WITH slides AS (
+      SELECT e.*,
+             date_trunc('hour', ts) - INTERVAL (s.i) HOUR AS window_start
+      FROM events e, generate_series(0, 23) AS s(i)
+    )
+    SELECT window_start, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM slides
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming run of the sliding 24h/1h window (availableNow
+    micro-batches → memory sink, complete mode) — each event updates 24
+    window states through the state store. Must equal the batch twin
+    stream_sliding_daily exactly, so the same DuckDB oracle verifies
+    the sliding-window streaming machinery end-to-end."""
+    from panditya_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        sliding_counts_stream,
+    )
+
+    _MICROBATCH_SEQ[0] += 1
+    return run_stream_to_memory(
+        sliding_counts_stream(
+            read_events_stream(spark, sf_dir), watermark="0 seconds"
+        ),
+        f"stream_sliding_microbatch_{_MICROBATCH_SEQ[0]}",
+        mode="complete",
+    )
+
+
+@register(
     "stream_sessionize_batch",
     oracle="""
     WITH marked AS (

@@ -71,6 +71,22 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 24h/1h window counts as a stream: each event feeds 24
+    window states; the watermark bounds how long a window stays open.
+    Same window exprs as the batch twin stream_sliding_daily, so the
+    same DuckDB oracle checks the streaming machinery."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "24 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str], watermark: str = "2 hours"
 ) -> DataFrame:
