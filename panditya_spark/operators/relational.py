@@ -299,3 +299,72 @@ def range_join(
         )
         .drop("_rj_bucket")
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """MERGE INTO target USING changes ON target.key = changes.key —
+    the CDC-apply primitive (Delta/Iceberg MERGE semantics) expressed
+    as ONE full-outer shuffle join on the key:
+
+    - matched  + op == delete_op  -> row dropped
+    - matched  + op != delete_op  -> `update_cols` overwritten from the
+      change row, every other target column kept
+    - unmatched change (upsert)   -> inserted (all shared columns from
+      the change row)
+    - unmatched change (delete)   -> no-op
+    - unmatched target            -> kept as-is
+
+    `changes` must be unique per key (apply last-writer-wins upstream —
+    see the cdc_merge_upsert plan query); `update_cols` defaults to
+    every non-key column the two frames share. Output = target schema
+    + an `action` column in {'kept','updated','inserted'}.
+
+    Scale shape: a single co-partitioned full-outer join — both sides
+    shuffle once on the merge key and no row is ever duplicated. This
+    is exactly how MERGE plans in Delta's join-based implementation;
+    file-level pruning (its other half) is the storage layer's job.
+    """
+    if update_cols is None:
+        update_cols = [
+            c for c in changes.columns if c != key and c != op_col and c in target.columns
+        ]
+    t, s = target.alias("t"), changes.alias("s")
+    tk, sk = F.col(f"t.{key}"), F.col(f"s.{key}")
+    j = t.join(s, tk == sk, "full_outer")
+    matched = tk.isNotNull() & sk.isNotNull()
+    insert = tk.isNull() & sk.isNotNull()
+    is_delete = F.col(f"s.{op_col}") == F.lit(delete_op)
+    out_cols = [F.coalesce(tk, sk).alias(key)]
+    for c in target.columns:
+        if c == key:
+            continue
+        if c in update_cols:
+            # Updated on match, source value on insert, target otherwise.
+            out_cols.append(
+                F.when(matched | insert, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        elif c in changes.columns:
+            # Not updatable: target value wins on match, source only on insert.
+            out_cols.append(
+                F.when(insert, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    action = (
+        F.when(matched, F.lit("updated"))
+        .when(insert, F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        j.filter(~(sk.isNotNull() & is_delete))
+        .select(*out_cols, action.alias("action"))
+    )

@@ -138,6 +138,24 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "stream_sliding_daily": [
         ("window_start", "s"), ("n_events", "i"), ("total_value", "f4"),
     ],
+    # Round 4: the join shapes the first TPC-H picks didn't cover —
+    # left-semi (Q4 EXISTS), left-anti + countDistinct (Q16 NOT IN),
+    # join-on-HAVING-aggregate (Q18), scalar subquery + anti (Q22) —
+    # and the CDC merge-apply. total_qty/totacctbal/bal are sums of
+    # 2-decimal source values → scale-2 lossless.
+    "tpch_q4_order_priority": [("o_orderpriority", "s"), ("order_count", "i")],
+    "tpch_q16_supplier_counts": [
+        ("p_brand", "s"), ("p_type", "s"), ("supplier_cnt", "i"),
+    ],
+    "tpch_q18_large_orders": [
+        ("c_custkey", "i"), ("o_orderkey", "i"), ("total_qty", "d"),
+    ],
+    "tpch_q22_dormant_balance": [
+        ("n_name", "s"), ("numcust", "i"), ("totacctbal", "d"),
+    ],
+    "cdc_merge_upsert": [
+        ("key", "i"), ("name", "s"), ("bal", "d"), ("action", "s"),
+    ],
 }
 
 _NULL = "∅"

@@ -785,3 +785,71 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", n_words.alias("n_words"), keep.cast("int").alias("keep")
     )
+
+
+# ------------------------------------------------------------ CDC merge-apply
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id AS key,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             value AS bal,
+             'user-' || CAST(user_id AS VARCHAR) AS name
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    tgt AS (
+      SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal
+      FROM customer WHERE c_custkey < 100
+    )
+    SELECT coalesce(t.key, s.key) AS key,
+           CASE WHEN t.key IS NULL THEN s.name ELSE t.name END AS name,
+           CASE WHEN s.key IS NULL THEN t.bal ELSE s.bal END AS bal,
+           CASE WHEN t.key IS NULL THEN 'inserted'
+                WHEN s.key IS NULL THEN 'kept'
+                ELSE 'updated' END AS action
+    FROM tgt t FULL OUTER JOIN latest s ON t.key = s.key
+    WHERE s.op IS NULL OR s.op <> 'delete'
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: treat events as a change log against a customer
+    snapshot. Last-writer-wins per key (row_number over ts desc — the
+    standard CDC compaction), then ONE full-outer merge join applies
+    upserts/deletes: the latest 'error' event deletes the account, any
+    other latest event upserts its value as the new balance; users
+    beyond the snapshot range insert. Exercises the merge_upsert
+    operator (operators/relational.py) — Delta-style MERGE semantics
+    from open Spark primitives, one co-partitioned shuffle."""
+    from panditya_spark.operators.relational import merge_upsert
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    changes = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("key"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            F.col("value").alias("bal"),
+            F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("name"),
+        )
+    )
+    target = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    return merge_upsert(target, changes, key="key", update_cols=["bal"])

@@ -442,3 +442,184 @@ def sql_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_name, c_custkey, revenue FROM ranked WHERE rn <= 3
         """
     )
+
+
+# ----------------------------------------------- semi/anti-join TPC-H shapes
+# Round 4: the join SHAPES the first three TPC-H picks didn't cover —
+# left-semi (existence), left-anti (exclusion), join-on-aggregate
+# (HAVING subquery), and an uncorrelated scalar subquery. At 100 TB
+# these matter because semi/anti joins ship only the key column of the
+# probe side and never duplicate spine rows on multi-match — the
+# difference between a 1x and a 7x shuffle on a fact⋈fact existence
+# check (lineitem averages ~4 rows per order in this data).
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) adapted to the synthetic
+    schema (no commit/receipt dates; the correlated predicate becomes
+    "some lineitem shipped after the order date"). The EXISTS is a
+    LEFT SEMI join: lineitem contributes only its join key + shipdate
+    to the shuffle, multi-match orders count once without a distinct,
+    and the quarter filter pushes into the orders scan before the join.
+    Plan-gated: physical join type must be LeftSemi (explain_audit)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type
+    """,
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted: lineitem stands
+    in for partsupp as the part↔supplier relation. The NOT IN becomes a
+    LEFT ANTI join against the (tiny, broadcast) excluded-supplier set —
+    at scale the exclusion list never shuffles the fact side — and the
+    brand predicate pushes into the part scan, pruning before the join.
+    The safe NOT-IN translation: s_suppkey is a non-null key here; a
+    nullable exclusion column would need the null-aware anti variant."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#13")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    )
+    GROUP BY c_custkey, o_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): the IN-over-HAVING subquery.
+    The qualifying-order set is computed ONCE as an aggregate and
+    semi-joined back into the spine — the aggregate output (one row
+    per qualifying order, two columns) is what shuffles, never a
+    second copy of lineitem. Top-100 plans as TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+        .select(F.col("l_orderkey").alias("q_orderkey"))
+    )
+    return (
+        li.join(qualifying, li.l_orderkey == qualifying.q_orderkey, "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22_dormant_balance",
+    oracle="""
+    SELECT n_name, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1998-01-01'
+      )
+    GROUP BY n_name
+    """,
+)
+def tpch_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) adapted: high-balance
+    customers with NO recent orders, grouped by nation instead of
+    phone prefix. Two shapes in one plan: the uncorrelated scalar
+    subquery (the positive-balance average) is computed as a 1-row
+    aggregate and broadcast-crossed into the filter — never a
+    collect()-then-rebuild round trip — and the NOT EXISTS is a LEFT
+    ANTI join whose probe side ships only o_custkey after the date
+    filter pushes into the orders scan."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

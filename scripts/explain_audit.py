@@ -141,6 +141,54 @@ CHECKS = [
         ],
     ),
     (
+        "tpch_q4_order_priority",
+        [
+            # The EXISTS must plan as a semi join (probe side ships only
+            # join key + shipdate; multi-match orders never duplicate).
+            ("EXISTS compiles to a LeftSemi join", r"LeftSemi"),
+            ("quarter filter pushed to orders scan", r"PushedFilters: \[.*o_orderdate"),
+            ("lineitem scan prunes to (l_orderkey, l_shipdate)",
+             r"ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"),
+        ],
+    ),
+    (
+        "tpch_q16_supplier_counts",
+        [
+            # NOT IN over a non-null key = broadcast anti join; the
+            # fact side must never shuffle for the exclusion.
+            ("exclusion compiles to a broadcast LeftAnti join",
+             r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BuildRight"),
+            ("brand filter pushed to part scan", r"PushedFilters: \[.*p_brand"),
+        ],
+    ),
+    (
+        "tpch_q18_large_orders",
+        [
+            ("HAVING subquery applied as a semi join", r"LeftSemi"),
+            ("top-100 compiles to TakeOrderedAndProject", r"TakeOrderedAndProject"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
+    (
+        "tpch_q22_dormant_balance",
+        [
+            ("NOT EXISTS compiles to a LeftAnti join", r"LeftAnti"),
+            ("recent-orders date filter pushed to scan", r"PushedFilters: \[.*o_orderdate"),
+            # The scalar subquery is a broadcast 1-row aggregate, not a
+            # collect-and-relaunch: its join must be a broadcast NLJ of
+            # a single row (the one legitimate nested-loop: 1 x N).
+            ("scalar average broadcast into the filter", r"BroadcastExchange|BroadcastNestedLoop"),
+        ],
+    ),
+    (
+        "cdc_merge_upsert",
+        [
+            # MERGE = ONE co-partitioned full-outer join on the key.
+            ("merge plans as a single FullOuter join", r"FullOuter"),
+            ("snapshot filter pushed to customer scan", r"PushedFilters: \[.*c_custkey"),
+        ],
+    ),
+    (
         "text_pii_redact",
         [
             ("map-only: no Exchange anywhere in the plan", ("absent", ["Exchange"])),

@@ -155,3 +155,51 @@ def test_with_row_idx_multi_partition(spark):
     assert len(out) == 1000
     for r in out:
         assert r.row_idx == r.payload, (r.row_idx, r.payload)
+
+
+def test_merge_upsert_all_action_paths(spark):
+    """Every MERGE branch on one constructed frame: matched update,
+    matched delete, unmatched-source insert, unmatched-source delete
+    (no-op), unmatched-target keep — plus the update_cols contract
+    (non-update shared columns keep the TARGET value on match, take
+    the SOURCE value on insert)."""
+    from panditya_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        ["key", "name", "bal"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "upsert", "ALICE2", 11.0),   # matched update
+            (2, "delete", None, None),        # matched delete
+            (4, "upsert", "dave", 40.0),      # insert
+            (5, "delete", None, None),        # unmatched delete: no-op
+        ],
+        ["key", "op", "name", "bal"],
+    )
+    out = {
+        r["key"]: r
+        for r in merge_upsert(target, changes, "key", update_cols=["bal"]).collect()
+    }
+    assert sorted(out) == [1, 3, 4]                       # 2 deleted, 5 no-op
+    assert out[1]["action"] == "updated"
+    assert out[1]["bal"] == 11.0
+    assert out[1]["name"] == "alice"                      # name not in update_cols
+    assert out[3]["action"] == "kept"
+    assert (out[3]["name"], out[3]["bal"]) == ("carol", 30.0)
+    assert out[4]["action"] == "inserted"
+    assert (out[4]["name"], out[4]["bal"]) == ("dave", 40.0)
+
+
+def test_merge_upsert_default_update_cols(spark):
+    """With update_cols omitted, every shared non-key column updates on
+    match (name included this time)."""
+    from panditya_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame([(1, "alice", 10.0)], ["key", "name", "bal"])
+    changes = spark.createDataFrame(
+        [(1, "upsert", "ALICE2", 11.0)], ["key", "op", "name", "bal"]
+    )
+    row = merge_upsert(target, changes, "key").collect()[0]
+    assert (row["name"], row["bal"], row["action"]) == ("ALICE2", 11.0, "updated")
