@@ -156,6 +156,18 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "cdc_merge_upsert": [
         ("key", "i"), ("name", "s"), ("bal", "d"), ("action", "s"),
     ],
+    # Round 4 (cont.): partitioned-layout round-trip (date partition
+    # values surface as fraction-free strings) and the checkpointed
+    # parquet file-sink streaming run (same lossless casts as its
+    # window-slot twins stream_tumbling_hourly/stream_sliding_daily).
+    "s_partitioned_layout": [
+        ("event_date", "s"), ("event_type", "s"), ("n_events", "i"),
+        ("total_value", "d"),
+    ],
+    "stream_file_sink_hourly": [
+        ("window_start", "s"), ("event_type", "s"), ("n_events", "i"),
+        ("total_value", "f4"),
+    ],
 }
 
 _NULL = "∅"

@@ -213,3 +213,52 @@ def s9_gexf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ------------------------------------------------- partitioned parquet layout
+@register(
+    "s_partitioned_layout",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
+    GROUP BY 1, 2
+    """,
+)
+def s_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet layout, round-tripped: write
+    events partitioned by event_date (df.write.partitionBy — one
+    directory per day), read the layout back with a date-range filter,
+    and aggregate. The point at 100 TB: the filter must prune at the
+    DIRECTORY level (PartitionFilters in the scan, gated by
+    explain_audit) so a 7-day query over a year of data lists and reads
+    7 partitions, never scanning — or even stat-ing — the rest. The
+    oracle computes the same aggregate straight from the unpartitioned
+    table, so the layout must be value-invisible."""
+    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    out = _sink_dir(f"part_events_{suffix}")
+    ev = _t(spark, sf_dir, "events")
+    (
+        ev.withColumn("event_date", F.col("ts").cast("date"))
+        .coalesce(4)  # bound small-file count: 4 files/partition max
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("event_date").between("2024-01-05", "2024-01-11")
+    )
+    return (
+        back.groupBy(
+            F.col("event_date").cast("string").alias("event_date"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

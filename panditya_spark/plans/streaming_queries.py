@@ -312,3 +312,69 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_attribution_join_{_MICROBATCH_SEQ[0]}",
         mode="append",
     )
+
+
+_FILE_SINK_DIRS: dict[str, tuple[str, str]] = {}
+
+
+def _file_sink_dirs(sf_dir: str) -> tuple[str, str]:
+    """(output, checkpoint) pair per events-file generation. Keyed by
+    mtime like the sentinel-input cache: a repeat invocation in the
+    same process reuses the SAME checkpoint, so the availableNow rerun
+    discovers zero new input files and appends zero rows — the
+    exactly-once behavior itself is what repeated driver/bench calls
+    exercise."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = f"{src}:{os.path.getmtime(src)}"
+    if key not in _FILE_SINK_DIRS:
+        d = tempfile.mkdtemp(prefix="panditya-filesink-")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _FILE_SINK_DIRS[key] = (
+            os.path.join(d, "out"),
+            os.path.join(d, "ckpt"),
+        )
+    return _FILE_SINK_DIRS[key]
+
+
+@register(
+    "stream_file_sink_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_file_sink_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable streaming output path: tumbling hourly aggregation
+    through a checkpointed PARQUET file sink (append mode, availableNow)
+    instead of the test-only memory sink, then the written files read
+    back and value-checked against the same oracle as the batch and
+    memory-sink twins. Append-mode finalization (emit when the
+    watermark passes the window) is driven to completion by the
+    far-future sentinel files, and the checkpoint's WAL + _spark_metadata
+    manifest make re-runs exactly-once (zero rows appended — pinned by
+    test_file_sink_rerun_is_idempotent)."""
+    from panditya_spark.streaming.windows import (
+        read_sessionize_stream,
+        run_stream_to_parquet,
+        tumbling_counts_append_stream,
+    )
+
+    out, ckpt = _file_sink_dirs(sf_dir)
+    run_stream_to_parquet(
+        tumbling_counts_append_stream(read_sessionize_stream(spark, sf_dir)),
+        out,
+        ckpt,
+    )
+    # Sentinel windows carry NULL event_type (the sentinel rows hold
+    # only ts+user_id); drop them on read-back — see
+    # tumbling_counts_append_stream for why they can't be filtered
+    # pre-aggregation.
+    return spark.read.parquet(out).filter(F.col("event_type").isNotNull())

@@ -461,3 +461,66 @@ def attribution_join_stream(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 180,
+    shuffle_partitions: int = 8,
+) -> None:
+    """Drive a streaming query to completion into a PARQUET file sink
+    with a checkpoint — the durable, exactly-once output path (memory
+    sinks are test-only). The checkpoint's WAL + file-sink manifest
+    (_spark_metadata) give end-to-end exactly-once: re-running the same
+    query over the same input with the same checkpoint processes zero
+    new files and appends zero new rows (pinned by
+    tests/test_streaming.py::test_file_sink_rerun_is_idempotent).
+    File sinks only support append mode, so aggregations must be
+    watermark-finalized (emit-on-close), not complete-mode."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # Same conf dance as run_stream_to_memory: state-store count is
+    # pinned at query start; restore only after termination.
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def tumbling_counts_append_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1h counts for APPEND-mode sinks (file sink): windows
+    emit when the watermark passes their end, so the finite run needs
+    the far-future sentinel rows (build_sessionize_stream_input) to
+    close the last real windows. The sentinels MUST flow through the
+    watermark node into the aggregation: a pre-agg
+    filter(event_type IS NOT NULL) gets pushed below
+    EventTimeWatermark by the optimizer, the sentinel batches then
+    never advance the watermark, and the last real window never emits
+    (observed: exactly the final hour x 5 event types missing). So
+    sentinel windows DO form here — with NULL event_type, since
+    sentinel rows carry only (ts, user_id) — and the caller drops them
+    on read-back. Same agg exprs as tumbling_counts_stream — the
+    memory-sink complete-mode twin."""
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )

@@ -181,6 +181,18 @@ CHECKS = [
         ],
     ),
     (
+        "s_partitioned_layout",
+        [
+            # The read side of the partitioned layout must prune at the
+            # DIRECTORY level: a date-range filter over a Hive-style
+            # event_date= layout shows up as PartitionFilters, so a
+            # 7-day query lists 7 partitions regardless of table size.
+            ("date filter prunes partitions (PartitionFilters)",
+             r"PartitionFilters: \[.*event_date"),
+            ("partial aggregation before shuffle", r"partial"),
+        ],
+    ),
+    (
         "cdc_merge_upsert",
         [
             # MERGE = ONE co-partitioned full-outer join on the key.

@@ -188,3 +188,36 @@ def test_merge_session_events_property():
         assert got == reference(ts)
 
     check()
+
+
+def test_file_sink_rerun_is_idempotent(spark):
+    """Re-running the checkpointed file-sink query over the same input
+    must append ZERO rows: the checkpoint WAL already marks every input
+    file processed, so the availableNow rerun commits no new batch —
+    the exactly-once property the durable sink exists for."""
+    from panditya_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    first = QUERIES["stream_file_sink_hourly"](spark, sf)
+    n1 = first.count()
+    assert n1 > 0
+    second = QUERIES["stream_file_sink_hourly"](spark, sf)
+    n2 = second.count()
+    assert n2 == n1, f"rerun appended rows: {n1} -> {n2}"
+
+
+def test_file_sink_matches_memory_sink_twin(spark):
+    """The append-mode file sink and the complete-mode memory sink must
+    produce the identical window set — emit-on-watermark-close with
+    sentinels loses nothing vs emit-everything-at-end."""
+    from panditya_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    via_file = {
+        tuple(r) for r in QUERIES["stream_file_sink_hourly"](spark, sf).collect()
+    }
+    via_mem = {
+        tuple(r)
+        for r in QUERIES["stream_tumbling_microbatch"](spark, sf).collect()
+    }
+    assert via_file == via_mem
