@@ -168,6 +168,10 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("window_start", "s"), ("event_type", "s"), ("n_events", "i"),
         ("total_value", "f4"),
     ],
+    "s_dpp_join": [("event_date", "s"), ("n_events", "i"), ("n_users", "i")],
+    "j_bloom_filter_join": [
+        ("l_returnflag", "s"), ("n_rows", "i"), ("sum_qty", "d"),
+    ],
 }
 
 _NULL = "∅"

@@ -623,3 +623,64 @@ def tpch_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "j_bloom_filter_join",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def j_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: the selective orders filter
+    builds a bloom_filter_agg at runtime and Catalyst injects a
+    might_contain(l_orderkey) predicate into the LINEITEM side before
+    its shuffle — fact rows whose keys can't join are dropped at the
+    scan, not after the exchange. At 100 TB this is the shuffle-join
+    sibling of dynamic partition pruning: a 1% selective dim filter
+    cuts the fact shuffle by ~99% with one subquery pass.
+
+    Spark injects the filter only for shuffle joins (broadcast joins
+    prune inherently), so the merge hint forces SMJ, and only above
+    applicationSideScanSizeThreshold (10 GB default — right for real
+    clusters, never met at local test scale), so the threshold drops
+    to 0 inside a conf window. executedPlan() is forced INSIDE the
+    window — the Dataset caches its QueryExecution, so the pinned plan
+    (gated on might_contain by explain_audit) is the one every later
+    action on this DataFrame runs — then the conf restores, leaving
+    the session's other plans untouched."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    )
+    # Two confs inside the window: the 10 GB application-side floor
+    # (never met at local scale), and auto-broadcast — InjectRuntimeFilter
+    # skips creation sides it considers broadcastable-by-size even when
+    # a hint forces SMJ, since a broadcast join would prune inherently.
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bkey = "spark.sql.autoBroadcastJoinThreshold"
+    prev, bprev = spark.conf.get(key), spark.conf.get(bkey)
+    spark.conf.set(key, "0")
+    spark.conf.set(bkey, "-1")
+    try:
+        out = (
+            li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+        out._jdf.queryExecution().executedPlan()  # pin plan inside the window
+    finally:
+        spark.conf.set(key, prev)
+        spark.conf.set(bkey, bprev)
+    return out

@@ -216,6 +216,32 @@ def s9_gexf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- partitioned parquet layout
+_PARTITIONED_WRITTEN: set[str] = set()
+
+
+def _partitioned_events(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Write (once per process unless force) the events table as a
+    Hive-partitioned parquet layout keyed by event_date; return its
+    path. Shared by the layout round-trip (which forces a fresh write —
+    the write IS what it tests) and the DPP join (which only needs the
+    layout to exist)."""
+    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    out = _sink_dir(f"part_events_{suffix}")
+    if force or out not in _PARTITIONED_WRITTEN:
+        (
+            _t(spark, sf_dir, "events")
+            .withColumn("event_date", F.col("ts").cast("date"))
+            .coalesce(4)  # bound small-file count: 4 files/partition max
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+        _PARTITIONED_WRITTEN.add(out)
+    return out
+
+
 @register(
     "s_partitioned_layout",
     oracle="""
@@ -238,16 +264,7 @@ def s_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     7 partitions, never scanning — or even stat-ing — the rest. The
     oracle computes the same aggregate straight from the unpartitioned
     table, so the layout must be value-invisible."""
-    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
-    out = _sink_dir(f"part_events_{suffix}")
-    ev = _t(spark, sf_dir, "events")
-    (
-        ev.withColumn("event_date", F.col("ts").cast("date"))
-        .coalesce(4)  # bound small-file count: 4 files/partition max
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(out)
-    )
+    out = _partitioned_events(spark, sf_dir, force=True)
     back = spark.read.parquet(out).filter(
         F.col("event_date").between("2024-01-05", "2024-01-11")
     )
@@ -260,5 +277,51 @@ def s_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------- dynamic partition pruning
+@register(
+    "s_dpp_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS event_date
+      FROM events WHERE day(ts) % 7 = 3
+    )
+    SELECT CAST(e.d AS VARCHAR) AS event_date,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM (SELECT CAST(ts AS DATE) AS d, user_id FROM events) e
+    JOIN dim ON e.d = dim.event_date
+    GROUP BY 1
+    """,
+)
+def s_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over the Hive-partitioned layout: the
+    fact side carries NO static partition filter — the pruning values
+    come from the joined dimension's filter at RUNTIME. Catalyst
+    injects a dynamicpruningexpression subquery (reusing the dim's
+    broadcast) into the fact scan's PartitionFilters, so only the
+    dimension-selected directories are read. THE mechanism that makes
+    star-schema joins over a date-partitioned 100 TB fact table read
+    days instead of years — gated by explain_audit on the
+    dynamicpruning marker in the plan. The dim derives from the same
+    events table (distinct dates where day%7=3), so DuckDB can mirror
+    it exactly; day(ts)%7 avoids the cross-engine dayofweek
+    numbering mismatch (Spark 1-7 Sunday-first vs DuckDB 0-6)."""
+    fact = spark.read.parquet(_partitioned_events(spark, sf_dir))
+    dim = (
+        _t(spark, sf_dir, "events")
+        .filter(F.dayofmonth("ts") % 7 == 3)
+        .select(F.col("ts").cast("date").alias("dim_date"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.dim_date)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
         )
     )

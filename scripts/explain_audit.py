@@ -193,6 +193,28 @@ CHECKS = [
         ],
     ),
     (
+        "s_dpp_join",
+        [
+            # The fact side has NO static date filter of its own; the
+            # pruning values must arrive at runtime from the joined
+            # dimension — the star-schema mechanism that reads days,
+            # not years, of a date-partitioned 100 TB fact table.
+            ("fact scan pruned by dynamicpruningexpression",
+             r"PartitionFilters: \[.*dynamicpruning"),
+            ("dimension broadcast reused for pruning", r"BroadcastHashJoin|BroadcastExchange"),
+        ],
+    ),
+    (
+        "j_bloom_filter_join",
+        [
+            # The fact side must carry the runtime-injected bloom
+            # predicate BEFORE its shuffle; the filter is built from
+            # the selective dim side as a bloom_filter_agg subquery.
+            ("might_contain injected into the fact side", r"might_contain"),
+            ("bloom built from the dim side", r"bloom_filter_agg"),
+        ],
+    ),
+    (
         "cdc_merge_upsert",
         [
             # MERGE = ONE co-partitioned full-outer join on the key.
