@@ -46,6 +46,10 @@ HEADLINE = [
     "tpch_q3_top_orders",       # selective 3-way join + top-N (TPC-H Q3)
     "dedup_cluster_canonical",  # pair-graph closure + canonical election
     "text_heavy_hitters",       # vocabulary census (explode + Zipf agg)
+    # Round 4: the new join/storage shapes.
+    "tpch_q18_large_orders",    # IN-over-HAVING semi-join + TakeOrdered
+    "cdc_merge_upsert",         # full-outer MERGE apply
+    "s_dpp_join",               # dynamic partition pruning over the layout
 ]
 
 

@@ -63,3 +63,56 @@ def stratified_sample(
         df.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= n_per_stratum)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Data-mixing: downsample per-source so the OUTPUT follows the
+    target mixture `weights` (integer parts, e.g. {a: 4, b: 3, c: 2,
+    d: 1} → 40/30/20/10%), keeping the maximum total that needs no
+    upsampling. Sources absent from `weights` are dropped.
+
+    The per-source take t_s is derived with INTEGER arithmetic only —
+    cap_s = (n_s * W) div w_s, K = min(cap_s), t_s = (K * w_s) div W,
+    W = sum(weights) — because the float version (floor(T * w_s) with
+    T = min(n_s / w_s)) rounds differently per engine on values like
+    25/0.4 and would break the DuckDB oracle by one row. Rows are
+    picked per source by md5(key) order (uniform within source, stable
+    across runs and cluster layouts — same contract as
+    stratified_sample).
+
+    Scale shape: two tiny aggregates (source counts ⋈ broadcast
+    weights → one global min → broadcast back) plus ONE shuffle by
+    source for the row_number window. No count() pre-pass on the
+    driver, no RNG.
+    """
+    spark = df.sparkSession
+    total_w = sum(weights.values())
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), [source_col, "w"]
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(wdf), source_col)
+    )
+    k = counts.select(
+        F.min(F.expr(f"n * {total_w} div w")).alias("k")
+    )
+    takes = (
+        counts.crossJoin(F.broadcast(k))
+        .select(source_col, F.expr(f"k * w div {total_w}").alias("take"))
+    )
+    w_order = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(takes), source_col)
+        .withColumn("rn", F.row_number().over(w_order))
+        .filter(F.col("rn") <= F.col("take"))
+        .drop("rn", "take")
+    )

@@ -172,6 +172,12 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "j_bloom_filter_join": [
         ("l_returnflag", "s"), ("n_rows", "i"), ("sum_qty", "d"),
     ],
+    "sample_mixture": [("doc_id", "i"), ("source", "s")],
+    # The streaming foreachBatch MERGE must compose to the one-shot
+    # batch merge on key survival + updated columns (non-update columns
+    # of delete-then-reinserted keys legitimately differ — see the
+    # query docstring — so the checked projection is (key, bal)).
+    "stream_upsert_sink": [("key", "i"), ("bal", "d")],
 }
 
 _NULL = "∅"

@@ -853,3 +853,47 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(target, changes, key="key", update_cols=["bal"])
+
+
+# ------------------------------------------------------------ data mixing
+@register(
+    "sample_mixture",
+    oracle="""
+    WITH w(source, wt) AS (
+      VALUES ('src0', 4), ('src1', 3), ('src2', 2), ('src3', 1)
+    ),
+    counts AS (
+      SELECT d.source, count(*) AS n, any_value(wt) AS wt
+      FROM documents d JOIN w ON d.source = w.source
+      GROUP BY d.source
+    ),
+    k AS (SELECT min(n * 10 // wt) AS k FROM counts),
+    takes AS (
+      SELECT source, (k.k * wt) // 10 AS take FROM counts, k
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, t.take,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN takes t ON d.source = t.source
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= take
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: resample four document sources to a 4:3:2:1
+    target mixture (the data-mixing step every LLM pipeline runs before
+    training — e.g. upweighting curated sources against crawl). The
+    operator derives per-source takes with integer-only arithmetic
+    (engine-exact, see operators/sampling.mixture_sample) and picks rows
+    by md5 order, so the exact output SET is reproducible on any
+    cluster layout and mirrored row-for-row by the DuckDB oracle."""
+    from panditya_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "source", "doc_id", {"src0": 4, "src1": 3, "src2": 2, "src3": 1}
+    )
+    return out.select("doc_id", "source")

@@ -378,3 +378,132 @@ def stream_file_sink_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tumbling_counts_append_stream for why they can't be filtered
     # pre-aggregation.
     return spark.read.parquet(out).filter(F.col("event_type").isNotNull())
+
+
+_UPSERT_INPUT_CACHE: dict[str, str] = {}
+
+
+def _upsert_stream_input(spark: SparkSession, sf_dir: str) -> str:
+    """Time-split the events file into three parquet files (disjoint ts
+    ranges, mtime-ordered) so the streaming-upsert run processes THREE
+    real micro-batches: cross-batch overwrite semantics are what the
+    query exercises, and a single-file source would collapse to one
+    batch. Cached per events-file generation like the sentinel input."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from panditya_spark.sources.loaders import load_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = f"{src}:{os.path.getmtime(src)}"
+    cached = _UPSERT_INPUT_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    d = tempfile.mkdtemp(prefix="panditya-upsert-in-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = [(None, "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", None)]
+    import time as _time
+
+    now = _time.time()
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev
+        if lo:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        tmp_i = os.path.join(d, f"_w{i}")
+        part.repartition(1).write.mode("overwrite").parquet(tmp_i)
+        (pf,) = [f for f in os.listdir(tmp_i) if f.endswith(".parquet")]
+        dst = os.path.join(d, f"{i:02d}_events.parquet")
+        shutil.move(os.path.join(tmp_i, pf), dst)
+        shutil.rmtree(tmp_i)
+        os.utime(dst, (now + i, now + i))  # FileStreamSource orders by mtime
+    _UPSERT_INPUT_CACHE[key] = d
+    return d
+
+
+@register(
+    "stream_upsert_sink",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id AS key,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             value AS bal,
+             'user-' || CAST(user_id AS VARCHAR) AS name
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    tgt AS (
+      SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal
+      FROM customer WHERE c_custkey < 100
+    )
+    SELECT coalesce(t.key, s.key) AS key,
+           CASE WHEN s.key IS NULL THEN t.bal ELSE s.bal END AS bal
+    FROM tgt t FULL OUTER JOIN latest s ON t.key = s.key
+    WHERE s.op IS NULL OR s.op <> 'delete'
+    """,
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into a keyed target (foreachBatch + merge_upsert
+    per micro-batch — the Delta-streaming-MERGE pattern): three real
+    time-split micro-batches apply the events change log to the
+    customer snapshot, later batches overwriting earlier ones. The
+    oracle is GLOBAL last-writer-wins, so sequential per-batch merges
+    must compose to exactly the one-shot batch merge on key survival
+    and every UPDATED column — the equivalence that makes incremental
+    pipelines trustworthy. Non-update columns of re-inserted keys are
+    the one place the two genuinely diverge (a batch-N delete followed
+    by a batch-N+1 upsert re-inserts with the SOURCE's name, while a
+    one-shot merge never saw the delete and keeps the target's), so
+    the checked projection is (key, bal): survival + updated values,
+    where composition must be — and is — exact."""
+    import os
+    import tempfile
+
+    from panditya_spark.sources.loaders import normalize_event_ts
+    from panditya_spark.streaming.windows import run_stream_upsert
+
+    d = _upsert_stream_input(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(d, "00_events.parquet")).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    changes = stream.select(
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("value").alias("bal"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("name"),
+        "ts",
+        "event_id",
+    )
+    target = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    state = {"df": target}
+    # Fresh checkpoint per invocation (the run must reprocess all three
+    # batches against the fresh target), cleaned at exit like every
+    # other streaming temp dir.
+    import atexit
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix="panditya-upsert-ckpt-")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    final = run_stream_upsert(
+        changes, "key", "op", state, ckpt, update_cols=["bal"]
+    )
+    return final.select("key", "bal")

@@ -100,3 +100,40 @@ def write_gexf(
     lines.append("</gexf>")
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~target_file_bytes each (the classic post-streaming / post-partition
+    maintenance job — thousands of KB-sized part files from micro-batch
+    commits or over-parallel writes destroy scan throughput via
+    per-file open/footer costs and scheduler pressure).
+
+    File count = ceil(total_bytes / target) from the source footers (no
+    data pass), laid out by repartition(n); an optional
+    sortWithinPartitions restores intra-file clustering so min/max
+    row-group stats stay selective after the rewrite. Returns the
+    number of files written. Reads + writes the data exactly once.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return n_files

@@ -524,3 +524,66 @@ def tumbling_counts_append_stream(events: DataFrame) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+def run_stream_upsert(
+    stream_df: DataFrame,
+    key: str,
+    op_col: str,
+    state: dict,
+    checkpoint_dir: str,
+    update_cols: list[str] | None = None,
+    timeout_sec: int = 180,
+    shuffle_partitions: int = 8,
+):
+    """Streaming MERGE: apply each micro-batch to a keyed target via
+    foreachBatch + merge_upsert — the standard Spark pattern for a
+    streaming upsert sink (Delta's streaming MERGE is exactly this
+    composition). `state` is a one-entry dict {'df': target_frame}
+    mutated per batch; production swaps the dict for a transactional
+    table write, the batch function is unchanged.
+
+    Within a batch, rows are compacted last-writer-wins per key BEFORE
+    the merge (merge_upsert requires unique keys); across batches,
+    later micro-batches overwrite earlier ones by construction. The
+    checkpoint makes redelivery safe: a replayed batch re-applies the
+    same merge (idempotent for upserts/deletes on the same data)."""
+    from pyspark.sql.window import Window as _W
+
+    from panditya_spark.operators.relational import merge_upsert
+
+    spark = stream_df.sparkSession
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        w = _W.partitionBy(key).orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merged = merge_upsert(
+            state["df"], latest, key=key, op_col=op_col, update_cols=update_cols
+        )
+        # Materialize OFF the incoming batch's lineage (localCheckpoint)
+        # so the next batch's merge doesn't re-trigger this batch's scan.
+        state["df"] = merged.drop("action").localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return state["df"]

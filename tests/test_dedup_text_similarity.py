@@ -436,3 +436,30 @@ def test_cluster_canonical_paths_agree(spark):
     large = rows(cluster_canonical(pairs, small_collect_threshold=0))
     assert small == large
     assert len(small) > 0
+
+
+def test_mixture_sample_hits_target_ratio(spark):
+    """Skewed source counts, skewed target: 100 'a' rows + 10 'b' rows
+    with weights {a: 9, b: 1} must yield exactly 90:10 (integer-exact
+    take derivation: K = min(100*10//9, 10*10//1) = 100 → 90, 10), and
+    never upsample a source beyond its population. Unlisted sources
+    are dropped entirely; rerun returns the identical row set."""
+    from panditya_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(i + 1000, "b") for i in range(10)]
+        + [(i + 2000, "zzz") for i in range(5)]  # not in weights
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(df, "source", "doc_id", {"a": 9, "b": 1})
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    assert by_src == {"a": 90, "b": 10}
+    # Determinism: same input → identical selected id set.
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in mixture_sample(df, "source", "doc_id", {"a": 9, "b": 1}).collect()
+    }
+    assert ids1 == ids2

@@ -203,3 +203,27 @@ def test_merge_upsert_default_update_cols(spark):
     )
     row = merge_upsert(target, changes, "key").collect()[0]
     assert (row["name"], row["bal"], row["action"]) == ("ALICE2", 11.0, "updated")
+
+
+def test_compact_parquet_file_sizing(spark, tmp_path):
+    """50 tiny part files compact into ceil(total/target) right-sized
+    files with the data intact — the post-streaming maintenance job."""
+    import glob
+
+    from panditya_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    spark.range(0, 5000).withColumnRenamed("id", "k").repartition(50).write.parquet(src)
+    n_small = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_small == 50
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    target = total // 4  # expect ceil(total/(total//4)) = 5 files
+    n = compact_parquet(spark, src, dst, target_file_bytes=target, sort_within_by=["k"])
+    n_big = len(glob.glob(f"{dst}/part-*.parquet"))
+    assert n == n_big and n_big in (4, 5)  # ceil division; far fewer files
+    back = spark.read.parquet(dst)
+    assert back.count() == 5000
+    assert back.agg({"k": "sum"}).collect()[0][0] == sum(range(5000))
