@@ -29,7 +29,10 @@ from panditya_spark.plans import combo_queries  # noqa: E402,F401  (must import 
 _WINDOW = [
     # Oracle-bearing queries that had no CORRECTNESS row in round 1.
     "a14_branching_factor",
-    "a15_combined_histogram",
+    # (a15_combined_histogram rotated into the combo slot in round 4 —
+    # pure int columns, green since r1 — freeing slots for the round-4
+    # flagship shapes below.)
+    "stream_file_sink_hourly",
     "g6_degree_centrality",
     "g7_betweenness",
     # (f7_link_labels rotated into the combo slot in round 3 — green in
@@ -59,12 +62,14 @@ _WINDOW = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality",
-    "text_token_stats",
-    "text_langid",
+    # (text_token_stats / text_langid rotated to combo in round 4.)
+    "tpch_q18_large_orders",
+    "s_dpp_join",
     # Serving / label core. (f1_f2/a5, then o1/p14_16/dedup_exact,
     # rotated into the combo slot mid-round-2 for the chunking/packing
     # and pivot/unpivot/SCD2 queries.)
-    "a_pivot_daily",
+    # (a_pivot_daily rotated to combo in round 4.)
+    "cdc_merge_upsert",
     "text_chunking",
     # The real micro-batch streaming run (availableNow → memory sink),
     # oracle-verified against the same SQL as its batch twin. Replaces
@@ -73,7 +78,8 @@ _WINDOW = [
     "stream_tumbling_microbatch",
     # (a11/j8/j9 rotated into the combo slot mid-round-2 to free window
     # slots for the repetition/contamination/PII queries below.)
-    "a_unpivot_metrics",
+    # (a_unpivot_metrics rotated to combo in round 4.)
+    "j_bloom_filter_join",
     "text_repetition_filter",
     "text_contamination",
     "text_pii_redact",

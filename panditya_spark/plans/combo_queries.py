@@ -147,14 +147,8 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "tpch_q16_supplier_counts": [
         ("p_brand", "s"), ("p_type", "s"), ("supplier_cnt", "i"),
     ],
-    "tpch_q18_large_orders": [
-        ("c_custkey", "i"), ("o_orderkey", "i"), ("total_qty", "d"),
-    ],
     "tpch_q22_dormant_balance": [
         ("n_name", "s"), ("numcust", "i"), ("totacctbal", "d"),
-    ],
-    "cdc_merge_upsert": [
-        ("key", "i"), ("name", "s"), ("bal", "d"), ("action", "s"),
     ],
     # Round 4 (cont.): partitioned-layout round-trip (date partition
     # values surface as fraction-free strings) and the checkpointed
@@ -164,15 +158,23 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("event_date", "s"), ("event_type", "s"), ("n_events", "i"),
         ("total_value", "d"),
     ],
-    "stream_file_sink_hourly": [
-        ("window_start", "s"), ("event_type", "s"), ("n_events", "i"),
-        ("total_value", "f4"),
-    ],
-    "s_dpp_join": [("event_date", "s"), ("n_events", "i"), ("n_users", "i")],
-    "j_bloom_filter_join": [
-        ("l_returnflag", "s"), ("n_rows", "i"), ("sum_qty", "d"),
-    ],
     "sample_mixture": [("doc_id", "i"), ("source", "s")],
+    # Round 4 rotation: stable pure-int/string queries moved out of the
+    # window to free slots for the round-4 flagship shapes (file-sink
+    # streaming run, Q18, DPP, CDC merge, bloom join), which now carry
+    # their own driver rows instead of combo membership.
+    "a15_combined_histogram": [("size", "i"), ("n_components", "i")],
+    "text_token_stats": [
+        ("source", "s"), ("n_docs", "i"), ("total_tokens", "i"),
+    ],
+    "text_langid": [
+        ("doc_id", "i"), ("lang", "s"), ("predicted_lang", "s"),
+    ],
+    "a_pivot_daily": [
+        ("day", "s"), ("n_click", "i"), ("n_error", "i"),
+        ("n_purchase", "i"), ("n_signup", "i"), ("n_view", "i"),
+    ],
+    "a_unpivot_metrics": [("doc_id", "i"), ("metric", "s"), ("v", "i")],
     # The streaming foreachBatch MERGE must compose to the one-shot
     # batch merge on key survival + updated columns (non-update columns
     # of delete-then-reinserted keys legitimately differ — see the
