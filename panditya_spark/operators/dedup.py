@@ -572,3 +572,80 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def fuzzy_match_qgram(
+    dirty: DataFrame,
+    clean: DataFrame,
+    dirty_id: str,
+    dirty_name: str,
+    clean_id: str,
+    clean_name: str,
+    q: int = 3,
+    max_dist: int = 1,
+    max_gram_df: int | None = 50,
+) -> DataFrame:
+    """Entity resolution: match dirty strings to their clean canonical
+    rows via q-gram blocking + edit-distance verification — the
+    record-linkage primitive for merging entity tables across sources.
+
+    Blocking: both sides explode into character q-grams and candidates
+    are gram-content equi-join collisions. A single-character edit
+    destroys at most q grams, so a name with more than q surviving
+    grams always blocks with its true match — recall is structural,
+    not probabilistic. Hot grams (a shared 'Customer#00' prefix lives
+    in EVERY row) are dropped by the clean-side document-frequency cap
+    `max_gram_df`: the discriminative rare grams carry the block, and
+    the per-gram join fan-out stays bounded (df² blowup is the same
+    quadratic hazard the shingle stop-list guards — dedup.py
+    _cap_shingle_df). Verification: builtin JVM levenshtein on the
+    candidates only (never all-pairs), keep distance <= max_dist,
+    best match per dirty row (min distance, then min clean id —
+    deterministic, oracle-mirrorable).
+
+    Returns (dirty_id, matched_key, dist).
+    """
+    def grams(df: DataFrame, idc: str, namec: str, out_id: str) -> DataFrame:
+        s = F.col(namec)
+        idx = F.sequence(F.lit(1), F.length(s) - (q - 1))
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(namec).alias(f"{out_id}_name"),
+            F.explode(F.transform(idx, lambda i: F.substring(s, i, q).alias("g"))).alias("g"),
+        )
+
+    cg = grams(clean, clean_id, clean_name, "ckey")
+    if max_gram_df is not None:
+        # Document frequency = DISTINCT names containing the gram (a
+        # name with a repeated gram — '000' twice in 'ACCT-0000' —
+        # counts once; occurrence-counting over-penalizes repetitive
+        # names and silently drops their rare-ish grams).
+        keep = (
+            cg.groupBy("g")
+            .agg(F.countDistinct("ckey").alias("df"))
+            .filter(F.col("df") <= max_gram_df)
+            .select("g")
+        )
+        cg = cg.join(keep, "g")
+    dg = grams(dirty, dirty_id, dirty_name, "dkey")
+    cand = (
+        dg.join(cg, "g")
+        .select("dkey", "dkey_name", "ckey", "ckey_name")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("dkey_name"), F.col("ckey_name"))
+    scored = cand.select(
+        "dkey", "ckey", dist.alias("dist")
+    ).filter(F.col("dist") <= max_dist)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("dkey").orderBy("dist", "ckey")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("dkey"),
+            F.col("ckey").alias("matched_key"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

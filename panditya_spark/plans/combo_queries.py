@@ -175,6 +175,8 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("n_purchase", "i"), ("n_signup", "i"), ("n_view", "i"),
     ],
     "a_unpivot_metrics": [("doc_id", "i"), ("metric", "s"), ("v", "i")],
+    # Round 4: entity resolution (q-gram blocking + levenshtein).
+    "er_fuzzy_match": [("dkey", "i"), ("matched_key", "i"), ("dist", "i")],
     # The streaming foreachBatch MERGE must compose to the one-shot
     # batch merge on key survival + updated columns (non-update columns
     # of delete-then-reinserted keys legitimately differ — see the

@@ -463,3 +463,58 @@ def test_mixture_sample_hits_target_ratio(spark):
         for r in mixture_sample(df, "source", "doc_id", {"a": 9, "b": 1}).collect()
     }
     assert ids1 == ids2
+
+
+def test_fuzzy_match_recovers_ground_truth(spark):
+    """On names whose identity survives one edit (distinct word stems),
+    q-gram blocking + levenshtein recovers the exact source row for
+    every corrupted record; rows beyond max_dist don't match at all."""
+    from panditya_spark.operators.dedup import fuzzy_match_qgram
+
+    clean = spark.createDataFrame(
+        [
+            (1, "alpha consolidated corp"),
+            (2, "beta industries llc"),
+            (3, "gamma logistics gmbh"),
+            (4, "delta shipping sa"),
+        ],
+        ["ckey", "cname"],
+    )
+    dirty = spark.createDataFrame(
+        [
+            (11, "alpha consolidatedcorp"),   # dropped space -> dist 1
+            (12, "beta industries lc"),        # dropped char  -> dist 1
+            (13, "gamma logistics gmbh"),      # exact         -> dist 0
+            (14, "totally unrelated name"),    # no match
+        ],
+        ["dkey", "dname"],
+    )
+    out = {
+        r["dkey"]: (r["matched_key"], r["dist"])
+        for r in fuzzy_match_qgram(
+            dirty, clean, "dkey", "dname", "ckey", "cname", max_gram_df=None
+        ).collect()
+    }
+    assert out == {11: (1, 1), 12: (2, 1), 13: (3, 0)}
+
+
+def test_fuzzy_match_hot_gram_cap_bounds_candidates(spark):
+    """With a shared hot prefix and a tiny gram-df cap, blocking rides
+    only on the rare suffix grams — matches still land, and fully-hot
+    names (no surviving gram) drop out instead of exploding the join."""
+    from panditya_spark.operators.dedup import fuzzy_match_qgram
+
+    clean = spark.createDataFrame(
+        [(i, f"ACCT-{i:04d}") for i in range(100)], ["ckey", "cname"]
+    )
+    # Corrupt key 7: drop last digit. Its '007' suffix grams are rare.
+    dirty = spark.createDataFrame([(7, "ACCT-000")], ["dkey", "dname"])
+    out = fuzzy_match_qgram(
+        dirty, clean, "dkey", "dname", "ckey", "cname",
+        max_dist=1, max_gram_df=10,
+    ).collect()
+    assert len(out) == 1
+    # 'ACCT-000' is one edit from ACCT-0000 (7->0 sub counts as key 0's
+    # name? no: key 0 is 'ACCT-0000', one DELETION away) and from
+    # 'ACCT-0007' (delete 7). Tiebreak min ckey -> 0. Deterministic.
+    assert (out[0]["matched_key"], out[0]["dist"]) == (0, 1)
