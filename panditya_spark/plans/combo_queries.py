@@ -177,6 +177,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "a_unpivot_metrics": [("doc_id", "i"), ("metric", "s"), ("v", "i")],
     # Round 4: entity resolution (q-gram blocking + levenshtein).
     "er_fuzzy_match": [("dkey", "i"), ("matched_key", "i"), ("dist", "i")],
+    # Round 4: schema-evolution read (v1 rows surface NULL o_channel —
+    # the '∅' sentinel makes the null itself value-checked).
+    "s_schema_evolution": [
+        ("o_orderkey", "i"), ("o_totalprice", "d"), ("o_channel", "s"),
+    ],
     # The streaming foreachBatch MERGE must compose to the one-shot
     # batch merge on key survival + updated columns (non-update columns
     # of delete-then-reinserted keys legitimately differ — see the

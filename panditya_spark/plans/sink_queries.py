@@ -325,3 +325,47 @@ def s_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ------------------------------------------------- schema evolution read
+@register(
+    "s_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_channel
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END AS o_channel
+    FROM orders WHERE o_orderkey % 100 = 1
+    """,
+)
+def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the data-lake reality
+    at 100 TB (a column added in March exists only in March-onward
+    files). Generation v1 (2 columns) and generation v2 (adds
+    o_channel) are written to one directory; the read uses
+    mergeSchema, which unions the footer schemas and surfaces NULL for
+    v1 rows' missing column — no rewrite of the old petabytes. The
+    oracle is the UNION ALL of both generations with an explicit NULL
+    column for v1, so the merged read must be value-identical to
+    having had the column all along."""
+    out = _sink_dir("schema_evo")
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 100 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("web"))
+        .otherwise(F.lit("store"))
+        .alias("o_channel"),
+    )
+    v1.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "g=1"))
+    v2.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "g=2"))
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(out, "g=1"), os.path.join(out, "g=2"))
+        .select("o_orderkey", "o_totalprice", "o_channel")
+    )

@@ -223,6 +223,22 @@ CHECKS = [
         ],
     ),
     (
+        "er_fuzzy_match",
+        [
+            # Blocking is a gram-content equi-join + builtin levenshtein
+            # — never an all-pairs product, never a Python UDF.
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
+        "sample_mixture",
+        [
+            ("tiny weight/take tables broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
         "text_pii_redact",
         [
             ("map-only: no Exchange anywhere in the plan", ("absent", ["Exchange"])),
