@@ -1262,3 +1262,148 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_outer: int = 30, max_inner: int = 40
+) -> DataFrame:
+    """Directed strongly connected components (spec extension — the one
+    classic graph decomposition the suite lacked): (node, scc) where
+    scc = the lexicographic min member id, deterministic.
+
+    Distributed FW-BW with the two standard accelerators that make its
+    round count practical:
+
+    1. TRIM: nodes with zero in- or out-degree inside their active
+       partition can't lie on a cycle — settle them as singleton SCCs.
+       Iterated, this peels entire DAG regions in O(longest path)
+       rounds, leaving only the cyclic cores for the expensive phase.
+    2. Weak-CC pre-partitioning: the existing connected_components
+       pass splits the trimmed graph into independent partitions that
+       FW-BW processes IN PARALLEL (one pivot per partition per
+       round). Without it, k disjoint cores resolve one-at-a-time —
+       k sequential rounds instead of ~1.
+
+    Each round picks pivot = min active node per partition, computes
+    the pivot's forward and backward reachable sets WITHIN the
+    partition (frontier BFS, inner loop), settles F∩B as the pivot's
+    SCC (pivot is the partition min and a member, hence the SCC min),
+    and splits the rest into F\\B / B\\F / neither — three sub-
+    partitions that provably contain no SCC straddling them. Rounds
+    needed ≈ SCC "layers" per weak component, not total SCC count.
+
+    All loop state goes through _LoopState (plan cuts + stats-reset
+    parquet spills) like every other iterative operator here.
+    """
+    src, dst = edges.columns[0], edges.columns[1]
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = _checkpoint(e)
+
+    # Weak-CC pre-partition: part0 = undirected component label.
+    weak = connected_components(e)
+    labels = weak.select(
+        "node", F.col("component").alias("part"), F.lit(None).cast("string").alias("scc")
+    )
+
+    state = _LoopState()
+    (labels,) = state.round_end(labels)
+
+    def bfs_within(seeds: DataFrame, edge_tbl: DataFrame, parts: DataFrame) -> DataFrame:
+        """Nodes reachable from seeds following edge_tbl, where every
+        traversed edge stays inside one partition (parts: node→part).
+        Returns (node, part) of reached set incl. seeds."""
+        pe = (
+            edge_tbl.join(parts.withColumnRenamed("node", "src"), "src")
+            .join(
+                parts.withColumnRenamed("node", "dst").withColumnRenamed("part", "part2"),
+                "dst",
+            )
+            .filter(F.col("part") == F.col("part2"))
+            .select("src", "dst", "part")
+        ).localCheckpoint(eager=True)
+        visited = seeds.localCheckpoint(eager=True)
+        frontier = visited
+        for _ in range(max_inner):
+            nxt = (
+                pe.join(frontier.withColumnRenamed("node", "src"), ["src", "part"])
+                .select(F.col("dst").alias("node"), "part")
+                .distinct()
+                .join(visited, ["node", "part"], "left_anti")
+            ).localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited
+
+    for _ in range(max_outer):
+        active = labels.filter(F.col("scc").isNull()).select("node", "part")
+        if active.isEmpty():
+            break
+        ae = (
+            e.join(active.withColumnRenamed("node", "src"), "src")
+            .join(
+                active.select(F.col("node").alias("dst"), F.col("part").alias("p2")),
+                "dst",
+            )
+            .filter(F.col("part") == F.col("p2"))
+            .select("src", "dst")
+        ).localCheckpoint(eager=True)
+        # TRIM: settle active nodes missing an in- or out-edge in the
+        # active subgraph as singleton SCCs.
+        has_out = ae.select(F.col("src").alias("node")).distinct()
+        has_in = ae.select(F.col("dst").alias("node")).distinct()
+        on_cycle_candidates = has_out.join(has_in, "node")
+        trimmed = active.join(on_cycle_candidates, "node", "left_anti")
+        if not trimmed.isEmpty():
+            (labels,) = state.round_end(
+                labels.alias("l")
+                .join(trimmed.select("node").alias("t"), "node", "left_outer")
+                .select(
+                    "node",
+                    "part",
+                    F.when(
+                        F.col("scc").isNull() & F.col("t.node").isNotNull(),
+                        F.col("node"),
+                    )
+                    .otherwise(F.col("scc"))
+                    .alias("scc"),
+                )
+            )
+            continue
+        # FW-BW round: pivot per partition.
+        pivots = active.groupBy("part").agg(F.min("node").alias("node")).select("node", "part")
+        parts = active
+        fwd = bfs_within(pivots, ae, parts)
+        bwd = bfs_within(
+            pivots, ae.select(F.col("dst").alias("src"), F.col("src").alias("dst")), parts
+        )
+        in_f = fwd.select("node", "part", F.lit(1).alias("inf"))
+        in_b = bwd.select("node", "part", F.lit(1).alias("inb"))
+        piv = pivots.select(F.col("part"), F.col("node").alias("pivot"))
+        classified = (
+            active.join(in_f, ["node", "part"], "left_outer")
+            .join(in_b, ["node", "part"], "left_outer")
+            .join(piv, "part")
+            .select(
+                "node",
+                F.when(F.col("inf").isNotNull() & F.col("inb").isNotNull(), F.col("pivot"))
+                .otherwise(F.lit(None).cast("string"))
+                .alias("new_scc"),
+                F.when(F.col("inf").isNotNull() & F.col("inb").isNotNull(), F.col("part"))
+                .when(F.col("inf").isNotNull(), F.concat(F.col("part"), F.lit("F")))
+                .when(F.col("inb").isNotNull(), F.concat(F.col("part"), F.lit("B")))
+                .otherwise(F.concat(F.col("part"), F.lit("R")))
+                .alias("new_part"),
+            )
+        )
+        (labels,) = state.round_end(
+            labels.join(classified, "node", "left_outer").select(
+                "node",
+                F.coalesce("new_part", "part").alias("part"),
+                F.coalesce("scc", "new_scc").alias("scc"),
+            )
+        )
+    out = labels.select("node", "scc")
+    state.finish(labels)
+    return out

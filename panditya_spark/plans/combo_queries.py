@@ -177,6 +177,9 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "a_unpivot_metrics": [("doc_id", "i"), ("metric", "s"), ("v", "i")],
     # Round 4: entity resolution (q-gram blocking + levenshtein).
     "er_fuzzy_match": [("dkey", "i"), ("matched_key", "i"), ("dist", "i")],
+    # Round 4: distributed SCC over the back-edged key chain (structural
+    # oracle: one component per nation, min-member labels).
+    "g14_scc": [("node", "s"), ("scc", "s")],
     # Round 4: schema-evolution read (v1 rows surface NULL o_channel —
     # the '∅' sentinel makes the null itself value-checked).
     "s_schema_evolution": [

@@ -269,3 +269,59 @@ def g13_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     e = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return triangle_counts(e)
+
+
+# ---------------------------------------------------------------- G14 (ext)
+# Strongly connected components (spec extension): the key-chain DAG
+# plus order→nation back-edges, which close one directed cycle family
+# per nation: N→its customers→their orders→N. The SCC structure is
+# therefore derivable WITHOUT recursion — each nation's {N, order-
+# having customers, their orders} collapses to one component labeled
+# by its lexicographic min member ('C...' < 'N...' < 'O...') — which
+# is what makes an exact DuckDB oracle possible for a computation
+# that is not otherwise SQL-expressible.
+@register(
+    "g14_scc",
+    oracle="""
+    WITH nodes_n AS (SELECT DISTINCT c_nationkey AS n FROM customer),
+    co AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+    cn AS (
+      SELECT c_custkey, c_nationkey,
+             c_custkey IN (SELECT ck FROM co) AS has_o
+      FROM customer
+    ),
+    m AS (
+      SELECT c_nationkey, min('C' || CAST(c_custkey AS VARCHAR)) AS scc
+      FROM cn WHERE has_o GROUP BY c_nationkey
+    )
+    SELECT 'N' || CAST(n.n AS VARCHAR) AS node,
+           coalesce(m.scc, 'N' || CAST(n.n AS VARCHAR)) AS scc
+    FROM nodes_n n LEFT JOIN m ON m.c_nationkey = n.n
+    UNION ALL
+    SELECT 'C' || CAST(c_custkey AS VARCHAR),
+           CASE WHEN cn.has_o THEN m.scc
+                ELSE 'C' || CAST(c_custkey AS VARCHAR) END
+    FROM cn LEFT JOIN m ON m.c_nationkey = cn.c_nationkey
+    UNION ALL
+    SELECT 'O' || CAST(o_orderkey AS VARCHAR), m.scc
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN m ON m.c_nationkey = customer.c_nationkey
+    """,
+)
+def g14_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SCC (trim + weak-CC pre-partition + per-partition
+    FW-BW pivots — operators/graph.strongly_connected_components) on
+    the back-edged key chain. Algorithm semantics are pinned by the
+    brute-force transitive-closure tests (tests/test_graph.py); this
+    query value-checks the full 16k-node decomposition against the
+    structural oracle every round."""
+    from panditya_spark.operators.graph import strongly_connected_components
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    back = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    return strongly_connected_components(key_chain_edges(spark, sf_dir).union(back))

@@ -258,3 +258,74 @@ def test_louvain_beats_lpa_modularity(spark):
     q_lpa = modularity(edges, label_propagation(edges, max_iter=4))
     assert q_louvain >= q_lpa
     assert q_louvain > 0.9
+
+
+def _scc_brute(edges):
+    """Reference SCC via transitive closure on a tiny node set."""
+    nodes = sorted({x for e in edges for x in e})
+    reach = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            for n in nodes:
+                if a in reach[n] and b not in reach[n]:
+                    reach[n].add(b)
+                    changed = True
+    out = {}
+    for n in nodes:
+        members = {m for m in nodes if m in reach[n] and n in reach[m]}
+        out[n] = min(members)
+    return out
+
+
+def test_scc_cycle_and_dag(spark):
+    """A 4-cycle collapses to one SCC (min-id labeled); a pure chain is
+    all singletons; a node off the cycle stays singleton."""
+    from panditya_spark.operators.graph import strongly_connected_components
+
+    edges = [("b", "c"), ("c", "d"), ("d", "e"), ("e", "b"),  # cycle b-c-d-e
+             ("a", "b"),                                        # into the cycle
+             ("e", "f"), ("f", "g")]                            # chain out
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["scc"] for r in strongly_connected_components(df).collect()}
+    assert got == {"a": "a", "b": "b", "c": "b", "d": "b", "e": "b",
+                   "f": "f", "g": "g"}
+
+
+def test_scc_two_cores_linked(spark):
+    """Two disjoint cycles joined by a path: two SCCs plus singleton
+    bridge nodes — exercises the FW-BW split and the weak-CC
+    pre-partitioning in one graph, plus a second weak component."""
+    from panditya_spark.operators.graph import strongly_connected_components
+
+    edges = [("a", "b"), ("b", "a"),                  # core 1
+             ("b", "m"), ("m", "x"),                  # bridge
+             ("x", "y"), ("y", "z"), ("z", "x"),      # core 2
+             ("p", "q"), ("q", "p")]                  # separate weak comp
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["scc"] for r in strongly_connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "m": "m",
+                   "x": "x", "y": "x", "z": "x",
+                   "p": "p", "q": "p"}
+
+
+def test_scc_matches_bruteforce_random(spark):
+    """Deterministic pseudo-random digraphs vs a transitive-closure
+    reference — catches split/classification bugs structure tests
+    miss."""
+    import random
+
+    from panditya_spark.operators.graph import strongly_connected_components
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 14
+        nodes = [f"n{i:02d}" for i in range(n)]
+        edges = sorted({
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(30)
+        })
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["node"]: r["scc"] for r in strongly_connected_components(df).collect()}
+        assert got == _scc_brute(edges), (trial, edges)
