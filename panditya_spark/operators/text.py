@@ -10,6 +10,11 @@ scan→project with zero shuffles.
 
 from __future__ import annotations
 
+# Module-level on purpose: pandas_udf resolves the 'pd.Series' type
+# hints of the BPE merge/segment UDFs through this module's globals
+# (same constraint documented in operators/similarity.py).
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -296,3 +301,115 @@ def pack_sequences(
         F.floor(start / budget).cast("int").alias("bin_first"),
         F.floor((start + F.col(n_col) - 1) / budget).cast("int").alias("bin_last"),
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 10
+) -> list[tuple[str, str, int]]:
+    """Train byte-pair-encoding merges on a corpus - tokenizer
+    induction, the step every LLM pipeline runs once per corpus. BPE is
+    INHERENTLY sequential in its merge ranks (merge r+1's pair counts
+    depend on merge r having been applied), so the structure is
+    n_merges driver-coordinated rounds; what distributes is the
+    expensive part of each round, exactly as in production trainers:
+
+    - the corpus collapses ONCE to a (word, freq) table - pair counting
+      then costs O(|vocab|), not O(|corpus|), the standard trick that
+      makes BPE train on terabytes;
+    - per round, adjacent-pair counts are a JVM-side explode/aggregate
+      over that table (freq-weighted zip of toks with its own tail -
+      no Python in the counting path);
+    - only the single winning pair (max count, lexicographic tiebreak
+      -> fully deterministic) returns to the driver;
+    - the merge applies with one Arrow-batched pandas UDF (greedy
+      leftmost non-overlapping - sequential-scan semantics a window
+      function can't express; the documented 'builtins genuinely
+      cannot' case, same class as the collation key).
+
+    Returns [(left, right, count), ...] in merge order.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.filter(F.split("w", ""), lambda t: t != "").alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("toks", 1, F.size("toks") - 1),
+                        F.slice("toks", 2, F.size("toks") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["cnt"] < 2:
+            break
+        left, right, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["cnt"])
+        merges.append((left, right, cnt))
+
+        @pandas_udf("array<string>")
+        def merge_pair(toks: pd.Series) -> pd.Series:
+            out = []
+            for t in toks:
+                res, i, n = [], 0, len(t)
+                while i < n:
+                    if i + 1 < n and t[i] == left and t[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(t[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        vocab = vocab.withColumn("toks", merge_pair("toks")).localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def bpe_segment_udf(merges: list[tuple[str, str, int]]):
+    """Arrow-batched word->subword segmentation under a trained merge
+    list: per word, fold the merges in rank order with the exact
+    greedy-leftmost trainer rule. Application is the same
+    sequential-scan semantics as training, hence the same justified
+    pandas-UDF escape hatch (never per-row Python)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranked = [(l, r) for l, r, _ in merges]
+
+    @pandas_udf("array<string>")
+    def segment(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            toks = list(w or "")
+            for left, right in ranked:
+                res, i, n = [], 0, len(toks)
+                while i < n:
+                    if i + 1 < n and toks[i] == left and toks[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(toks[i])
+                        i += 1
+                toks = res
+            out.append(toks)
+        return pd.Series(out)
+
+    return segment

@@ -975,3 +975,25 @@ def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         dirty, clean, "dkey", "dname", "ckey", "cname",
         q=3, max_dist=1, max_gram_df=50,
     )
+
+
+# ------------------------------------------------------- tokenizer training
+@register("text_bpe_train")
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction over the documents corpus: 8 merge
+    rounds, each a distributed freq-weighted pair count over the
+    (word, freq) vocab table with only the winning pair returning to
+    the driver. Rows-only by design — the greedy-leftmost sequential
+    merge rule is not SQL-expressible (same class as Louvain); the
+    merge sequence is pinned exactly against a sequential reference
+    trainer in tests/test_dedup_text_similarity.py::
+    test_bpe_train_matches_reference, and is fully deterministic
+    (max-count, lexicographic tiebreak)."""
+    from panditya_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        ["rank", "left", "right", "pair_count"],
+    )

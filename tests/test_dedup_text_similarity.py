@@ -518,3 +518,79 @@ def test_fuzzy_match_hot_gram_cap_bounds_candidates(spark):
     # name? no: key 0 is 'ACCT-0000', one DELETION away) and from
     # 'ACCT-0007' (delete 7). Tiebreak min ckey -> 0. Deterministic.
     assert (out[0]["matched_key"], out[0]["dist"]) == (0, 1)
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Sequential reference BPE trainer (greedy leftmost merges)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for toks, f in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < 2:
+            break
+        merges.append((best[0], best[1], counts[best]))
+        new = {}
+        for toks, f in vocab.items():
+            res, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and (toks[i], toks[i + 1]) == best:
+                    res.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    res.append(toks[i])
+                    i += 1
+            new[tuple(res)] = new.get(tuple(res), 0) + f
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE training must produce the exact merge sequence
+    (pairs, ranks, AND counts) of a sequential reference trainer —
+    including the overlapping-run subtlety ('aaaa' yields two 'aa'
+    under greedy leftmost, not three)."""
+    from panditya_spark.operators.text import bpe_train
+
+    docs = [
+        "low low low lower lower newest newest newest newest widest",
+        "aaaa aaaa banana low newest",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    got = bpe_train(df, "text", n_merges=6)
+
+    freqs = {}
+    for d in docs:
+        for w in d.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _bpe_reference(freqs, 6)
+    assert got == want, (got, want)
+
+
+def test_bpe_segment_applies_trained_merges(spark):
+    """Segmentation under the trained merges reproduces the trainer's
+    final tokenization of an in-corpus word and degrades to characters
+    for unseen words."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.operators.text import bpe_segment_udf, bpe_train
+
+    df = spark.createDataFrame(
+        [("newest newest newest lowest",)], ["text"]
+    )
+    merges = bpe_train(df, "text", n_merges=4)
+    seg = bpe_segment_udf(merges)
+    out = {
+        r["w"]: r["toks"]
+        for r in spark.createDataFrame([("newest",), ("zq",)], ["w"])
+        .select("w", seg(F.col("w")).alias("toks"))
+        .collect()
+    }
+    assert "".join(out["newest"]) == "newest"
+    assert len(out["newest"]) < 6          # merges actually applied
+    assert out["zq"] == ["z", "q"]          # unseen word -> chars
