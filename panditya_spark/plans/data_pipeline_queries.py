@@ -997,3 +997,39 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         ["rank", "left", "right", "pair_count"],
     )
+
+
+# ---------------------------------------------- model-based quality filter
+@register("ml_quality_score")
+def ml_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the curated-vs-crawl classifier
+    pattern of modern LLM pipelines: positives are the real corpus
+    documents, negatives are deterministic degenerate twins synthesized
+    from the same corpus (one phrase repeated to document length — the
+    boilerplate/spam shape the repetition heuristics catch), and a
+    logistic model trained on the pair generalizes past any hand rule.
+    Training is a few distributed LBFGS aggregations over the feature
+    table; scoring is one map-only transform of a broadcast coefficient
+    vector. Rows-only (float probabilities, iterative optimizer);
+    separation is pinned by tests (test_quality_classifier_separates).
+    Returns (doc_id, quality_prob, keep) for the REAL documents."""
+    from panditya_spark.operators.ml import (
+        quality_feature_frame,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    junk = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.substring("text", 1, 9), 60)
+        ).alias("text"),
+    )
+    feats = quality_feature_frame(docs, "text", "doc_id")
+    junk_feats = quality_feature_frame(junk, "text", "doc_id")
+    train = feats.withColumn("label", F.lit(1)).unionByName(
+        junk_feats.withColumn("label", F.lit(0))
+    )
+    model = train_quality_classifier(train, "label")
+    return score_quality(model, feats, "doc_id")

@@ -594,3 +594,38 @@ def test_bpe_segment_applies_trained_merges(spark):
     assert "".join(out["newest"]) == "newest"
     assert len(out["newest"]) < 6          # merges actually applied
     assert out["zq"] == ["z", "q"]          # unseen word -> chars
+
+
+def test_quality_classifier_separates(spark):
+    """On a cleanly separable corpus (natural sentences vs one-phrase
+    repetition), the bootstrapped logistic classifier must keep every
+    real document and reject every junk document when scoring BOTH —
+    i.e. the model actually learned the boundary, not a constant."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.operators.ml import (
+        quality_feature_frame,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    real = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a committee of researchers published the annual report on tuesday",
+        "markets rallied after the central bank signalled steady rates",
+        "the museum opened a new wing devoted to early modern printing",
+    ]
+    junk = ["buy now " * 30, "zzz " * 50, "click here click here " * 15]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(real)]
+        + [(100 + i, t) for i, t in enumerate(junk)],
+        ["doc_id", "text"],
+    )
+    feats = quality_feature_frame(docs, "text", "doc_id")
+    train = feats.withColumn(
+        "label", (F.col("doc_id") < 100).cast("int")
+    )
+    model = train_quality_classifier(train, "label")
+    out = {r["doc_id"]: r["keep"] for r in score_quality(model, feats, "doc_id").collect()}
+    assert all(out[i] == 1 for i in range(len(real))), out
+    assert all(out[100 + i] == 0 for i in range(len(junk))), out
