@@ -373,3 +373,69 @@ def cosine_near_pairs(
         .select("id1", "id2", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Distributed Lloyd k-means (cosine geometry) as a first-class
+    operator — embedding-space clustering for corpus diversity
+    analysis, dedup-cluster seeding, and IVF index construction (the
+    ivf_topk inverted lists are exactly one short run of this).
+
+    Each iteration is the classic DataFrame pair: assign = broadcast
+    the k centroids, per-row argmax (map-only); update = posexplode /
+    avg / re-assemble per list (one shuffle by cluster id). Iterates
+    to assignment fixpoint or max_iter. Deterministic end-to-end: the
+    init is a hash-ordered sample (no RNG), updates are exact
+    averages, ties break on list id.
+
+    Returns (id, cluster) with cluster ids 1..k (row_number order of
+    the initial centroid sample).
+    """
+    cand = df.select(
+        F.col(id_col).alias("kid"), _dbl(F.col(vec_col)).alias("kvec")
+    ).cache()
+    cent = (
+        cand.orderBy(F.xxhash64(F.col("kid").cast("string")))
+        .limit(k)
+        .select(F.col("kvec").alias("centvec"))
+        .withColumn("list_id", F.row_number().over(Window.orderBy("centvec")))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = cand.crossJoin(F.broadcast(cents)).withColumn(
+            "cent_sim", F.round(cosine(F.col("kvec"), F.col("centvec")), 6)
+        )
+        w = Window.partitionBy("kid").orderBy(F.desc("cent_sim"), F.asc("list_id"))
+        return (
+            scored.withColumn("nr", F.row_number().over(w))
+            .filter(F.col("nr") == 1)
+            .select("kid", "kvec", "list_id")
+        )
+
+    assigned = assign(cent).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        cent = F.broadcast(
+            _avg_vectors(assigned, "list_id", "kvec").withColumnRenamed(
+                "kvec", "centvec"
+            )
+        )
+        new = assign(cent).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(assigned.alias("o"), "kid")
+            .filter(F.col("n.list_id") != F.col("o.list_id"))
+        )
+        moved = not changed.isEmpty()
+        assigned = new
+        if not moved:
+            break
+    cand.unpersist()
+    return assigned.select(
+        F.col("kid").alias(id_col), F.col("list_id").alias("cluster")
+    )

@@ -1033,3 +1033,26 @@ def ml_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = train_quality_classifier(train, "label")
     return score_quality(model, feats, "doc_id")
+
+
+# ---------------------------------------------------- embedding clustering
+@register("emb_kmeans")
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space k-means over the corpus: cluster sizes of the
+    converged assignment. Rows-only by design (hash-seeded init +
+    float fixpoint — the Louvain class). NOTE the embeddings table's
+    `label` column is metadata, not geometry: measured intra-label and
+    inter-label cosine are both ~0.002 (uniform vectors), so no
+    clustering can "recover" it — this query pins determinism and the
+    full partition of the id space, while cluster-RECOVERY semantics
+    are pinned on constructed separable data
+    (tests/test_dedup_text_similarity.py::test_kmeans_recovers_planted)."""
+    from panditya_spark.operators.similarity import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, "vec_id", "embedding", k=10)
+    return (
+        out.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster")
+    )

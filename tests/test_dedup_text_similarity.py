@@ -629,3 +629,35 @@ def test_quality_classifier_separates(spark):
     out = {r["doc_id"]: r["keep"] for r in score_quality(model, feats, "doc_id").collect()}
     assert all(out[i] == 1 for i in range(len(real))), out
     assert all(out[100 + i] == 0 for i in range(len(junk))), out
+
+
+def test_kmeans_recovers_planted(spark):
+    """On genuinely separated clusters (three orthogonal directions +
+    small noise), distributed Lloyd recovers the planted partition
+    exactly. (The testdata embeddings table is uniform noise — its
+    `label` column is NOT geometric, measured intra=inter cosine — so
+    recovery must be pinned here, on constructed data.)"""
+    import random
+
+    from panditya_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(7)
+    rows, truth = [], {}
+    for c, base in enumerate(((10.0, 0, 0), (0, 10.0, 0), (0, 0, 10.0))):
+        for i in range(30):
+            vid = c * 100 + i
+            vec = [b + rng.gauss(0, 0.5) for b in base]
+            rows.append((vid, vec))
+            truth[vid] = c
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, "vec_id", "embedding", k=3).collect()
+    }
+    assert len(got) == 90
+    # Every planted cluster maps to exactly one k-means cluster.
+    mapping = {}
+    for vid, cl in got.items():
+        mapping.setdefault(truth[vid], set()).add(cl)
+    assert all(len(v) == 1 for v in mapping.values()), mapping
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
