@@ -80,13 +80,14 @@ def main() -> int:
     smallest = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(smallest):
         smallest = sf_dir
-    # g5 additionally warms at the MID tier (sf0.01): the iterative
-    # loop's first call at a NEW scale pays size-dependent costs the
-    # sf0.001 warmup can't absorb (AQE picks different plan variants →
-    # fresh codegen). Measured (bench-order simulation at sf0.1):
-    # first call 5.6-6.5s vs 4.2-4.8s warm; with the sf0.01 warmup the
-    # min-of-N first call dropped 6.39s → 5.68s on a loaded host.
+    # g5 and minhash additionally warm at the MID tier (sf0.01): the
+    # first call at a NEW scale pays size-dependent costs the sf0.001
+    # warmup can't absorb (AQE picks different plan variants → fresh
+    # codegen). Measured (bench-order simulation at sf0.1, min-of-3
+    # A/B): g5 first call 6.39s → 5.68s; minhash 3.9-4.4s → 3.6-4.1s
+    # with B < A on every paired iteration.
     mid = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    _MID_WARM = {"g5_connected_components", "dedup_minhash_lsh"}
     for warm_q in (
         "stream_tumbling_microbatch",
         "g5_connected_components",
@@ -101,7 +102,7 @@ def main() -> int:
     ):
         try:
             QUERIES[warm_q](spark, smallest).count()
-            if warm_q == "g5_connected_components" and os.path.isdir(mid):
+            if warm_q in _MID_WARM and os.path.isdir(mid):
                 QUERIES[warm_q](spark, mid).count()
         except Exception as exc:  # noqa: BLE001
             print(f"warmup {warm_q} failed: {exc!r}", file=sys.stderr)
