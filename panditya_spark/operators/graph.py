@@ -1407,3 +1407,81 @@ def strongly_connected_components(
     out = labels.select("node", "scc")
     state.finish(labels)
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 15,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: the restart vector concentrates on the
+    seed set instead of being uniform, so rank measures graph proximity
+    TO THE SEEDS — the standard graph-based relevance/recommendation
+    score (which authors/works are structurally closest to this one),
+    a natural serving-layer companion to the k-hop subgraph query.
+
+    Same power-iteration shape as pagerank() (one rank⋈edges join per
+    round, dangling mass folded in as a 1-row broadcast aggregate —
+    here returned to the SEEDS, matching the restart semantics), so
+    total mass is EXACTLY 1.0 every round (mass-conservation pytest:
+    new_total = (1-d)·1 + d·prev_total, a fixpoint at 1).
+    Seeds' first column is the node id; restart mass splits uniformly
+    across seeds. Returns (node, rank) for all reachable nodes.
+    """
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().cache()
+    n_seeds = s.count()
+    restart = s.withColumn("r0", F.lit(1.0 / n_seeds))
+    outd = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    adj = e.join(outd, e.src == outd.node).select("src", "dst", "out_degree").cache()
+
+    state = _LoopState()
+    ranks = _checkpoint(
+        nodes.join(restart, "node", "left_outer").select(
+            "node", F.coalesce("r0", F.lit(0.0)).alias("rank")
+        )
+    )
+    for _ in range(iters):
+        contribs = (
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = ranks.join(outd.select("node"), "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+        )
+        (ranks,) = state.round_end(
+            nodes.join(contribs, "node", "left_outer")
+            .join(restart, "node", "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1 - damping) * F.coalesce("r0", F.lit(0.0))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        # Dangling mass restarts at the seeds too.
+                        + F.col("dangling_mass") * F.coalesce("r0", F.lit(0.0))
+                    )
+                ).alias("rank"),
+            )
+        )
+    adj.unpersist()
+    nodes.unpersist()
+    s.unpersist()
+    state.finish(ranks)
+    return ranks.filter(F.col("rank") > 0)

@@ -577,3 +577,26 @@ def g3_g4_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
         node_color(F.col("type"), F.col("node").isin(excluded)).alias("color"),
     )
     return annotated
+
+
+# ------------------------------------------------------ G8 personalized (ext)
+@register("g8_personalized_pagerank")
+def g8_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at region-0's nations — graph
+    proximity TO the seeds, the relevance score behind 'entities
+    structurally closest to this one' (the serving-layer companion to
+    g1's k-hop subgraph: k-hop answers reachability, PPR ranks it).
+    Rows-only like the other iterative float fixpoints; mass
+    conservation (Σrank = 1 exactly), distance decay, and
+    unreachable-exclusion are pinned by
+    tests/test_graph.py::test_personalized_pagerank_proximity_and_mass."""
+    from panditya_spark.operators.graph import personalized_pagerank
+    from panditya_spark.sources.loaders import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    seeds = n.filter(F.col("n_regionkey") == 0).select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node")
+    )
+    return personalized_pagerank(
+        key_chain_edges(spark, sf_dir), seeds, iters=10
+    )

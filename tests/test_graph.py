@@ -329,3 +329,31 @@ def test_scc_matches_bruteforce_random(spark):
         df = spark.createDataFrame(edges, ["src", "dst"])
         got = {r["node"]: r["scc"] for r in strongly_connected_components(df).collect()}
         assert got == _scc_brute(edges), (trial, edges)
+
+
+def test_personalized_pagerank_proximity_and_mass(spark):
+    """PPR fundamentals: (1) total mass is exactly 1.0 (restart AND
+    dangling mass both return to the seeds); (2) rank decays with
+    graph distance from the seed along a chain (x > y > z); (3) the
+    seed ranks highest; (4) unreachable nodes get no rank. (A first
+    draft asserted "every seed-lobe node outranks every far node" on a
+    far TRIANGLE — wrong: a recirculating far lobe that never leaks
+    back is an absorbing sink and legitimately accumulates rank; the
+    decay property only holds along non-recirculating paths.)"""
+    from panditya_spark.operators.graph import personalized_pagerank
+
+    edges = [
+        # seed lobe: triangle a-b-c
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        # decaying chain off the triangle; z dangles (mass -> seed)
+        ("c", "x"), ("x", "y"), ("y", "z"),
+        # isolated pair unreachable from the seed
+        ("p", "q"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["rank"] for r in personalized_pagerank(df, seeds).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9, sum(got.values())
+    assert "p" not in got and "q" not in got           # unreachable
+    assert got["x"] > got["y"] > got["z"], got          # distance decay
+    assert got["a"] == max(got.values()), got           # seed ranks highest
