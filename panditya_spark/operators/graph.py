@@ -1485,3 +1485,59 @@ def personalized_pagerank(
     s.unpersist()
     state.finish(ranks)
     return ranks.filter(F.col("rank") > 0)
+
+
+# ------------------------------------------------------------ G15 (ext)
+def kcore(edges: DataFrame, k: int, max_iter: int = 128) -> DataFrame:
+    """k-core decomposition membership: the (unique) maximal subgraph
+    in which every node has undirected degree >= k, by iterative
+    peeling — drop all nodes of degree < k, recompute degrees, repeat
+    to fixpoint (spec extension; same family as g13 triangle counting).
+
+    Scale shape: each round is one map-side-combinable degree
+    aggregation plus two semi-joins that reuse the same hash
+    partitioning on the endpoint columns; no collect, no per-node
+    driver state. The edge set only shrinks, so round cost is
+    monotonically decreasing; lineage/stats are reset on the shared
+    parquet-spill cadence (_LoopState) like every other iterative
+    operator here. Termination: the fixpoint is reached in at most
+    |V| rounds; real graphs converge in a handful (the peel only
+    cascades along chains of exactly-degree-k nodes).
+
+    Returns (node, degree) for k-core members, degree counted INSIDE
+    the core (>= k by construction, the invariant pytest pins).
+    """
+    e = undirected(edges).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    state = _LoopState()
+    (e,) = state.round_end(e)
+    prev_nodes = -1
+    empty = False
+    for _ in range(max_iter):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        n = keep.count()
+        if n == 0:
+            # Every remaining node is below k — the k-core is empty.
+            empty = True
+            break
+        if n == prev_nodes:
+            # keep ⊆ nodes(e) ⊆ previous keep with equal counts ⇒ all
+            # three sets coincide ⇒ every node of e has degree >= k:
+            # e IS the core; no further filter needed.
+            break
+        prev_nodes = n
+        (e,) = state.round_end(
+            e.join(keep, "src", "semi").join(
+                keep.withColumnRenamed("src", "dst"), "dst", "semi"
+            )
+        )
+    out = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    if empty:
+        out = out.filter(F.lit(False))
+    out = _checkpoint(out)
+    state.finish()
+    return out

@@ -368,3 +368,55 @@ def merge_upsert(
         j.filter(~(sk.isNotNull() & is_delete))
         .select(*out_cols, action.alias("action"))
     )
+
+
+# ------------------------------------------------------- winsorize / clip
+def winsorize_clip(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization: clip ``val_col`` to its group's
+    [lo_q, hi_q] quantiles — the outlier-capping step that precedes
+    loss-weighting or normalization in a feature pipeline.
+
+    Quantiles use DISCRETE semantics (the value at ordered position
+    ceil(pct*n/100), a real member of the group): unlike interpolated
+    percentiles, the bound is engine-exact — any SQL engine ordering
+    by value picks the identical member, with no float interpolation
+    to diverge on, which is what makes the operator oracle-checkable
+    to the last bit. Percentiles are INTEGER parameters so the
+    position arithmetic (int product, one exact double division) is
+    bit-identical across engines too.
+
+    Scale shape: ONE shuffle by group for the rank window; the bounds
+    table is one row per group and broadcast back onto the fact side —
+    never a second fact shuffle. The value at a rank under ORDER BY
+    value is deterministic without a tiebreak column (ties share the
+    value).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(val_col)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        val_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    lo_pos = F.greatest(
+        F.lit(1), F.ceil(F.col("_n") * F.lit(lo_pct) / F.lit(100))
+    )
+    hi_pos = F.ceil(F.col("_n") * F.lit(hi_pct) / F.lit(100))
+    bounds = (
+        ranked.filter((F.col("_rn") == lo_pos) | (F.col("_rn") == hi_pos))
+        .groupBy(group_col)
+        .agg(F.min(val_col).alias("_lo"), F.max(val_col).alias("_hi"))
+    )
+    return df.join(F.broadcast(bounds), group_col).withColumn(
+        f"{val_col}_clipped",
+        F.least(F.greatest(F.col(val_col), F.col("_lo")), F.col("_hi")),
+    ).drop("_lo", "_hi")

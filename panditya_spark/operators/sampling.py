@@ -116,3 +116,88 @@ def mixture_sample(
         .filter(F.col("rn") <= F.col("take"))
         .drop("rn", "take")
     )
+
+
+# ----------------------------------------------- importance resampling
+def importance_select(
+    docs: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets_prefix: int = 2,
+) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023: hashed n-gram
+    features, target-vs-raw importance ratio) with an INTEGER-EXACT
+    evidence surrogate so a SQL oracle can value-check it to the bit.
+
+    Features are hashed word buckets: bucket = the first
+    ``n_buckets_prefix`` hex chars of md5(word) (256 buckets at 2 —
+    the same engine-portable hash family as deterministic_sample).
+    Per bucket, count token occurrences in the target slice and in the
+    full raw corpus; per document, sum those bucket counts over its
+    tokens:
+
+        tgt_evidence(d) = Σ_{w ∈ d} tgt_count[bucket(w)]
+        raw_evidence(d) = Σ_{w ∈ d} raw_count[bucket(w)]
+
+    A document leans toward the target distribution when its
+    NORMALIZED target evidence exceeds its normalized raw evidence;
+    the float-free comparison is the cross-multiplication
+
+        tgt_evidence · total_raw  >=  raw_evidence · total_tgt
+
+    (exactly the sign of the log-importance-weight under a linear —
+    rather than log — bucket score; the log-weighted variant is the
+    bigram-LM operator's territory). Products go through DECIMAL(38,0)
+    so 100 TB-scale token counts cannot wrap int64.
+
+    Scale shape: one explode+groupBy for bucket counts (map-side
+    combinable, 256-row result), broadcast back onto the token stream,
+    one per-doc sum — no all-pairs, no driver state. Returns
+    (id, tgt_evidence, raw_evidence, keep).
+    """
+    from panditya_spark.operators.text import _plain_words
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_plain_words(F.col(text_col))).alias("w"),
+    ).select(
+        id_col, F.substring(F.md5("w"), 1, n_buckets_prefix).alias("bucket")
+    )
+    tgt_ids = docs.filter(target_filter).select(id_col)
+    tgt_counts = (
+        toks.join(tgt_ids, id_col, "semi")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    )
+    raw_counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt")
+    )
+    buckets = raw_counts.join(tgt_counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
+        "raw_cnt",
+    )
+    totals = buckets.agg(
+        F.sum("tgt_cnt").alias("total_tgt"), F.sum("raw_cnt").alias("total_raw")
+    )
+    evid = (
+        toks.join(F.broadcast(buckets), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tgt_cnt").alias("tgt_evidence"),
+            F.sum("raw_cnt").alias("raw_evidence"),
+        )
+    )
+    dec = "decimal(38,0)"
+    return evid.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        "tgt_evidence",
+        "raw_evidence",
+        (
+            F.col("tgt_evidence").cast(dec) * F.col("total_raw").cast(dec)
+            >= F.col("raw_evidence").cast(dec) * F.col("total_tgt").cast(dec)
+        )
+        .cast("int")
+        .alias("keep"),
+    )

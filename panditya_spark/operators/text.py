@@ -413,3 +413,102 @@ def bpe_segment_udf(merges: list[tuple[str, str, int]]):
         return pd.Series(out)
 
     return segment
+
+
+# -------------------------------------------------- unicode normalization
+def normalize_unicode_udf():
+    """Arrow-batched text canonicalization: NFKD-decompose, drop
+    combining marks (accent strip), NFC-recompose, lowercase, collapse
+    whitespace runs. The compose/decompose steps have no Spark builtin
+    (relevant to the reference's domain: IAST transliteration is full
+    of combining diacritics — cf. the collation pandas UDF,
+    functions/collation.py, SURVEY U1, the one other justified Python
+    surface in a text path). Vectorized per Arrow batch, never per
+    row; everything downstream of it stays JVM-side."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def normalize(texts: pd.Series) -> pd.Series:
+        def norm(s):
+            if s is None:
+                return None
+            decomp = unicodedata.normalize("NFKD", s)
+            stripped = "".join(
+                ch for ch in decomp if not unicodedata.combining(ch)
+            )
+            return " ".join(
+                unicodedata.normalize("NFC", stripped).lower().split()
+            )
+
+        return texts.map(norm)
+
+    return normalize
+
+
+# ------------------------------------------------------- n-gram LM scoring
+def bigram_lm_score(
+    docs: DataFrame,
+    train_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Perplexity filtering with a corpus-trained bigram LM (the KenLM
+    pattern of CCNet/RedPajama pipelines, expressed as joins): train
+    add-alpha-smoothed bigram probabilities on the ``train_filter``
+    slice, score EVERY document by mean negative log2 probability of
+    its bigrams, emit (id, n_bigrams, bits_per_token). Low
+    bits-per-token = the in-domain fluent text the LM expects; high =
+    out-of-domain or degenerate.
+
+    Scale shape: training is two partial-agg shuffles (bigram counts,
+    unigram context counts); the vocab-size constant is one scalar agg.
+    Scoring explodes each doc's bigrams once and left-joins the count
+    tables on (w1, w2) / w1 — inverted-index equi-joins, skew-safe
+    under AQE; unseen bigrams take the smoothed floor via coalesce, so
+    the join stays LEFT (no per-row Python, no driver vocab). All
+    arithmetic is F.log2/builtin — rows-only registry class (float
+    fixpoint-free but log-valued; semantics pinned by pytest).
+    """
+    w = _plain_words(F.col(text_col))
+    pairs = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.size(w) >= 2, F.slice(w, 1, F.size(w) - 1)).otherwise(
+                F.array()
+            )
+        ).alias("pos", "w1"),
+        w.alias("_w"),
+    ).select(
+        id_col,
+        "w1",
+        F.col("_w")[F.col("pos") + 1].alias("w2"),
+    )
+    train_pairs = pairs.join(
+        docs.filter(train_filter).select(id_col), id_col, "semi"
+    )
+    big = train_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = big.select(
+        F.countDistinct("w2").alias("v")
+    )  # context-conditioned vocab for the smoothing denominator
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                -F.log2(
+                    (F.coalesce("c12", F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce("c1", F.lit(0)) + F.lit(alpha) * F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("nll") / F.count(F.lit(1))).alias("bits_per_token"),
+    )

@@ -1,0 +1,90 @@
+"""Time-series regularization operators (training-pipeline extensions;
+the reference has no time-series surface — SURVEY.md §2.10 class).
+
+Gap filling + interpolation is the canonical "regularize an event
+stream onto a fixed grid" step (sensor/metrics pipelines, feature
+backfill before windowed training). Everything here is built-in
+pyspark.sql functions — sequence/explode for the grid, two analytic
+windows for the neighbor lookups — so the whole operator stays inside
+whole-stage codegen and scales as one shuffle per series key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def gapfill_interpolate(
+    series: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize (key, ts, value) onto a dense per-key time grid and
+    linearly interpolate interior gaps; edge gaps take the nearest
+    observed value (back-/forward-fill).
+
+    Mechanics, chosen for the 100 TB shape:
+    - the per-key span aggregation is a tiny one-row-per-key shuffle;
+    - the dense grid is ``explode(sequence(lo, hi, step))`` — generated
+      executor-side, never materialized on the driver;
+    - the grid←observations join and both neighbor windows share the
+      same hash partitioning on ``key_col``, so Catalyst runs ONE
+      Exchange for the whole operator (join + 2 windows reuse it);
+    - neighbor lookup is ``last(ignorenulls)`` over an unbounded-
+      preceding ROWS frame (and ``first`` mirrored forward) — O(n) per
+      key, no self-join.
+
+    Interpolation arithmetic is written in one fixed operand order
+    (``prev + (next - prev) * frac``) so an engine evaluating the same
+    IEEE doubles reproduces it bit-for-bit — that is what lets a plain
+    SQL oracle value-check the output.
+    """
+    lo, hi = f"_{val_col}_lo", f"_{val_col}_hi"
+    spans = series.groupBy(key_col).agg(
+        F.min(ts_col).alias(lo), F.max(ts_col).alias(hi)
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col(lo), F.col(hi), F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+    joined = grid.join(series, [key_col, ts_col], "left")
+
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(val_col)
+    t_obs = F.when(v.isNotNull(), F.col(ts_col))
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_t = F.last(t_obs, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_t = F.first(t_obs, ignorenulls=True).over(w_fwd)
+    frac = (
+        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_t)
+    ).cast("double") / (
+        F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+    ).cast("double")
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return joined.select(
+        key_col,
+        ts_col,
+        filled.alias(val_col),
+        v.isNull().cast("int").alias("is_gap"),
+    )

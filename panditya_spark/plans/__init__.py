@@ -21,6 +21,7 @@ from panditya_spark.plans import streaming_queries  # noqa: E402,F401
 from panditya_spark.plans import multimodal_queries  # noqa: E402,F401
 from panditya_spark.plans import scale_queries  # noqa: E402,F401
 from panditya_spark.plans import sink_queries  # noqa: E402,F401
+from panditya_spark.plans import timeseries_queries  # noqa: E402,F401
 from panditya_spark.plans import combo_queries  # noqa: E402,F401  (must import last: wraps other members' oracles)
 
 # The driver's CORRECTNESS gate runs registration positions 0-49 only.

@@ -190,6 +190,24 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # of delete-then-reinserted keys legitimately differ — see the
     # query docstring — so the checked projection is (key, bal)).
     "stream_upsert_sink": [("key", "i"), ("bal", "d")],
+    # Round 4 (cont.): time-series gap-fill (window starts are whole
+    # hours → fraction-free timestamp strings; the interpolated value
+    # is the same IEEE double in both engines — fixed operand order —
+    # so the DECIMAL(18,4) surface rounds the identical double),
+    # winsorization (discrete quantiles are real 2-decimal members),
+    # unicode normalization (pure strings), and importance selection
+    # (pure integers by construction).
+    "ts_gapfill_interpolate": [
+        ("event_type", "s"), ("hh", "s"), ("v", "f4"), ("is_gap", "i"),
+    ],
+    "a_winsorize_clip": [
+        ("o_orderpriority", "s"), ("o_orderkey", "i"), ("price_clipped", "d"),
+    ],
+    "text_normalize": [("doc_id", "i"), ("norm_text", "s")],
+    "sample_importance": [
+        ("doc_id", "i"), ("tgt_evidence", "i"), ("raw_evidence", "i"),
+        ("keep", "i"),
+    ],
 }
 
 _NULL = "∅"

@@ -1056,3 +1056,118 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------- unicode normalization
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(strip_accents(
+             CASE WHEN doc_id % 3 = 0
+                  THEN translate(regexp_replace(substr(text, 1, 120),
+                                               ' ', '  ', 'g'),
+                                 'aeiouAEIOU', 'áéíóúÁÉÍÓÚ')
+                  ELSE regexp_replace(substr(text, 1, 120), ' ', '  ', 'g')
+             END)), '\\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text canonicalization (NFKD → strip combining marks →
+    NFC → lowercase → collapse whitespace) — the normalization pass a
+    multilingual corpus takes before dedup/hashing, and directly
+    relevant to the reference's IAST domain (diacritic-heavy
+    transliteration; cf. functions/collation.py). The corpus is ASCII,
+    so the query deterministically injects composed accents
+    (translate over every third doc) and doubled whitespace on BOTH
+    engines, then each engine normalizes independently: Spark through
+    the Arrow-batched unicodedata UDF (the justified-Python class, like
+    collation U1), DuckDB through strip_accents — byte-identical
+    outputs are the parity claim."""
+    from panditya_spark.operators.text import normalize_unicode_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.regexp_replace(F.substring("text", 1, 120), " ", "  ")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.translate(base, "aeiouAEIOU", "áéíóúÁÉÍÓÚ"),
+    ).otherwise(base)
+    norm = normalize_unicode_udf()
+    return docs.select("doc_id", norm(injected).alias("norm_text"))
+
+
+# ---------------------------------------------- importance resampling
+@register(
+    "sample_importance",
+    oracle="""
+    WITH wlist AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, substr(md5(unnest(w)), 1, 2) AS bucket FROM wlist
+    ),
+    tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    tgt_counts AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS tgt_cnt
+      FROM toks JOIN tgt USING (doc_id) GROUP BY bucket
+    ),
+    raw_counts AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS raw_cnt
+      FROM toks GROUP BY bucket
+    ),
+    buckets AS (
+      SELECT r.bucket, coalesce(t.tgt_cnt, 0) AS tgt_cnt, r.raw_cnt
+      FROM raw_counts r LEFT JOIN tgt_counts t USING (bucket)
+    ),
+    totals AS (
+      SELECT CAST(sum(tgt_cnt) AS BIGINT) AS total_tgt,
+             CAST(sum(raw_cnt) AS BIGINT) AS total_raw
+      FROM buckets
+    ),
+    evid AS (
+      SELECT doc_id,
+             CAST(sum(b.tgt_cnt) AS BIGINT) AS tgt_evidence,
+             CAST(sum(b.raw_cnt) AS BIGINT) AS raw_evidence
+      FROM toks JOIN buckets b USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, tgt_evidence, raw_evidence,
+           CAST(CAST(tgt_evidence AS DECIMAL(38,0))
+                  * CAST(total_raw AS DECIMAL(38,0))
+                >= CAST(raw_evidence AS DECIMAL(38,0))
+                  * CAST(total_tgt AS DECIMAL(38,0)) AS INTEGER) AS keep
+    FROM evid, totals
+    """,
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection toward the English slice of the
+    corpus: hashed word-bucket counts (target vs raw), per-doc summed
+    evidence, float-free normalized comparison via DECIMAL(38,0)
+    cross-multiplication (operators/sampling.importance_select). The
+    oracle mirrors the md5 bucket hash and the integer arithmetic
+    exactly — the selection is bit-reproducible on any engine or
+    cluster layout."""
+    from panditya_spark.operators.sampling import importance_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_select(docs, F.col("lang") == "en")
+
+
+# --------------------------------------------------- LM perplexity filter
+@register("text_lm_perplexity")
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity quality filter: an add-one-smoothed bigram LM trained
+    on the English slice scores every document's mean bits-per-token
+    (the KenLM/CCNet pattern, as two count shuffles + one inverted-
+    index scoring join — operators/text.bigram_lm_score). Rows-only by
+    design: the score is a distributed float sum (addition-order
+    nondeterminism at 1e-15), so semantics are pinned by pytest
+    (in-domain text scores fewer bits than shuffled/out-of-domain) and
+    the registry checks row counts + schema."""
+    from panditya_spark.operators.text import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, F.col("lang") == "en")

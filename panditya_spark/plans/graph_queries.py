@@ -325,3 +325,24 @@ def g14_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
     )
     return strongly_connected_components(key_chain_edges(spark, sf_dir).union(back))
+
+
+# ---------------------------------------------------------------- G15 (ext)
+@register("g15_kcore")
+def g15_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership of the part co-purchase graph (the same graph
+    as g13 triangle counting: parts are adjacent when they share an
+    order). Iterative peeling is a degree-aggregate fixpoint — not
+    SQL-expressible, the Louvain/BFS registry class — so the query is
+    rows-only; exact core semantics (peeling result == brute-force
+    maximal subgraph, in-core degrees >= k, planted-core recovery) are
+    pinned by tests/test_graph.py. k=8 keeps a non-trivial core/shell
+    split at sf0.01."""
+    from panditya_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return kcore(e, k=8).orderBy("node")

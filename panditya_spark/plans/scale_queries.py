@@ -684,3 +684,53 @@ def j_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(key, prev)
         spark.conf.set(bkey, bprev)
     return out
+
+
+# --------------------------------------------------------- winsorization
+@register(
+    "a_winsorize_clip",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+             ) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    bounds AS (
+      SELECT o_orderpriority,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM ranked
+      WHERE rn = greatest(1, CAST(ceil(n * 5 / 100) AS BIGINT))
+         OR rn = CAST(ceil(n * 95 / 100) AS BIGINT)
+      GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, o.o_orderkey,
+           CASE WHEN o.o_totalprice < b.lo THEN b.lo ELSE b.hi END
+             AS price_clipped
+    FROM orders o JOIN bounds b USING (o_orderpriority)
+    WHERE o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+    """,
+)
+def a_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority-class winsorization of order totals: clip to the
+    discrete [p5, p95] group quantiles and emit only the rows the clip
+    actually changed (the outlier tails — ~10% of orders). Discrete
+    quantile semantics + integer-percent position arithmetic make the
+    bounds engine-exact (operators/relational.winsorize_clip); the
+    bounds table is one row per group, broadcast back onto the fact
+    scan — the fact side shuffles once, for the rank window."""
+    from panditya_spark.operators.relational import winsorize_clip
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    out = winsorize_clip(orders, "o_orderpriority", "o_totalprice", 5, 95)
+    return out.filter(
+        F.col("o_totalprice") != F.col("o_totalprice_clipped")
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice_clipped").alias("price_clipped"),
+    )

@@ -1,0 +1,90 @@
+"""Time-series regularization queries over the events table (training-
+pipeline extension, same §2.10 class as the streaming twins: the
+reference has no time-series surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from panditya_spark.plans.registry import register
+from panditya_spark.sources.loaders import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from panditya_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "ts_gapfill_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hh,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(hh) AS lo, max(hh) AS hi FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT s.event_type, g.hh
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS hh
+      ) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.hh, h.v FROM grid g
+      LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hh = g.hh
+    ),
+    nbr AS (
+      SELECT event_type, hh, v,
+             last_value(v IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN hh END IGNORE NULLS)
+               OVER wb AS prev_t,
+             first_value(v IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN hh END IGNORE NULLS)
+               OVER wf AS next_t
+      FROM joined
+      WINDOW wb AS (PARTITION BY event_type ORDER BY hh
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY event_type ORDER BY hh
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hh,
+           -- Same fixed operand order as the Spark side
+           -- (prev + (next-prev)*frac): identical IEEE doubles in, so
+           -- identical doubles out — see operators/timeseries.py.
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v) *
+                     (CAST(date_diff('second', prev_t, hh) AS DOUBLE) /
+                      CAST(date_diff('second', prev_t, next_t) AS DOUBLE))
+           END AS v,
+           CAST(v IS NULL AS INTEGER) AS is_gap
+    FROM nbr
+    """,
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize the hourly per-event-type value series onto a dense
+    grid: interior gaps linearly interpolated between neighboring
+    observations, edge gaps back-/forward-filled (the metrics/feature
+    regularization step before windowed training). At sf0.01 the grid
+    is 5×720 hours with ~215 real gaps; at dense scales the operator
+    degrades gracefully to identity. The hourly base values are exact
+    decimal sums surfaced as doubles, and the interpolation arithmetic
+    is written in one fixed operand order on both engines, so the
+    oracle hash-matches bit-for-bit (see operators/timeseries.py)."""
+    from panditya_spark.operators.timeseries import gapfill_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hh")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    return gapfill_interpolate(hourly, "event_type", "hh", "v", "1 hour")

@@ -357,3 +357,66 @@ def test_personalized_pagerank_proximity_and_mass(spark):
     assert "p" not in got and "q" not in got           # unreachable
     assert got["x"] > got["y"] > got["z"], got          # distance decay
     assert got["a"] == max(got.values()), got           # seed ranks highest
+
+
+# ---------------------------------------------------------------- G15 kcore
+def _brute_kcore(edges: list[tuple[str, str]], k: int) -> dict[str, int]:
+    """Sequential peeling reference: returns {node: in-core degree}."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_matches_bruteforce(spark):
+    from panditya_spark.operators.graph import kcore
+
+    # Planted 4-clique (core) + a tail chain + a pendant on the clique:
+    # the pendant peel cascades down the chain.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),                     # K4: every node degree 3
+        ("d", "e"), ("e", "f"), ("f", "g"),  # chain hanging off the clique
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["degree"] for r in kcore(df, k=3).collect()}
+    assert got == _brute_kcore(edges, 3) == {
+        "a": 3, "b": 3, "c": 3, "d": 3
+    }
+
+
+def test_kcore_in_core_degrees_at_least_k(spark):
+    from panditya_spark.operators.graph import kcore
+    import random
+
+    rnd = random.Random(7)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = sorted(
+        {
+            tuple(sorted(rnd.sample(nodes, 2)))
+            for _ in range(120)
+        }
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    k = 4
+    got = {r["node"]: r["degree"] for r in kcore(df, k=k).collect()}
+    assert got == _brute_kcore(edges, k)
+    assert all(d >= k for d in got.values())
+
+
+def test_kcore_empty_when_k_exceeds_connectivity(spark):
+    from panditya_spark.operators.graph import kcore
+
+    # A tree has no 2-core.
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert kcore(df, k=2).count() == 0

@@ -1,0 +1,160 @@
+"""Time-series gap-fill/interpolation, winsorization, importance
+selection, bigram-LM perplexity, and unicode normalization semantics
+(the round-4 extension operators)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+def _ts(h: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+def test_gapfill_interpolates_interior_and_fills_edges(spark):
+    from panditya_spark.operators.timeseries import gapfill_interpolate
+
+    src = spark.createDataFrame(
+        [
+            # key "a": observed at h=1 (10.0) and h=4 (40.0); grid 1..4,
+            # interior gaps at 2,3 must interpolate 20.0 / 30.0.
+            ("a", _ts(1), 10.0),
+            ("a", _ts(4), 40.0),
+            # key "b": single observation — grid is one row, no gaps.
+            ("b", _ts(7), 5.0),
+        ],
+        ["k", "hh", "v"],
+    )
+    out = rows(gapfill_interpolate(src, "k", "hh", "v"), "k", "hh", "v", "is_gap")
+    assert out == [
+        ("a", _ts(1), 10.0, 0),
+        ("a", _ts(2), 20.0, 1),
+        ("a", _ts(3), 30.0, 1),
+        ("a", _ts(4), 40.0, 0),
+        ("b", _ts(7), 5.0, 0),
+    ]
+
+
+def test_gapfill_edge_gaps_take_nearest_value(spark):
+    """A grid never extends past the observed span (lo..hi are real
+    observations), so 'edge fill' only fires when interpolation lacks
+    one neighbor — which cannot happen on a min/max-bounded grid.
+    Pin that: every grid point between two observations interpolates,
+    and the fill count equals grid size minus observations."""
+    from panditya_spark.operators.timeseries import gapfill_interpolate
+
+    src = spark.createDataFrame(
+        [("a", _ts(0), 0.0), ("a", _ts(10), 100.0)], ["k", "hh", "v"]
+    )
+    got = rows(gapfill_interpolate(src, "k", "hh", "v"), "hh", "v", "is_gap")
+    assert len(got) == 11
+    assert sum(g for _, _, g in got) == 9
+    for h, v, _ in got:
+        assert v == float(h.hour * 10)
+
+
+def test_winsorize_clip_hand_values(spark):
+    from panditya_spark.operators.relational import winsorize_clip
+
+    # Group g: values 1..20. Discrete p5 = ceil(20*5/100)=pos 1 -> 1;
+    # p95 = ceil(20*95/100)=pos 19 -> 19. Only 20 clips (to 19).
+    src = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(1, 21)], ["g", "id", "v"]
+    )
+    out = rows(
+        winsorize_clip(src, "g", "v", 5, 95).select("id", "v_clipped"),
+        "id",
+        "v_clipped",
+    )
+    clipped = {i: v for i, v in out}
+    assert clipped[20] == 19.0
+    assert all(clipped[i] == float(i) for i in range(1, 20))
+
+
+def test_importance_select_prefers_target_vocabulary(spark):
+    from panditya_spark.operators.sampling import importance_select
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta", 1),
+            (2, "alpha beta beta", 1),
+            (3, "gamma delta gamma delta gamma delta", 0),
+            (4, "alpha beta", 0),  # raw doc made of target vocabulary
+        ],
+        ["doc_id", "text", "is_tgt"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in importance_select(docs, F.col("is_tgt") == 1).collect()
+    }
+    # Target-vocabulary docs (incl. the raw one reusing it) keep; the
+    # disjoint-vocabulary doc has zero target evidence and drops.
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 1 and out[4]["keep"] == 1
+    assert out[3]["keep"] == 0
+    # 6 tokens, each from a bucket seen 3 times corpus-wide -> 18.
+    assert out[3]["tgt_evidence"] == 0 and out[3]["raw_evidence"] == 18
+    # Evidence is integer-exact: doc 4's raw evidence counts every
+    # occurrence of its tokens' buckets across the corpus.
+    assert out[4]["tgt_evidence"] == 6  # alpha(3 in tgt) + beta(3 in tgt)
+
+
+def test_bigram_lm_scores_in_domain_lower(spark):
+    from panditya_spark.operators.text import bigram_lm_score
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame(
+        [
+            (1, fluent, 1),
+            (2, "the cat sat on the mat", 0),  # in-domain continuation
+            (3, "rug the mat dog on cat the sat and", 0),  # shuffled
+        ],
+        ["doc_id", "text", "is_train"],
+    )
+    out = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in bigram_lm_score(docs, F.col("is_train") == 1).collect()
+    }
+    assert out[2] < out[3], out
+    assert all(math.isfinite(v) for v in out.values())
+
+
+def test_bigram_lm_hand_value(spark):
+    from panditya_spark.operators.text import bigram_lm_score
+
+    # Train corpus: "a b a b" -> bigrams (a,b)x2, (b,a)x1.
+    # Contexts: a->2, b->1. Conditioned vocab V = {a, b} = 2.
+    # Score doc "a b": P(b|a) = (2+1)/(2+2) = 0.75 -> -log2 = 0.415...
+    docs = spark.createDataFrame(
+        [(1, "a b a b", 1), (2, "a b", 0)], ["doc_id", "text", "is_train"]
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_token"])
+        for r in bigram_lm_score(docs, F.col("is_train") == 1).collect()
+    }
+    n, bits = out[2]
+    assert n == 1
+    assert abs(bits - (-math.log2(0.75))) < 1e-12
+
+
+def test_normalize_unicode_composed_and_decomposed_agree(spark):
+    from panditya_spark.operators.text import normalize_unicode_udf
+
+    norm = normalize_unicode_udf()
+    df = spark.createDataFrame(
+        [
+            (1, "Café  du   Parc"),        # composed é
+            (2, "Café  du \t Parc"),      # decomposed e + ́
+            (3, "Kālidāsa"),          # IAST long-a macrons
+            (4, None),
+        ],
+        ["id", "t"],
+    )
+    got = dict(rows(df.select("id", norm(F.col("t")).alias("n")), "id", "n"))
+    assert got[1] == got[2] == "cafe du parc"
+    assert got[3] == "kalidasa"
+    assert got[4] is None
