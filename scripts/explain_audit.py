@@ -246,6 +246,44 @@ CHECKS = [
              r"ReadSchema: struct<c_custkey:bigint,c_name:string"),
         ],
     ),
+    (
+        "ts_gapfill_interpolate",
+        [
+            # Both neighbor windows and the grid<-obs join must reuse
+            # one hash partitioning on the series key — a second
+            # Exchange would mean the windows re-shuffled.
+            ("grid join + neighbor windows share one shuffle",
+             ("count<=", "Exchange hashpartitioning(event_type", 1)),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("partial aggregation before shuffle", r"partial"),
+        ],
+    ),
+    (
+        "a_winsorize_clip",
+        [
+            ("per-group bounds broadcast back onto the fact side",
+             r"BroadcastHashJoin|BroadcastExchange"),
+            ("scan prunes to the 3 needed order columns",
+             r"ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderpriority:string"),
+        ],
+    ),
+    (
+        "sample_importance",
+        [
+            ("256-row bucket table broadcast onto the token stream",
+             r"BroadcastHashJoin|BroadcastExchange"),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
+        "text_lm_perplexity",
+        [
+            ("count tables partial-aggregated before shuffle", r"partial"),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+            ("no cartesian/nested-loop beyond the 1-row vocab broadcast",
+             ("absent", ["CartesianProduct"])),
+        ],
+    ),
 ]
 
 
@@ -269,9 +307,16 @@ def main() -> int:
                 # ^(?!.*token) form under re.S|re.M was vacuous — any
                 # line start after the last occurrence of the token
                 # satisfied the lookahead (ADVICE r3).
-                kind, tokens = pattern
-                assert kind == "absent", kind
-                ok = not any(t in plan for t in tokens)
+                # ("count<=", token, n): at most n occurrences — the
+                # shuffle-reuse gates (one Exchange shared by join +
+                # windows) need a count, not a boolean.
+                kind, tokens, *rest = pattern
+                if kind == "absent":
+                    ok = not any(t in plan for t in tokens)
+                elif kind == "count<=":
+                    ok = plan.count(tokens) <= rest[0]
+                else:
+                    raise ValueError(kind)
             else:
                 ok = re.search(pattern, plan, re.S | re.M) is not None
             print(f"{'PASS' if ok else 'FAIL'} {qname}: {desc}")
