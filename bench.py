@@ -50,6 +50,8 @@ HEADLINE = [
     "tpch_q18_large_orders",    # IN-over-HAVING semi-join + TakeOrdered
     "cdc_merge_upsert",         # full-outer MERGE apply
     "s_dpp_join",               # dynamic partition pruning over the layout
+    "ts_gapfill_interpolate",   # grid explode + shared-shuffle windows
+    "a_winsorize_clip",         # discrete-quantile clip, broadcast bounds
 ]
 
 

@@ -102,3 +102,66 @@ def top_skewed_keys(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), F.col(key))
         .limit(top_n)
     )
+
+
+# ------------------------------------------------------ z-order clustering
+def morton_code(x, y, bits: int = 8):
+    """Interleave the low ``bits`` bits of two bucket ordinals into a
+    Morton (Z-curve) value: x occupies even bit positions, y odd. Pure
+    bitwise column arithmetic — whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    path: str,
+    bits: int = 8,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` clustered along a 2-D Z-curve over (col_x, col_y) —
+    the multi-dimensional data-skipping layout (Delta OPTIMIZE ZORDER
+    BY / Hudi clustering): a range predicate on EITHER column now maps
+    to a bounded set of z-ranges, so file/row-group min-max stats prune
+    both dimensions, where a linear sort prunes only its leading
+    column.
+
+    Scale shape: bucket ordinals come from ONE min/max aggregate +
+    width_bucket (equal-width histogram — no global sort, no sampled
+    ntile), the Morton interleave is bitwise column math, and the
+    layout is repartitionByRange(z) + sortWithinPartitions(z): exactly
+    one range shuffle, the same cost as any clustered write. Both
+    columns must be numeric-orderable (cast dates to days first).
+    """
+    lo_x, hi_x, lo_y, hi_y = [
+        float(v)
+        for v in df.agg(
+            F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
+        ).first()
+    ]
+    nb = 1 << bits
+    # width_bucket returns 1..nb+1 (hi lands in nb+1); clamp to 0..nb-1.
+    bx = F.least(
+        F.lit(nb - 1),
+        F.width_bucket(F.col(col_x), F.lit(lo_x), F.lit(hi_x), F.lit(nb)) - 1,
+    ).cast("long")
+    by = F.least(
+        F.lit(nb - 1),
+        F.width_bucket(F.col(col_y), F.lit(lo_y), F.lit(hi_y), F.lit(nb)) - 1,
+    ).cast("long")
+    (
+        df.withColumn("_z", morton_code(bx, by, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

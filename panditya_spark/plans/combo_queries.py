@@ -208,6 +208,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "i"), ("tgt_evidence", "i"), ("raw_evidence", "i"),
         ("keep", "i"),
     ],
+    # Round 4 (cont.): z-order clustered layout round-trip — the layout
+    # is value-invisible, so plain (int, int, 2-decimal) columns.
+    "s_zorder_layout": [
+        ("o_orderkey", "i"), ("o_custkey", "i"), ("o_totalprice", "d"),
+    ],
 }
 
 _NULL = "∅"

@@ -369,3 +369,46 @@ def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(out, "g=1"), os.path.join(out, "g=2"))
         .select("o_orderkey", "o_totalprice", "o_channel")
     )
+
+
+# ------------------------------------------------------ z-order clustering
+@register(
+    "s_zorder_layout",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 300 AND 449
+      AND o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+                          AND TIMESTAMP '1998-06-30'
+    """,
+)
+def s_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered layout, round-tripped: write
+    orders clustered on (o_custkey, o_orderdate-as-days), read the
+    layout back, apply a 2-D range predicate, and return the matching
+    rows. The layout must be value-invisible — the oracle filters the
+    unclustered table — while the WRITE buys multi-dimensional
+    data-skipping: with z-clustered files, min-max file/row-group
+    stats bound a range predicate on EITHER column to a fraction of
+    files, where a linear sort prunes only its leading column (pinned
+    by test_zorder_layout_skips_files_on_both_dimensions; pushed scan
+    filters gated by explain_audit). At 100 TB this is the difference
+    between a clustered scan and a full pass for every
+    secondary-dimension query."""
+    import os
+
+    from panditya_spark.operators.partitioning import zorder_write
+
+    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    out = os.path.join(_sink_dir(f"zorder_orders_{suffix}"), "orders")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_days", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    )
+    zorder_write(orders, "o_custkey", "_days", out, bits=8, n_files=16)
+    back = spark.read.parquet(out)
+    return back.filter(
+        F.col("o_custkey").between(300, 449)
+        # Dates are whole days; the string casts to 1998-06-30 00:00:00,
+        # matching the oracle's TIMESTAMP literal exactly.
+        & F.col("o_orderdate").between("1997-01-01", "1998-06-30")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -276,6 +276,17 @@ CHECKS = [
         ],
     ),
     (
+        "s_zorder_layout",
+        [
+            # Both range predicates must reach the clustered scan —
+            # min-max stats skipping needs them AT the reader.
+            ("both range predicates pushed to the z-clustered scan",
+             r"PushedFilters: \[.*o_custkey.*o_orderdate|PushedFilters: \[.*o_orderdate.*o_custkey"),
+            ("scan prunes to the needed columns",
+             r"ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp"),
+        ],
+    ),
+    (
         "text_lm_perplexity",
         [
             ("count tables partial-aggregated before shuffle", r"partial"),
