@@ -1541,3 +1541,78 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 128) -> DataFrame:
     out = _checkpoint(out)
     state.finish()
     return out
+
+
+# ------------------------------------------------------------ G16 (ext)
+def hits(
+    edges: DataFrame, iters: int = 30, vertices: DataFrame | None = None
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) on the directed graph:
+    a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), each L2-normalized per
+    round (spec extension, same centrality family as G6-G8; the
+    citation-graph complement to PageRank — authorities are pointed-to
+    experts, hubs are pointers-to-experts).
+
+    Scale shape mirrors eigenvector_centrality: each half-round is one
+    equi-join + groupBy on a fixed key (a cluster pre-partitions the
+    edge table once and reuses it all rounds), the L2 norm is a 1-row
+    aggregate broadcast back via crossJoin, and lineage/stats reset on
+    the shared parquet-spill cadence. Returns (node, hub, authority)
+    over the full vertex set — sinks get authority, sources get hub,
+    isolated-direction nodes get exact 0.0.
+    """
+    e = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        (
+            vertices.select(F.col(vertices.columns[0]).alias("node"))
+            if vertices is not None
+            else e.select(F.col("src").alias("node")).union(
+                e.select(F.col("dst").alias("node"))
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
+        full = nodes.join(raw, "node", "left_outer").select(
+            "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        nrm = full.agg(
+            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
+        )
+        return full.crossJoin(F.broadcast(nrm)).select(
+            "node",
+            F.when(F.col("nrm") > 0, F.col("raw") / F.col("nrm"))
+            .otherwise(F.lit(0.0))
+            .alias(out_col),
+        )
+
+    def _authority_of(hubs: DataFrame) -> DataFrame:
+        return _normalized(
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("raw")),
+            "authority",
+        )
+
+    state = _LoopState()
+    h = _checkpoint(nodes.withColumn("hub", F.lit(1.0)))
+    for _ in range(iters):
+        # Authority is a LAZY plan over the materialized hubs — it is
+        # consumed exactly once per round (the hub update), so only the
+        # hub vector pays a per-round materialization (half the
+        # checkpoint cost of materializing both vectors).
+        a = _authority_of(h)
+        h_contrib = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("raw"))
+        )
+        (h,) = state.round_end(_normalized(h_contrib, "hub"))
+    out = _checkpoint(
+        h.join(_authority_of(h), "node").select("node", "hub", "authority")
+    )
+    e.unpersist()
+    nodes.unpersist()
+    state.finish()
+    return out

@@ -346,3 +346,22 @@ def g15_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     e = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return kcore(e, k=8).orderBy("node")
+
+
+# ---------------------------------------------------------------- G16 (ext)
+@register("g16_hits")
+def g16_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the directed key-chain graph:
+    customers are the hub layer (they point at orders), orders the
+    authority layer. Rows-only (L2-normalized float fixpoint, the
+    eigenvector class); exact semantics pinned against a NumPy power
+    iteration in tests/test_graph.py::test_hits_matches_numpy."""
+    from panditya_spark.operators.graph import hits
+
+    # 12 rounds: the key-chain graph's hub ranking is stable well
+    # before (star-like neighborhoods converge in a few rounds);
+    # exact-fixpoint parity with NumPy is pinned at 30 rounds in the
+    # pytest, where the cost lives on a 7-node graph.
+    return hits(key_chain_edges(spark, sf_dir), iters=12).orderBy(
+        F.desc("hub"), "node"
+    )

@@ -420,3 +420,51 @@ def test_kcore_empty_when_k_exceeds_connectivity(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")]
     df = spark.createDataFrame(edges, ["src", "dst"])
     assert kcore(df, k=2).count() == 0
+
+
+# ---------------------------------------------------------------- G16 HITS
+def test_hits_matches_numpy(spark):
+    import numpy as np
+
+    from panditya_spark.operators.graph import hits
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "e"),
+        ("d", "e"), ("e", "a"),
+    ]
+    names = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(names)}
+    A = np.zeros((len(names), len(names)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(names))
+    for _ in range(30):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    # The operator reports authority derived from the FINAL hub vector
+    # (one trailing half-step) — mirror that exactly.
+    a = A.T @ h
+    a /= np.linalg.norm(a)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iters=30).collect()}
+    for n in names:
+        assert abs(got[n][0] - h[idx[n]]) < 1e-9, (n, got[n], h[idx[n]])
+        assert abs(got[n][1] - a[idx[n]]) < 1e-9
+
+
+def test_hits_sink_and_source_roles(spark):
+    from panditya_spark.operators.graph import hits
+
+    # Star: s points at t1..t3. s is the only hub; targets are pure
+    # authorities with equal weight; s has zero authority.
+    df = spark.createDataFrame(
+        [("s", "t1"), ("s", "t2"), ("s", "t3")], ["src", "dst"]
+    )
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iters=5).collect()}
+    assert got["s"][0] == 1.0 and got["s"][1] == 0.0
+    import math
+    for t in ("t1", "t2", "t3"):
+        assert abs(got[t][1] - 1 / math.sqrt(3)) < 1e-12
+        assert got[t][0] == 0.0
