@@ -103,15 +103,21 @@ _WINDOW = [
     "dedup_cluster_canonical",
     "text_heavy_hitters",
     "sample_stratified",
-    # Round-2 additions, never driver-verified before this round.
+    # Round-2 additions (driver-verified green in round 3; salted/audio
+    # and the two streaming runs keep their slots — the streaming
+    # machinery and the salt rewrite are the higher-risk surfaces).
     "j_salted_join",
-    "j_bucketed_join",
-    "j_range_join",
-    "skew_key_profile",
-    "a_rollup_day_type",
     "mm_audio_features",
     "stream_dedup_microbatch",
     "stream_attribution_join",
+    # Round-4 rotation (cont.): bucketed/range joins, skew profile, and
+    # the rollup — green since round 3, pure int/string/lossless-decimal
+    # columns — moved to the combo slot; the freed slots give the new
+    # round-4 operators individual CORRECTNESS rows.
+    "ts_gapfill_interpolate",
+    "s_zorder_layout",
+    "a_winsorize_clip",
+    "sample_importance",
 ]
 if len(_WINDOW) != 50:
     raise RuntimeError(f"_WINDOW must hold exactly 50 names, got {len(_WINDOW)}")

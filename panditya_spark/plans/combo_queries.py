@@ -190,28 +190,22 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # of delete-then-reinserted keys legitimately differ — see the
     # query docstring — so the checked projection is (key, bal)).
     "stream_upsert_sink": [("key", "i"), ("bal", "d")],
-    # Round 4 (cont.): time-series gap-fill (window starts are whole
-    # hours → fraction-free timestamp strings; the interpolated value
-    # is the same IEEE double in both engines — fixed operand order —
-    # so the DECIMAL(18,4) surface rounds the identical double),
-    # winsorization (discrete quantiles are real 2-decimal members),
-    # unicode normalization (pure strings), and importance selection
-    # (pure integers by construction).
-    "ts_gapfill_interpolate": [
-        ("event_type", "s"), ("hh", "s"), ("v", "f4"), ("is_gap", "i"),
-    ],
-    "a_winsorize_clip": [
-        ("o_orderpriority", "s"), ("o_orderkey", "i"), ("price_clipped", "d"),
-    ],
+    # Round 4 (cont.): unicode normalization (pure strings; the other
+    # four new operators — gap-fill, winsorize, importance selection,
+    # z-order — hold their own window slots this round).
     "text_normalize": [("doc_id", "i"), ("norm_text", "s")],
-    "sample_importance": [
-        ("doc_id", "i"), ("tgt_evidence", "i"), ("raw_evidence", "i"),
-        ("keep", "i"),
+    # Round-4 rotation (cont.): the round-2 partitioning/rollup shapes
+    # moved here from the window — green since round 3. All columns are
+    # ints, strings (NULL rollup levels hit the ∅ sentinel), or sums of
+    # 2-decimal values (scale-2/4 lossless).
+    "j_bucketed_join": [
+        ("c_mktsegment", "s"), ("n_orders", "i"), ("total_price", "d"),
     ],
-    # Round 4 (cont.): z-order clustered layout round-trip — the layout
-    # is value-invisible, so plain (int, int, 2-decimal) columns.
-    "s_zorder_layout": [
-        ("o_orderkey", "i"), ("o_custkey", "i"), ("o_totalprice", "d"),
+    "j_range_join": [("o_orderkey", "i"), ("n_shipments", "i")],
+    "skew_key_profile": [("key", "i"), ("cnt", "i")],
+    "a_rollup_day_type": [
+        ("day", "s"), ("event_type", "s"), ("gid", "i"), ("n_events", "i"),
+        ("total_value", "f4"),
     ],
 }
 
