@@ -88,3 +88,45 @@ def gapfill_interpolate(
         filled.alias(val_col),
         v.isNull().cast("int").alias("is_gap"),
     )
+
+
+def time_decayed_agg(
+    series: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    half_life_hours: float = 24.0,
+) -> DataFrame:
+    """Exponentially time-decayed feature aggregate per key — the
+    recency-weighted activity score feature pipelines derive from an
+    event log (each observation weighted by 2^(-age/half_life) relative
+    to the key's most recent event):
+
+        score(k) = Σ v_i·w_i / Σ w_i,   w_i = exp(-λ·(T_k - t_i))
+
+    Anchoring the decay at the PER-KEY max timestamp keeps every weight
+    in (0, 1] — no exp overflow however old the log — and makes the
+    operator incremental-friendly (new data only shifts T_k). Shape:
+    one tiny per-key max aggregate joined back (same hash partitioning
+    as the final aggregate — Catalyst reuses the Exchange), then one
+    map-side-combinable weighted sum. Rows-only registry class: the
+    weighted sums are distributed float additions (order-sensitive at
+    1e-15); exact semantics are pinned by a Python-mirror pytest.
+
+    Returns (key, n_events, last_ts, decayed_score).
+    """
+    import math
+
+    lam = math.log(2.0) / (half_life_hours * 3600.0)
+    ref = series.groupBy(key_col).agg(F.max(ts_col).alias("_T"))
+    j = series.join(ref, key_col)
+    age = (
+        F.unix_timestamp(F.col("_T")) - F.unix_timestamp(F.col(ts_col))
+    ).cast("double")
+    w = F.exp(F.lit(-lam) * age)
+    v = F.col(val_col)
+    return j.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+        (F.sum(v * w) / F.sum(w)).alias("decayed_score"),
+    )

@@ -88,3 +88,16 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
     )
     return gapfill_interpolate(hourly, "event_type", "hh", "v", "1 hour")
+
+
+@register("ts_time_decay")
+def ts_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted activity score over the events log
+    (24h half-life) — the time-decayed feature column of a training
+    pipeline. Rows-only (distributed float sums); the exact weighting
+    semantics are pinned against a sequential Python mirror in
+    tests/test_timeseries.py::test_time_decayed_agg_matches_python."""
+    from panditya_spark.operators.timeseries import time_decayed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_decayed_agg(ev, "user_id", "ts", "value", 24.0)

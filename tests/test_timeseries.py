@@ -158,3 +158,35 @@ def test_normalize_unicode_composed_and_decomposed_agree(spark):
     assert got[1] == got[2] == "cafe du parc"
     assert got[3] == "kalidasa"
     assert got[4] is None
+
+
+def test_time_decayed_agg_matches_python(spark):
+    import math
+
+    from panditya_spark.operators.timeseries import time_decayed_agg
+
+    def _th(h: int) -> dt.datetime:
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    events = [
+        ("u1", _th(0), 10.0),
+        ("u1", _th(12), 20.0),
+        ("u1", _th(24), 30.0),
+        ("u2", _th(5), 7.0),
+    ]
+    df = spark.createDataFrame(events, ["k", "ts", "v"])
+    got = {
+        r["k"]: (r["n_events"], r["last_ts"], r["decayed_score"])
+        for r in time_decayed_agg(df, "k", "ts", "v", 24.0).collect()
+    }
+    lam = math.log(2.0) / (24.0 * 3600.0)
+    for k, T in (("u1", _th(24)), ("u2", _th(5))):
+        rows = [(t, v) for kk, t, v in events if kk == k]
+        ws = [math.exp(-lam * (T - t).total_seconds()) for t, _ in rows]
+        expect = sum(w * v for w, (_, v) in zip(ws, rows)) / sum(ws)
+        n, last, score = got[k]
+        assert n == len(rows) and last == T
+        assert abs(score - expect) < 1e-12, (k, score, expect)
+    # Half-life sanity: a 24h-old event carries exactly half the weight.
+    w0, w12, w24 = [math.exp(-lam * s * 3600) for s in (24, 12, 0)]
+    assert abs(w0 - 0.5) < 1e-12 and abs(w24 - 1.0) < 1e-15
