@@ -1,0 +1,98 @@
+"""Data-quality constraint checking (Deequ/Great-Expectations-style;
+training-pipeline extension — the validation gate a corpus passes
+before a training run is launched).
+
+A constraint suite compiles to ONE conditional-count aggregate over the
+table (every check is a ``sum(case when violated)``), plus one
+anti-join per referential constraint — so a 100-constraint suite on a
+100 TB table costs a single scan, not 100 jobs. Results are integer
+violation counts: engine-exact, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_not_null(col: str) -> tuple[str, Column]:
+    return f"not_null({col})", F.col(col).isNull()
+
+
+def check_range(col: str, lo, hi) -> tuple[str, Column]:
+    return (
+        f"range({col},{lo},{hi})",
+        F.col(col).isNull() | ~F.col(col).between(lo, hi),
+    )
+
+
+def check_in_set(col: str, values: list) -> tuple[str, Column]:
+    return (
+        f"in_set({col})",
+        F.col(col).isNull() | ~F.col(col).isin(values),
+    )
+
+
+def check_pattern(col: str, regex: str, name: str | None = None) -> tuple[str, Column]:
+    return (
+        name or f"pattern({col})",
+        F.col(col).isNull() | ~F.col(col).rlike(regex),
+    )
+
+
+def constraint_report(
+    df: DataFrame,
+    checks: list[tuple[str, Column]],
+    unique_keys: list[list[str]] | None = None,
+    references: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Evaluate a constraint suite; returns one row per constraint:
+    (constraint_name, n_violations, satisfied).
+
+    - ``checks``: (name, violation_predicate) pairs — ALL evaluated in
+      one conditional-count aggregate (single scan, map-side partial).
+    - ``unique_keys``: each key list adds a uniqueness constraint,
+      counted as rows beyond the first per duplicate key group — one
+      hash aggregate each.
+    - ``references``: (fk_col, dim_df, pk_col) adds referential
+      integrity, counted via left-anti join (null FKs are counted by
+      their own not_null check if desired, not here — SQL FK
+      semantics: null references are not violations).
+    """
+    spark = df.sparkSession
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
+        for name, pred in checks
+    ]
+    row = df.agg(*aggs).first()
+    results: list[tuple[str, int]] = [(name, row[name]) for name, _ in checks]
+
+    for keys in unique_keys or []:
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("v")
+            )
+            .first()["v"]
+        )
+        results.append((f"unique({','.join(keys)})", dup))
+
+    for fk, dim, pk in references or []:
+        orphans = (
+            df.filter(F.col(fk).isNotNull())
+            .join(
+                dim.select(F.col(pk).alias(fk)).distinct(),
+                fk,
+                "left_anti",
+            )
+            .count()
+        )
+        results.append((f"ref({fk}->{pk})", orphans))
+
+    return spark.createDataFrame(
+        [(name, int(v), int(v == 0)) for name, v in results],
+        ["constraint_name", "n_violations", "satisfied"],
+    )

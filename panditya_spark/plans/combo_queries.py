@@ -207,6 +207,9 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("day", "s"), ("event_type", "s"), ("gid", "i"), ("n_events", "i"),
         ("total_value", "f4"),
     ],
+    # Round 4 (cont.): Deequ-style constraint suite — names + integer
+    # violation counts.
+    "dq_constraint_report": [("constraint_name", "s"), ("n_violations", "i")],
 }
 
 _NULL = "∅"

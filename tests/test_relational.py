@@ -227,3 +227,66 @@ def test_compact_parquet_file_sizing(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 5000
     assert back.agg({"k": "sum"}).collect()[0][0] == sum(range(5000))
+
+
+# ------------------------------------------------- data-quality constraints
+def test_constraint_report_hand_values(spark):
+    from pyspark.sql import functions as F
+
+    from panditya_spark.operators.quality import (
+        check_in_set,
+        check_not_null,
+        check_pattern,
+        check_range,
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "x-1"),
+            (2, 10.0, "A", "x-2"),
+            (2, 99.0, "B", "bad"),   # dup id, out-of-range, bad flag/pattern
+            (None, 5.0, "A", "x-3"),  # null id
+        ],
+        ["id", "v", "flag", "code"],
+    )
+    dim = spark.createDataFrame([(1,), (3,)], ["pk"])
+    got = {
+        r["constraint_name"]: (r["n_violations"], r["satisfied"])
+        for r in constraint_report(
+            df,
+            checks=[
+                check_not_null("id"),
+                check_range("v", 0, 50),
+                check_in_set("flag", ["A"]),
+                check_pattern("code", r"^x-\d$"),
+            ],
+            unique_keys=[["id"]],
+            references=[("id", dim, "pk")],
+        ).collect()
+    }
+    assert got["not_null(id)"] == (1, 0)
+    assert got["range(v,0,50)"] == (1, 0)
+    assert got["in_set(flag)"] == (1, 0)
+    assert got["pattern(code)"] == (1, 0)
+    # id=2 appears twice -> 1 surplus row; the NULL id group counts too
+    # (groupBy treats NULL as a key) but has only one row.
+    assert got["unique(id)"] == (1, 0)
+    # Non-null ids are {1, 2, 2}; dim has {1, 3} -> 2 orphan rows.
+    assert got["ref(id->pk)"] == (2, 0)
+
+
+def test_constraint_report_all_satisfied(spark):
+    from panditya_spark.operators.quality import (
+        check_not_null,
+        check_range,
+        constraint_report,
+    )
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "v"])
+    got = constraint_report(
+        df,
+        checks=[check_not_null("id"), check_range("v", 0, 10)],
+        unique_keys=[["id"]],
+    )
+    assert all(r["satisfied"] == 1 and r["n_violations"] == 0 for r in got.collect())
