@@ -190,3 +190,46 @@ def test_time_decayed_agg_matches_python(spark):
     # Half-life sanity: a 24h-old event carries exactly half the weight.
     w0, w12, w24 = [math.exp(-lam * s * 3600) for s in (24, 12, 0)]
     assert abs(w0 - 0.5) < 1e-12 and abs(w24 - 1.0) < 1e-15
+
+
+def test_gapfill_properties(spark):
+    """Property test (single Spark run over many generated series —
+    per-example Spark jobs would be minutes, the invariants are checked
+    on the collected output): observed points pass through untouched,
+    every grid step is present exactly once per key, and interpolated
+    values lie within [min, max] of the key's observations (convex
+    combinations cannot escape the hull)."""
+    import random
+
+    from panditya_spark.operators.timeseries import gapfill_interpolate
+
+    rnd = random.Random(23)
+    src_rows = []
+    expect = {}
+    for s in range(25):
+        k = f"s{s}"
+        hours = sorted(rnd.sample(range(200), rnd.randint(1, 12)))
+        vals = [round(rnd.uniform(-100, 100), 2) for _ in hours]
+        for h, v in zip(hours, vals):
+            src_rows.append((k, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), v))
+        expect[k] = (hours, dict(zip(hours, vals)))
+    df = spark.createDataFrame(src_rows, ["k", "hh", "v"])
+    got = gapfill_interpolate(df, "k", "hh", "v").collect()
+
+    by_key: dict[str, list] = {}
+    for r in got:
+        by_key.setdefault(r["k"], []).append(r)
+    assert set(by_key) == set(expect)
+    base = dt.datetime(2024, 1, 1)
+    for k, rows_k in by_key.items():
+        hours, vals = expect[k]
+        grid = sorted(int((r["hh"] - base).total_seconds() // 3600) for r in rows_k)
+        assert grid == list(range(hours[0], hours[-1] + 1)), k
+        lo, hi = min(vals.values()), max(vals.values())
+        for r in rows_k:
+            h = int((r["hh"] - base).total_seconds() // 3600)
+            if h in vals:
+                assert r["is_gap"] == 0 and r["v"] == vals[h], (k, h)
+            else:
+                assert r["is_gap"] == 1
+                assert lo - 1e-9 <= r["v"] <= hi + 1e-9, (k, h, r["v"])
