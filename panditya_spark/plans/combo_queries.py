@@ -210,6 +210,12 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # Round 4 (cont.): Deequ-style constraint suite — names + integer
     # violation counts.
     "dq_constraint_report": [("constraint_name", "s"), ("n_violations", "i")],
+    # Round 4 (cont.): the second stateful streaming operator — emitted
+    # timestamps surface as epoch-micros BIGINTs (no timestamp-string
+    # formatting divergence), values are raw 2-decimal doubles.
+    "stream_record_high": [
+        ("user_id", "i"), ("ts_us", "i"), ("value", "d"), ("record_seq", "i"),
+    ],
 }
 
 _NULL = "∅"

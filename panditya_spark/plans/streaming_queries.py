@@ -507,3 +507,56 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         changes, "key", "op", state, ckpt, update_cols=["bal"]
     )
     return final.select("key", "bal")
+
+
+@register(
+    "stream_record_high",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_max
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN prev_max IS NULL OR value > prev_max
+                  THEN 1 ELSE 0 END AS is_rec
+      FROM ordered
+    )
+    SELECT user_id, epoch_us(ts) AS ts_us, value,
+           CAST(SUM(is_rec) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS record_seq
+    FROM rec WHERE is_rec = 1
+    """,
+)
+def stream_record_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND real custom stateful operator (after sessionize):
+    per-user record-high detection through applyInPandasWithState,
+    driven across THREE time-split micro-batches (the same mtime-
+    ordered input as the streaming MERGE sink) so running state — the
+    user's all-time max and record count — genuinely round-trips the
+    state store between batches. Record detection folds with
+    comparisons only (no float accumulation), so the streaming output
+    is bit-exact against the gaps-free window SQL the oracle runs; no
+    sentinel/watermark machinery is needed because every event's
+    verdict is known at arrival (emit-on-arrival semantics, bounded
+    2-scalar state per key)."""
+    import os
+
+    from panditya_spark.sources.loaders import normalize_event_ts
+    from panditya_spark.streaming.windows import record_highs, run_stream_to_memory
+
+    d = _upsert_stream_input(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(d, "00_events.parquet")).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    _MICROBATCH_SEQ[0] += 1
+    return run_stream_to_memory(
+        record_highs(stream.select("user_id", "ts", "event_id", "value")),
+        f"stream_record_high_{_MICROBATCH_SEQ[0]}",
+        mode="append",
+    )

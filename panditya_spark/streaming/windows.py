@@ -587,3 +587,95 @@ def run_stream_upsert(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return state["df"]
+
+
+# ---------------------------------------------------- record-high detection
+def record_highs(events: DataFrame) -> DataFrame:
+    """Second custom stateful operator (applyInPandasWithState, like
+    sessionize): per-user running-maximum tracking — emit an event iff
+    its value strictly exceeds every prior value of that user in
+    event-time order, with its record sequence number. The streaming
+    twin of 'new all-time high' alerting; the per-key state is two
+    scalars (current max, records-so-far), bounded regardless of
+    stream length.
+
+    Exactness: the fold uses only COMPARISONS of stored doubles (no
+    float arithmetic), so the emitted set is bit-exact against the
+    batch window twin and SQL-oracle-checkable — unlike running sums,
+    record detection has no accumulation-order sensitivity. Within a
+    micro-batch all Arrow chunks are concatenated and sorted by
+    (ts, event_id); cross-batch exactness holds whenever batches
+    arrive time-ordered (the time-split file input), which the
+    registered query uses to drive three real batches through the
+    state store.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        mx, n_rec = state.get if state.exists else (float("-inf"), 0)
+        rows = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            df = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for t, v in zip(df["ts"], df["value"]):
+                fv = float(v)
+                if fv > mx:
+                    n_rec += 1
+                    mx = fv
+                    rows.append(
+                        (
+                            int(user_id),
+                            int(pd.Timestamp(t).value // 1000),
+                            fv,
+                            n_rec,
+                        )
+                    )
+        state.update((mx, n_rec))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "ts_us", "value", "record_seq"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, ts_us LONG, value DOUBLE, record_seq LONG",
+        stateStructType="mx DOUBLE, n_rec LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def record_high_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of record_highs: window max over strictly-preceding
+    rows in (ts, event_id) order — pins the semantics the stateful
+    operator must reproduce."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("value").over(w)
+    is_rec = F.when(prev_max.isNull() | (F.col("value") > prev_max), 1).otherwise(0)
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            is_rec.alias("_rec"),
+            F.sum(is_rec).over(w_run).alias("record_seq"),
+        )
+        .filter(F.col("_rec") == 1)
+        .select("user_id", "ts_us", "value", "record_seq")
+    )

@@ -221,3 +221,39 @@ def test_file_sink_matches_memory_sink_twin(spark):
         for r in QUERIES["stream_tumbling_microbatch"](spark, sf).collect()
     }
     assert via_file == via_mem
+
+
+# ---------------------------------------------------- record-high detection
+def test_stream_record_high_agrees_with_batch_twin(spark):
+    """The stateful record-high run (3 real time-split micro-batches)
+    must equal the batch window twin EXACTLY — comparisons-only
+    folding has no float-order slack, so this is set equality on raw
+    values, not approximate."""
+    from panditya_spark.plans import QUERIES
+    from panditya_spark.sources.loaders import load_table
+    from panditya_spark.streaming.windows import record_high_batch
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["user_id"], r["ts_us"], r["value"], r["record_seq"])
+        for r in QUERIES["stream_record_high"](spark, sf).collect()
+    )
+    ev = load_table(spark, sf, "events")
+    want = sorted(
+        (r["user_id"], r["ts_us"], r["value"], r["record_seq"])
+        for r in record_high_batch(ev).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    # Structural invariants: per user, record_seq is 1..k in ts order
+    # and values strictly increase.
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, t, v, s in got:
+        per_user[u].append((t, v, s))
+    for u, rows_u in per_user.items():
+        rows_u.sort()
+        assert [s for _, _, s in rows_u] == list(range(1, len(rows_u) + 1)), u
+        vals = [v for _, v, _ in rows_u]
+        assert all(a < b for a, b in zip(vals, vals[1:])), u
