@@ -88,3 +88,60 @@ def score_quality(model, features: DataFrame, id_col: str) -> DataFrame:
         F.round(vector_to_array("probability")[1], 6).alias("quality_prob"),
         F.col("prediction").cast("int").alias("keep"),
     )
+
+
+# ------------------------------------------------------- per-group fitting
+def group_trend(
+    df: DataFrame, key_cols: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group OLS line fit via grouped-map applyInPandas — the
+    "one small model per key" pattern (per-domain trend, per-tenant
+    seasonality, per-sensor calibration) that a pure SQL aggregate
+    can't express once the per-group math outgrows closed-form
+    aggregates. Each group's rows land in one pandas frame (Arrow
+    batch); the fit is closed-form OLS in NumPy. Per-group output is
+    one row, so shuffle volume is the input once and the result is
+    dimension-table sized.
+
+    At 100 TB the contract is: groups must fit in executor memory
+    (here: one row per day per key — thousands of rows, not the raw
+    log). Aggregate FIRST (JVM-side), model per group SECOND — the
+    registered query demonstrates exactly that order.
+
+    Returns key_cols + (slope, intercept, n, r2). Simple-regression
+    agreement with Spark's builtin regr_slope/regr_intercept is pinned
+    by pytest to 1e-9 — the builtin covers plain lines; grouped-map is
+    the escape hatch when it stops being a line.
+    """
+    import numpy as np  # noqa: F401 (resolved in the worker closure)
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name in key_cols
+    )
+    schema = f"{key_fields}, slope double, intercept double, n long, r2 double"
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = pdf[x_col].to_numpy(dtype=float)
+        y = pdf[y_col].to_numpy(dtype=float)
+        xm, ym = x.mean(), y.mean()
+        sxx = float(((x - xm) ** 2).sum())
+        sxy = float(((x - xm) * (y - ym)).sum())
+        slope = sxy / sxx if sxx > 0 else 0.0
+        intercept = ym - slope * xm
+        ss_tot = float(((y - ym) ** 2).sum())
+        ss_res = float(((y - (slope * x + intercept)) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 1.0
+        row = [pdf[k].iloc[0] for k in key_cols] + [
+            slope,
+            intercept,
+            len(pdf),
+            r2,
+        ]
+        return pd.DataFrame([row], columns=key_cols + ["slope", "intercept", "n", "r2"])
+
+    return df.groupBy(*key_cols).applyInPandas(fit, schema)

@@ -1247,3 +1247,24 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         references=[("l_orderkey", orders, "o_orderkey")],
     )
     return report.select("constraint_name", "n_violations")
+
+
+# ------------------------------------------------------ per-group trend fit
+@register("ml_group_trend")
+def ml_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume trend per event type: aggregate the log to one row
+    per (event_type, day) JVM-side FIRST, then fit one OLS line per
+    type via grouped-map applyInPandas (operators/ml.group_trend) —
+    the aggregate-then-model order that keeps per-group frames tiny at
+    any corpus scale. Rows-only (float regression outputs); agreement
+    with Spark's builtin regr_slope/regr_intercept and exact hand
+    values are pinned by pytest."""
+    from panditya_spark.operators.ml import group_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return group_trend(daily, ["event_type"], "day", "n_events").orderBy(
+        "event_type"
+    )

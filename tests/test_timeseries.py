@@ -233,3 +233,38 @@ def test_gapfill_properties(spark):
             else:
                 assert r["is_gap"] == 1
                 assert lo - 1e-9 <= r["v"] <= hi + 1e-9, (k, h, r["v"])
+
+
+def test_group_trend_hand_values_and_builtin_agreement(spark):
+    from panditya_spark.operators.ml import group_trend
+
+    # Exact line y = 2x + 1 -> slope 2, intercept 1, r2 = 1.
+    # Noisy-ish group: y = (0,2,1,3) over x = (0,1,2,3):
+    # sxy = 4, sxx = 5 -> slope 0.8, intercept 1.5 - 0.8*1.5 = 0.3.
+    src = spark.createDataFrame(
+        [("a", x, 2.0 * x + 1.0) for x in range(5)]
+        + [("b", x, y) for x, y in zip(range(4), (0.0, 2.0, 1.0, 3.0))],
+        ["k", "x", "y"],
+    )
+    got = {
+        r["k"]: (r["slope"], r["intercept"], r["n"], r["r2"])
+        for r in group_trend(src, ["k"], "x", "y").collect()
+    }
+    assert got["a"][0] == 2.0 and got["a"][1] == 1.0
+    assert got["a"][2] == 5 and got["a"][3] == 1.0
+    assert abs(got["b"][0] - 0.8) < 1e-12
+    assert abs(got["b"][1] - 0.3) < 1e-12
+
+    # Agreement with Spark's builtin simple-regression aggregates.
+    builtin = {
+        r["k"]: (r["s"], r["i"])
+        for r in src.groupBy("k")
+        .agg(
+            F.regr_slope("y", "x").alias("s"),
+            F.regr_intercept("y", "x").alias("i"),
+        )
+        .collect()
+    }
+    for k in ("a", "b"):
+        assert abs(got[k][0] - builtin[k][0]) < 1e-9
+        assert abs(got[k][1] - builtin[k][1]) < 1e-9
