@@ -52,6 +52,8 @@ HEADLINE = [
     "s_dpp_join",               # dynamic partition pruning over the layout
     "ts_gapfill_interpolate",   # grid explode + shared-shuffle windows
     "a_winsorize_clip",         # discrete-quantile clip, broadcast bounds
+    "dq_constraint_report",     # one-scan constraint suite + RI anti-join
+    "stream_record_high",       # stateful record detection, 3 micro-batches
 ]
 
 
@@ -120,6 +122,16 @@ def main() -> int:
         _partitioned_events(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         print(f"layout prep failed: {exc!r}", file=sys.stderr)
+    # Same rationale for the time-split streaming input shared by
+    # stream_record_high / stream_upsert_sink: the timed queries
+    # measure the stateful micro-batch machinery, not the one-time
+    # 3-way split write of the source table.
+    try:
+        from panditya_spark.plans.streaming_queries import _upsert_stream_input
+
+        _upsert_stream_input(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"stream-input prep failed: {exc!r}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -612,34 +612,44 @@ def record_highs(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
         mx, n_rec = state.get if state.exists else (float("-inf"), 0)
-        rows = []
+        out = None
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             df = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts", "event_id"]
             )
-            for t, v in zip(df["ts"], df["value"]):
-                fv = float(v)
-                if fv > mx:
-                    n_rec += 1
-                    mx = fv
-                    rows.append(
-                        (
-                            int(user_id),
-                            int(pd.Timestamp(t).value // 1000),
-                            fv,
-                            n_rec,
-                        )
-                    )
+            v = df["value"].to_numpy(dtype=float)
+            # Vectorized record detection: a row is a record iff it
+            # strictly exceeds the running max of (state ∪ prior rows).
+            # Pure comparisons — same bit-exactness as the scalar fold.
+            prior_max = np.maximum.accumulate(
+                np.concatenate(([mx], v))
+            )[:-1]
+            mask = v > prior_max
+            if mask.any():
+                seq = n_rec + np.cumsum(mask)[mask]
+                ts_us = (
+                    df["ts"].to_numpy(dtype="datetime64[us]")[mask]
+                    .astype("int64")
+                )
+                out = pd.DataFrame(
+                    {
+                        "user_id": int(user_id),
+                        "ts_us": ts_us,
+                        "value": v[mask],
+                        "record_seq": seq,
+                    }
+                )
+                n_rec += int(mask.sum())
+                mx = float(v.max()) if v.max() > mx else mx
         state.update((mx, n_rec))
-        if rows:
-            yield pd.DataFrame(
-                rows, columns=["user_id", "ts_us", "value", "record_seq"]
-            )
+        if out is not None:
+            yield out
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
