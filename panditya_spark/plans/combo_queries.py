@@ -216,6 +216,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "stream_record_high": [
         ("user_id", "i"), ("ts_us", "i"), ("value", "d"), ("record_seq", "i"),
     ],
+    # Round 4 (cont.): targeted-delete round-trip — post-delete
+    # aggregate, 2-decimal sums.
+    "s_targeted_delete": [
+        ("event_type", "s"), ("n_events", "i"), ("total_value", "d"),
+    ],
 }
 
 _NULL = "∅"

@@ -412,3 +412,47 @@ def s_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         # matching the oracle's TIMESTAMP literal exactly.
         & F.col("o_orderdate").between("1997-01-01", "1998-06-30")
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# ------------------------------------------------------- targeted delete
+@register(
+    "s_targeted_delete",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE user_id % 37 <> 0
+    GROUP BY event_type
+    """,
+)
+def s_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style key-targeted delete, round-tripped: write events
+    key-clustered by user_id (repartitionByRange — the layout that
+    makes per-key deletes file-local), erase every 37th user via
+    sources/sinks.targeted_delete (rewrites ONLY the files holding
+    those keys; untouched files are byte-identical, pinned by pytest),
+    read the mutated layout back and aggregate. The oracle computes
+    the same aggregate from the source with the keys filtered — the
+    delete must be exactly a filter, and the layout mutation
+    value-invisible."""
+    import os
+
+    from panditya_spark.sources.sinks import targeted_delete
+
+    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    out = os.path.join(_sink_dir(f"tgtdel_events_{suffix}"), "events")
+    ev = _t(spark, sf_dir, "events")
+    # Fresh layout per invocation: the delete mutates it.
+    (
+        ev.repartitionByRange(16, "user_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    doomed = ev.select("user_id").filter(F.col("user_id") % 37 == 0).distinct()
+    targeted_delete(spark, out, doomed, "user_id")
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -137,3 +137,58 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(dst_dir)
     return n_files
+
+
+def targeted_delete(
+    spark, layout_dir: str, keys_df, key_col: str
+) -> tuple[int, int]:
+    """Key-targeted delete over a parquet layout — the lakehouse
+    DELETE/GDPR-erasure pattern: locate the files that actually contain
+    affected keys (input_file_name ⋉ keys), rewrite ONLY those files
+    minus the deleted rows, and leave every other file untouched. On a
+    key-clustered layout a handful of keys maps to a handful of files,
+    so erasing 100 users from 100 TB rewrites megabytes, not the table
+    (pinned by test_targeted_delete_rewrites_only_affected_files).
+
+    Mechanics: the affected-file list is a collect of FILE PATHS (file-
+    count-bounded, never rows); kept rows of those files are written to
+    a staging subdir and swapped in file-atomically (os.replace per
+    file after the originals are removed). NOT a transaction — a real
+    deployment wraps the swap in a commit log (Delta/Iceberg); the
+    file-targeting and anti-join rewrite are the engine-side work this
+    operator owns, and the swap window is the documented gap.
+
+    Returns (n_files_rewritten, n_files_total).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(layout_dir).withColumn(
+        "_f", F.input_file_name()
+    )
+    keys = keys_df.select(F.col(keys_df.columns[0]).alias(key_col)).distinct()
+    affected = sorted(
+        r["_f"] for r in back.join(keys, key_col, "semi").select("_f").distinct().collect()
+    )
+    total_files = len(
+        [f for f in os.listdir(layout_dir) if f.endswith(".parquet")]
+    )
+    if not affected:
+        return 0, total_files
+    local = [p[len("file:"):] if p.startswith("file:") else p for p in affected]
+    staging = os.path.join(layout_dir, "_staging_delete")
+    kept = spark.read.parquet(*local).join(keys, key_col, "left_anti")
+    kept.repartition(len(local)).write.mode("overwrite").parquet(staging)
+    for p in local:
+        os.remove(p)
+    for i, f in enumerate(
+        sorted(x for x in os.listdir(staging) if x.endswith(".parquet"))
+    ):
+        os.replace(
+            os.path.join(staging, f),
+            os.path.join(layout_dir, f"deleted-rewrite-{i:05d}.parquet"),
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return len(local), total_files

@@ -190,3 +190,62 @@ def test_morton_code_hand_values(spark):
     # interleave(x even bits, y odd bits): (2,3)->x bits 10 at even
     # positions = 0b100, y bits 11 at odd = 0b1010 -> 0b1110 = 14.
     assert got == [0, 1, 2, 3, 14, 65535]
+
+
+# ------------------------------------------------------- targeted delete
+def test_targeted_delete_rewrites_only_affected_files(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from panditya_spark.sources.sinks import targeted_delete
+
+    layout = str(tmp_path / "layout")
+    df = spark.createDataFrame(
+        [(uid, f"p{uid}-{i}") for uid in range(100) for i in range(20)],
+        ["uid", "payload"],
+    )
+    df.repartitionByRange(10, "uid").write.parquet(layout)
+
+    def snapshot():
+        return {
+            f: (os.path.getsize(os.path.join(layout, f)),
+                os.path.getmtime(os.path.join(layout, f)))
+            for f in os.listdir(layout)
+            if f.endswith(".parquet")
+        }
+
+    before = snapshot()
+    # Keys 3 and 7 live in the first range partition(s) only.
+    doomed = spark.createDataFrame([(3,), (7,)], ["uid"])
+    n_rw, n_total = targeted_delete(spark, layout, doomed, "uid")
+    after = snapshot()
+
+    assert n_total == len(before)
+    assert 1 <= n_rw <= 2, n_rw  # clustered keys -> few files touched
+    untouched = set(before) & set(after)
+    # Untouched files are bit-for-bit the same artifacts.
+    assert len(untouched) == n_total - n_rw
+    for f in untouched:
+        assert before[f] == after[f], f
+    # The data is exactly the anti-join.
+    back = spark.read.parquet(layout)
+    assert back.filter(F.col("uid").isin(3, 7)).count() == 0
+    assert back.count() == 100 * 20 - 2 * 20
+    assert back.select("payload").distinct().count() == 98 * 20
+
+
+def test_targeted_delete_noop_when_keys_absent(spark, tmp_path):
+    import os
+
+    from panditya_spark.sources.sinks import targeted_delete
+
+    layout = str(tmp_path / "layout2")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["uid", "v"]).coalesce(
+        1
+    ).write.parquet(layout)
+    before = sorted(os.listdir(layout))
+    doomed = spark.createDataFrame([(999,)], ["uid"])
+    n_rw, _ = targeted_delete(spark, layout, doomed, "uid")
+    assert n_rw == 0
+    assert sorted(os.listdir(layout)) == before
