@@ -221,6 +221,12 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "s_targeted_delete": [
         ("event_type", "s"), ("n_events", "i"), ("total_value", "d"),
     ],
+    # Round 4 (cont.): the composed gate→dedup→chunk pipeline — pure
+    # integer per-source counts.
+    "pipeline_end_to_end": [
+        ("source", "s"), ("n_kept", "i"), ("n_keepers", "i"),
+        ("n_chunks", "i"), ("total_chunk_words", "i"),
+    ],
 }
 
 _NULL = "∅"

@@ -1268,3 +1268,99 @@ def ml_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_trend(daily, ["event_type"], "day", "n_events").orderBy(
         "event_type"
     )
+
+
+# ------------------------------------------------- end-to-end pipeline DAG
+@register(
+    "pipeline_end_to_end",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text, source,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
+      FROM (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM w WHERE len(w) >= 2)
+      ) GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT w.doc_id, w.text, w.source
+      FROM w LEFT JOIN g2 ON w.doc_id = g2.doc_id
+      WHERE len(w.w) BETWEEN 10 AND 100000
+        AND (CASE WHEN len(w.w) > 0
+                  THEN CAST(length(regexp_replace(w.text, '\\s+', '', 'g'))
+                            AS DOUBLE) / len(w.w)
+                  ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        AND coalesce(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) <= 0.2
+    ),
+    keepers AS (
+      SELECT kept.* FROM kept
+      JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+            FROM kept GROUP BY 1) m
+        ON kept.doc_id = m.doc_id
+    ),
+    ch AS (
+      SELECT doc_id, source, least(64, len(w2) - st + 1) AS cw
+      FROM (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\\s+') AS w2,
+               unnest(generate_series(
+                 1, greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                 56)) AS st
+        FROM keepers
+      )
+    ),
+    kc AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1),
+    kk AS (SELECT source, count(*) AS n_keepers FROM keepers GROUP BY 1),
+    cc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+                  CAST(sum(cw) AS BIGINT) AS total_chunk_words
+           FROM ch GROUP BY 1)
+    SELECT kc.source, n_kept, n_keepers, n_chunks, total_chunk_words
+    FROM kc JOIN kk USING (source) JOIN cc USING (source)
+    """,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus pipeline as ONE declarative plan: quality gate
+    (word count, mean word length, 2-gram repetition) → exact dedup
+    (md5 min-keeper) → 64/56 sliding-window chunking → per-source
+    summary. The point is compositional: every stage is the SAME
+    operator the standalone queries use, stacked lazily, so Catalyst
+    optimizes ACROSS stage boundaries (one documents scan feeds the
+    gate; column pruning reaches through the dedup join; the chunk
+    explode only runs on surviving keepers). The per-source counts are
+    pure integers; the oracle recomputes the full DAG in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    w = T._plain_words(text)
+    n_words = F.size(w)
+    mwl = F.when(
+        n_words > 0,
+        F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    d2 = T._dup_ngram_frac(w, 2)
+    kept = docs.filter(
+        n_words.between(10, 100000) & mwl.between(2.0, 12.0) & (d2 <= 0.2)
+    ).select("doc_id", "text", "source")
+    minh = (
+        kept.select(F.md5(text).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    keepers = kept.join(minh.select("doc_id"), "doc_id", "semi")
+    chunks = T.chunk_documents(
+        keepers.select("doc_id", "text"), "text", "doc_id",
+        chunk_size=64, stride=56,
+    )
+    ch = chunks.join(keepers.select("doc_id", "source"), "doc_id")
+    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    kk = keepers.groupBy("source").agg(F.count(F.lit(1)).alias("n_keepers"))
+    cc = ch.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_words").cast("bigint").alias("total_chunk_words"),
+    )
+    return kc.join(kk, "source").join(cc, "source")
