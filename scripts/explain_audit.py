@@ -287,6 +287,19 @@ CHECKS = [
         ],
     ),
     (
+        "pipeline_end_to_end",
+        [
+            # The composed DAG must reduce the corpus in ONE pass — a
+            # per-stage composition re-scans documents once per output
+            # column (measured: 7 scans before the restructure). A
+            # formatted plan prints each node twice (tree + detail), so
+            # one physical scan = 2 occurrences.
+            ("single corpus scan feeds the whole DAG",
+             ("count<=", "Scan parquet", 2)),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
         "text_lm_perplexity",
         [
             ("count tables partial-aggregated before shuffle", r"partial"),
