@@ -268,3 +268,37 @@ def test_group_trend_hand_values_and_builtin_agreement(spark):
     for k in ("a", "b"):
         assert abs(got[k][0] - builtin[k][0]) < 1e-9
         assert abs(got[k][1] - builtin[k][1]) < 1e-9
+
+
+def test_text_operators_on_degenerate_documents(spark):
+    """The latent-divergence class ADVICE flagged: empty/whitespace-only
+    text must produce 0 words (not ['']), zero chunk content, empty
+    shingles, and a clean quality-gate reject — on every operator that
+    tokenizes."""
+    from panditya_spark.operators import dedup as D
+    from panditya_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   \t  "),
+            (3, "word"),
+            (4, "two words"),
+        ],
+        ["doc_id", "text"],
+    )
+    words = docs.select(
+        "doc_id", F.size(T._plain_words(F.col("text"))).alias("n")
+    )
+    assert dict(rows(words, "doc_id", "n")) == {1: 0, 2: 0, 3: 1, 4: 2}
+
+    sh = docs.select(
+        "doc_id", F.size(D.shingles(F.col("text"), 3)).alias("n")
+    )
+    assert dict(rows(sh, "doc_id", "n")) == {1: 0, 2: 0, 3: 0, 4: 0}
+
+    rep = T.repetition_features(docs, "text", "doc_id")
+    for r in rep.collect():
+        for c in ("dup_2gram_frac", "dup_3gram_frac"):
+            assert r[c] is not None and 0.0 <= r[c] <= 1.0, (r["doc_id"], c)
+        assert r["keep"] in (0, 1)
