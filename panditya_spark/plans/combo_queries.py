@@ -227,6 +227,12 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("source", "s"), ("n_kept", "i"), ("n_keepers", "i"),
         ("n_chunks", "i"), ("total_chunk_words", "i"),
     ],
+    # Round 4 (cont.): the Q2-shaped argmin — prices are compared, not
+    # combined, so scale-2 lossless.
+    "tpch_q2_cheapest_supplier": [
+        ("p_partkey", "i"), ("p_name", "s"), ("supp_key", "i"),
+        ("best_price", "d"),
+    ],
 }
 
 _NULL = "∅"

@@ -734,3 +734,59 @@ def a_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_totalprice_clipped").alias("price_clipped"),
     )
+
+
+# ----------------------------------------------- TPC-H Q2 shape (argmin)
+@register(
+    "tpch_q2_cheapest_supplier",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey, min(l_extendedprice) AS best_price
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT l.l_partkey, min(l.l_suppkey) AS supp_key, m.best_price
+      FROM lineitem l
+      JOIN m ON l.l_partkey = m.l_partkey
+            AND l.l_extendedprice = m.best_price
+      GROUP BY l.l_partkey, m.best_price
+    )
+    SELECT c.l_partkey AS p_partkey, p.p_name,
+           c.supp_key, c.best_price
+    FROM c JOIN part p ON p.p_partkey = c.l_partkey
+    """,
+)
+def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's defining shape — the correlated-min subquery
+    (argmin): for every part, the supplier behind its cheapest
+    purchase. Planned as aggregate-then-join-back-on-the-minimum: ONE
+    partial-aggregated min per part, an equality join of the fact back
+    onto (part, min) that never duplicates the fact (ties collapse via
+    deterministic min-suppkey), and the part dimension broadcast onto
+    the result — the fact table is scanned twice but shuffled only by
+    partkey, the same key both times, so a cluster pre-partitions once.
+    Prices are 2-decimal values compared and minimized, never
+    arithmetically combined — engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    # Renamed aggregate side: m derives from li, so unaliased join
+    # keys would trip Spark's ambiguous-self-join analysis.
+    m = (
+        li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("best_price"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    c = (
+        li.join(
+            m,
+            (li["l_partkey"] == m["m_partkey"])
+            & (li["l_extendedprice"] == m["best_price"]),
+        )
+        .groupBy("l_partkey", "best_price")
+        .agg(F.min("l_suppkey").alias("supp_key"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return c.join(
+        F.broadcast(part), c["l_partkey"] == part["p_partkey"]
+    ).select("p_partkey", "p_name", "supp_key", "best_price")
