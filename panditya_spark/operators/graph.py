@@ -1616,3 +1616,73 @@ def hits(
     nodes.unpersist()
     state.finish()
     return out
+
+
+# ------------------------------------------------------------ G17 (ext)
+def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
+    """k-truss: the maximal subgraph in which every EDGE participates
+    in at least k-2 triangles — the edge-level strengthening of the
+    k-core (spec extension, same family as g13/g15; the standard
+    cohesive-subgraph ladder: component ⊇ core ⊇ truss).
+
+    Iterative support peeling: per round, enumerate triangles with the
+    same ordered-join plan as triangle_counts (each triangle once, a <
+    b < c), credit each of its three edges, and drop edges below k-2
+    support (edges in no triangle have no support row and drop with
+    them). The edge set only shrinks; fixpoint when a round removes
+    nothing. Round cost is the distributed triangle plan — two
+    equi-joins — and lineage/stats reset on the shared parquet-spill
+    cadence. Returns surviving canonical edges (a, b, support), with
+    support counted INSIDE the truss (>= k-2 by definition — the
+    invariant the pytest pins alongside brute-force equality).
+    """
+    e = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    state = _LoopState()
+    (e,) = state.round_end(e)
+    prev = -1
+    support = None
+    for _ in range(max_iter):
+        bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+        tri = e.join(bc, "b").join(
+            ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+            "left_semi",
+        )
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("ea"), F.col("b").alias("eb")),
+                    F.struct(F.col("b").alias("ea"), F.col("c").alias("eb")),
+                    F.struct(F.col("a").alias("ea"), F.col("c").alias("eb")),
+                )
+            ).alias("ed")
+        ).select(F.col("ed.ea").alias("a"), F.col("ed.eb").alias("b"))
+        support = tri_edges.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        keep = support.filter(F.col("support") >= k - 2)
+        (keep,) = state.round_end(keep)
+        n = keep.count()
+        if n == prev:
+            # No edge dropped: keep IS the truss, supports included.
+            break
+        prev = n
+        e = keep.select("a", "b")
+        if n == 0:
+            break
+        support = keep
+    out = _checkpoint(
+        support.filter(F.col("support") >= k - 2)
+        if support is not None
+        else e.withColumn("support", F.lit(0)).filter(F.lit(False))
+    )
+    state.finish()
+    return out

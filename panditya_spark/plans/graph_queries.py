@@ -365,3 +365,21 @@ def g16_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(key_chain_edges(spark, sf_dir), iters=12).orderBy(
         F.desc("hub"), "node"
     )
+
+
+# ---------------------------------------------------------------- G17 (ext)
+@register("g17_ktruss")
+def g17_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss of the part co-purchase graph (edge-level cohesion, the
+    step past g15's k-core): surviving canonical edges with their
+    in-truss triangle support. Rows-only (triangle-support fixpoint,
+    not SQL-expressible); exact semantics pinned by brute-force
+    equality in tests/test_graph.py::test_ktruss_matches_bruteforce."""
+    from panditya_spark.operators.graph import ktruss
+
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return ktruss(e, k=10).orderBy("a", "b")

@@ -468,3 +468,50 @@ def test_hits_sink_and_source_roles(spark):
     for t in ("t1", "t2", "t3"):
         assert abs(got[t][1] - 1 / math.sqrt(3)) < 1e-12
         assert got[t][0] == 0.0
+
+
+# ---------------------------------------------------------------- G17 ktruss
+def _brute_ktruss(edges: list[tuple[str, str]], k: int) -> dict[tuple, int]:
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        supp = {e: 0 for e in es}
+        for e1 in es:
+            a, b = e1
+            for c in {x for e in es for x in e}:
+                if c in (a, b):
+                    continue
+                if tuple(sorted((a, c))) in es and tuple(sorted((b, c))) in es:
+                    supp[e1] += 1
+        drop = {e for e, s in supp.items() if s < k - 2}
+        if not drop:
+            return supp
+        es -= drop
+
+
+def test_ktruss_matches_bruteforce(spark):
+    from panditya_spark.operators.graph import ktruss
+
+    # K5 minus one edge, plus a triangle hanging off via a bridge, plus
+    # a pure chain: the 4-truss keeps the dense K5 remnant only.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"),  # pendant triangle
+        ("h", "i"), ("i", "j"),                          # chain
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (3, 4):
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in ktruss(df, k=k).collect()
+        }
+        assert got == _brute_ktruss(edges, k), k
+
+
+def test_ktruss_empty_on_triangle_free_graph(spark):
+    from panditya_spark.operators.graph import ktruss
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    assert ktruss(df, k=3).count() == 0
