@@ -1533,6 +1533,24 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 128) -> DataFrame:
                 keep.withColumnRenamed("src", "dst"), "dst", "semi"
             )
         )
+    else:
+        # Loop exhausted without detecting a fixpoint. The documented
+        # invariant (every returned node has in-core degree >= k) must
+        # never be silently violated — e.g. a long path with k=2 peels
+        # only two endpoints per round, so max_iter < |V|/2 would
+        # otherwise hand back a non-core. One extra degree check either
+        # certifies the coincidental fixpoint or refuses loudly.
+        below = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") < k)
+            .count()
+        )
+        if below:
+            raise RuntimeError(
+                f"kcore: no fixpoint after {max_iter} rounds "
+                f"({below} nodes still below degree {k}); raise max_iter"
+            )
     out = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -1625,16 +1643,33 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     k-core (spec extension, same family as g13/g15; the standard
     cohesive-subgraph ladder: component ⊇ core ⊇ truss).
 
-    Iterative support peeling: per round, enumerate triangles with the
-    same ordered-join plan as triangle_counts (each triangle once, a <
-    b < c), credit each of its three edges, and drop edges below k-2
-    support (edges in no triangle have no support row and drop with
-    them). The edge set only shrinks; fixpoint when a round removes
-    nothing. Round cost is the distributed triangle plan — two
-    equi-joins — and lineage/stats reset on the shared parquet-spill
-    cadence. Returns surviving canonical edges (a, b, support), with
-    support counted INSIDE the truss (>= k-2 by definition — the
-    invariant the pytest pins alongside brute-force equality).
+    INCREMENTAL support peeling: triangles are enumerated ONCE with
+    the same ordered-join plan as triangle_counts (each triangle once,
+    a < b < c) into a triangle→edge incidence table (3 rows per
+    triangle). Each peel round then touches only the CHANGED part of
+    the graph: edges below k-2 support are removed, the (small) set of
+    triangles containing a removed edge is located by one semi-join on
+    the incidence table, and the surviving edges of exactly those
+    triangles get their support decremented — never a full re-count.
+    At 100× scale this is the difference between O(rounds × triangles)
+    and O(triangles + Σ destroyed): late peel rounds remove a handful
+    of edges, so their cost is proportional to the handful, not the
+    graph (cf. the large-star note on connected components).
+
+    k <= 2 short-circuits: every edge trivially has support >= k-2, so
+    the 2-truss is the whole graph — ALL canonical edges are returned
+    with their full-graph triangle support (0 for triangle-free edges),
+    matching the textbook definition rather than silently dropping
+    no-support rows.
+
+    The edge set only shrinks; fixpoint when a round removes nothing.
+    If max_iter is exhausted before fixpoint the partial peel is NOT
+    returned — the function raises, because a non-fixpoint output
+    violates the documented support >= k-2 invariant. Lineage/stats
+    reset on the shared parquet-spill cadence. Returns surviving
+    canonical edges (a, b, support) with support counted INSIDE the
+    truss (the invariant the pytest pins alongside brute-force
+    equality).
     """
     e = (
         edges.select(
@@ -1644,45 +1679,87 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # One-time triangle enumeration (ordered a < b < c, each once).
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = e.join(bc, "b").join(
+        ac,
+        (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        "left_semi",
+    )
+    # Triangle→edge incidence: (ta,tb,tc) identifies the triangle,
+    # (ea,eb) one of its three canonical edges.
+    te = tri.select(
+        F.col("a").alias("ta"),
+        F.col("b").alias("tb"),
+        F.col("c").alias("tc"),
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("ea"), F.col("b").alias("eb")),
+                F.struct(F.col("b").alias("ea"), F.col("c").alias("eb")),
+                F.struct(F.col("a").alias("ea"), F.col("c").alias("eb")),
+            )
+        ).alias("ed"),
+    ).select("ta", "tb", "tc", F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
+    sup = te.groupBy("ea", "eb").agg(F.count(F.lit(1)).alias("support"))
+    if k <= 2:
+        # Whole graph qualifies; report full-graph support per edge.
+        out = _checkpoint(
+            e.join(
+                sup.withColumnRenamed("ea", "a").withColumnRenamed("eb", "b"),
+                ["a", "b"],
+                "left_outer",
+            ).select(
+                "a",
+                "b",
+                F.coalesce("support", F.lit(0)).alias("support"),
+            )
+        )
+        return out
     state = _LoopState()
-    (e,) = state.round_end(e)
-    prev = -1
-    support = None
+    te, sup = state.round_end(te, sup)
+    converged = False
     for _ in range(max_iter):
-        bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-        ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
-        tri = e.join(bc, "b").join(
-            ac,
-            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
-            "left_semi",
-        )
-        tri_edges = tri.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("ea"), F.col("b").alias("eb")),
-                    F.struct(F.col("b").alias("ea"), F.col("c").alias("eb")),
-                    F.struct(F.col("a").alias("ea"), F.col("c").alias("eb")),
-                )
-            ).alias("ed")
-        ).select(F.col("ed.ea").alias("a"), F.col("ed.eb").alias("b"))
-        support = tri_edges.groupBy("a", "b").agg(
-            F.count(F.lit(1)).alias("support")
-        )
-        keep = support.filter(F.col("support") >= k - 2)
-        (keep,) = state.round_end(keep)
-        n = keep.count()
-        if n == prev:
-            # No edge dropped: keep IS the truss, supports included.
+        victims = sup.filter(F.col("support") < k - 2).select("ea", "eb")
+        if victims.count() == 0:
+            converged = True
             break
-        prev = n
-        e = keep.select("a", "b")
-        if n == 0:
-            break
-        support = keep
+        # Triangles destroyed by this round's removals…
+        destroyed = (
+            te.join(victims, ["ea", "eb"], "semi")
+            .select("ta", "tb", "tc")
+            .distinct()
+        )
+        dest_edges = te.join(destroyed, ["ta", "tb", "tc"], "semi")
+        # …decrement only the SURVIVING edges of those triangles.
+        dec = (
+            dest_edges.join(victims, ["ea", "eb"], "anti")
+            .groupBy("ea", "eb")
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        te_next = te.join(destroyed, ["ta", "tb", "tc"], "anti")
+        sup_next = (
+            sup.filter(F.col("support") >= k - 2)
+            .join(dec, ["ea", "eb"], "left_outer")
+            .select(
+                "ea",
+                "eb",
+                (
+                    F.col("support") - F.coalesce("dec", F.lit(0))
+                ).alias("support"),
+            )
+        )
+        te, sup = state.round_end(te_next, sup_next)
+    if not converged:
+        raise RuntimeError(
+            f"ktruss: no fixpoint after {max_iter} peel rounds; "
+            "raise max_iter (partial peel would violate the "
+            "support >= k-2 invariant)"
+        )
     out = _checkpoint(
-        support.filter(F.col("support") >= k - 2)
-        if support is not None
-        else e.withColumn("support", F.lit(0)).filter(F.lit(False))
+        sup.select(
+            F.col("ea").alias("a"), F.col("eb").alias("b"), "support"
+        )
     )
     state.finish()
     return out

@@ -60,12 +60,20 @@ def constraint_report(
       semantics: null references are not violations).
     """
     spark = df.sparkSession
+    # coalesce: SUM over zero rows is NULL — an empty input has zero
+    # violations, not a crash. Positional indexing (row[i], not
+    # row[name]) tolerates duplicate constraint names instead of
+    # silently reporting one count for both.
     aggs = [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
-        for name, pred in checks
+        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias(f"c{i}")
+        for i, (name, pred) in enumerate(checks)
     ]
-    row = df.agg(*aggs).first()
-    results: list[tuple[str, int]] = [(name, row[name]) for name, _ in checks]
+    results: list[tuple[str, int]] = []
+    if aggs:
+        row = df.agg(*aggs).first()
+        results = [(name, row[i]) for i, (name, _) in enumerate(checks)]
 
     for keys in unique_keys or []:
         dup = (

@@ -1320,8 +1320,11 @@ def ml_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
                   CAST(sum(cw) AS BIGINT) AS total_chunk_words
            FROM ch GROUP BY 1)
-    SELECT kc.source, n_kept, n_keepers, n_chunks, total_chunk_words
-    FROM kc JOIN kk USING (source) JOIN cc USING (source)
+    SELECT kc.source, n_kept,
+           CAST(coalesce(n_keepers, 0) AS BIGINT) AS n_keepers,
+           CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(total_chunk_words, 0) AS BIGINT) AS total_chunk_words
+    FROM kc LEFT JOIN kk USING (source) LEFT JOIN cc USING (source)
     """,
 )
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:

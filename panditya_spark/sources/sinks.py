@@ -162,6 +162,7 @@ def targeted_delete(
     """
     import os
     import shutil
+    import uuid
 
     from pyspark.sql import functions as F
 
@@ -183,12 +184,19 @@ def targeted_delete(
     kept.repartition(len(local)).write.mode("overwrite").parquet(staging)
     for p in local:
         os.remove(p)
+    # Rewrite names must be unique PER INVOCATION: a fixed numbering
+    # (deleted-rewrite-00000…) would let a second delete os.replace()
+    # over a live, unaffected file produced by an earlier delete,
+    # silently losing rows — fatal for repeated GDPR erasure requests.
+    tag = uuid.uuid4().hex[:12]
     for i, f in enumerate(
         sorted(x for x in os.listdir(staging) if x.endswith(".parquet"))
     ):
-        os.replace(
-            os.path.join(staging, f),
-            os.path.join(layout_dir, f"deleted-rewrite-{i:05d}.parquet"),
+        dst = os.path.join(
+            layout_dir, f"deleted-rewrite-{tag}-{i:05d}.parquet"
         )
+        if os.path.exists(dst):  # uuid collision guard: never clobber
+            raise RuntimeError(f"targeted_delete: refusing to overwrite {dst}")
+        os.replace(os.path.join(staging, f), dst)
     shutil.rmtree(staging, ignore_errors=True)
     return len(local), total_files

@@ -515,3 +515,57 @@ def test_ktruss_empty_on_triangle_free_graph(spark):
         [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
     )
     assert ktruss(df, k=3).count() == 0
+
+
+def test_ktruss_k2_is_whole_graph_with_supports(spark):
+    """2-truss = the whole graph by definition: triangle-free edges
+    must survive with support 0, not silently vanish."""
+    from panditya_spark.operators.graph import ktruss
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"),  # one triangle
+        ("c", "d"), ("d", "e"),              # chain: no triangles
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["a"], r["b"]): r["support"] for r in ktruss(df, k=2).collect()
+    }
+    assert got == _brute_ktruss(edges, 2) == {
+        ("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1,
+        ("c", "d"): 0, ("d", "e"): 0,
+    }
+
+
+def test_kcore_raises_on_exhausted_nonfixpoint(spark):
+    """A long path with k=2 peels two endpoints per round; max_iter=2
+    cannot converge and must raise instead of returning a non-core."""
+    import pytest
+
+    from panditya_spark.operators.graph import kcore
+
+    path = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    df = spark.createDataFrame(path, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore(df, k=2, max_iter=2)
+    # With enough rounds the same input converges (to the empty core).
+    assert kcore(df, k=2, max_iter=16).count() == 0
+
+
+def test_ktruss_raises_on_exhausted_nonfixpoint(spark):
+    """A chain of triangles peels one triangle per round from each
+    end; an insufficient max_iter must raise, not return a partial."""
+    import pytest
+
+    from panditya_spark.operators.graph import ktruss
+
+    # Triangle strip: t0..t9 sharing edges — peeling k=4 cascades.
+    edges = []
+    for i in range(10):
+        edges += [(f"v{i}", f"v{i+1}"), (f"v{i}", f"v{i+2}")]
+    edges.append((f"v10", f"v11"))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        ktruss(df, k=4, max_iter=1)
+    got = ktruss(df, k=4, max_iter=32)
+    assert got.count() == 0  # strip has no 4-truss
+    assert {r["support"] >= 1 for r in ktruss(df, k=3, max_iter=32).collect()} <= {True}

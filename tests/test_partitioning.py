@@ -235,6 +235,35 @@ def test_targeted_delete_rewrites_only_affected_files(spark, tmp_path):
     assert back.select("payload").distinct().count() == 98 * 20
 
 
+def test_targeted_delete_repeated_keeps_prior_rewrites(spark, tmp_path):
+    """Two successive deletes must not clobber each other's rewrite
+    files: rewrite names are invocation-unique, so the rows kept by
+    delete #1 survive delete #2 (the repeated-GDPR-erasure path)."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.sources.sinks import targeted_delete
+
+    layout = str(tmp_path / "layout3")
+    df = spark.createDataFrame(
+        [(uid, f"p{uid}-{i}") for uid in range(100) for i in range(20)],
+        ["uid", "payload"],
+    )
+    df.repartitionByRange(10, "uid").write.parquet(layout)
+
+    targeted_delete(
+        spark, layout, spark.createDataFrame([(3,)], ["uid"]), "uid"
+    )
+    # Second delete hits a DIFFERENT range partition (uid 97).
+    targeted_delete(
+        spark, layout, spark.createDataFrame([(97,)], ["uid"]), "uid"
+    )
+    back = spark.read.parquet(layout)
+    assert back.filter(F.col("uid").isin(3, 97)).count() == 0
+    # Rows kept by the first rewrite (e.g. uid 0-9 minus 3) still exist.
+    assert back.count() == 100 * 20 - 2 * 20
+    assert back.select("payload").distinct().count() == 98 * 20
+
+
 def test_targeted_delete_noop_when_keys_absent(spark, tmp_path):
     import os
 

@@ -290,3 +290,47 @@ def test_constraint_report_all_satisfied(spark):
         unique_keys=[["id"]],
     )
     assert all(r["satisfied"] == 1 and r["n_violations"] == 0 for r in got.collect())
+
+
+def test_constraint_report_empty_input_and_duplicate_names(spark):
+    """Zero rows = zero violations (SUM-over-nothing is NULL, not a
+    crash); duplicate constraint names keep independent counts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from panditya_spark.operators.quality import (
+        check_not_null,
+        constraint_report,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("v", DoubleType()),
+            ]
+        ),
+    )
+    got = constraint_report(
+        empty, checks=[check_not_null("id")], unique_keys=[["id"]]
+    ).collect()
+    assert all(r["n_violations"] == 0 and r["satisfied"] == 1 for r in got)
+
+    df = spark.createDataFrame([(1, None), (None, 2.0)], ["id", "v"])
+    dup = constraint_report(
+        df,
+        checks=[
+            ("same_name", F.col("id").isNull()),
+            ("same_name", F.lit(False)),
+        ],
+    ).collect()
+    assert [(r["constraint_name"], r["n_violations"]) for r in dup] == [
+        ("same_name", 1),
+        ("same_name", 0),
+    ]
