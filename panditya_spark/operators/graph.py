@@ -1637,6 +1637,36 @@ def hits(
 
 
 # ------------------------------------------------------------ G17 (ext)
+def triangle_incidence(e: DataFrame) -> DataFrame:
+    """Triangle→edge incidence table over canonical edges (a < b):
+    enumerate each triangle once with the same ordered two-equi-join
+    plan as triangle_counts (join on the shared middle vertex, then a
+    LEFT-SEMI probe for the closing edge — never a cartesian product),
+    and explode it into 3 rows, one per member edge. Columns:
+    (ta, tb, tc) identify the triangle, (ea, eb) one of its canonical
+    edges. Exposed at module level so scripts/explain_audit.py can
+    gate the per-round join shape of k-truss."""
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = e.join(bc, "b").join(
+        ac,
+        (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        "left_semi",
+    )
+    return tri.select(
+        F.col("a").alias("ta"),
+        F.col("b").alias("tb"),
+        F.col("c").alias("tc"),
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("ea"), F.col("b").alias("eb")),
+                F.struct(F.col("b").alias("ea"), F.col("c").alias("eb")),
+                F.struct(F.col("a").alias("ea"), F.col("c").alias("eb")),
+            )
+        ).alias("ed"),
+    ).select("ta", "tb", "tc", F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
+
+
 def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     """k-truss: the maximal subgraph in which every EDGE participates
     in at least k-2 triangles — the edge-level strengthening of the
@@ -1679,28 +1709,7 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    # One-time triangle enumeration (ordered a < b < c, each once).
-    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
-    tri = e.join(bc, "b").join(
-        ac,
-        (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
-        "left_semi",
-    )
-    # Triangle→edge incidence: (ta,tb,tc) identifies the triangle,
-    # (ea,eb) one of its three canonical edges.
-    te = tri.select(
-        F.col("a").alias("ta"),
-        F.col("b").alias("tb"),
-        F.col("c").alias("tc"),
-        F.explode(
-            F.array(
-                F.struct(F.col("a").alias("ea"), F.col("b").alias("eb")),
-                F.struct(F.col("b").alias("ea"), F.col("c").alias("eb")),
-                F.struct(F.col("a").alias("ea"), F.col("c").alias("eb")),
-            )
-        ).alias("ed"),
-    ).select("ta", "tb", "tc", F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
+    te = triangle_incidence(e)
     sup = te.groupBy("ea", "eb").agg(F.count(F.lit(1)).alias("support"))
     if k <= 2:
         # Whole graph qualifies; report full-graph support per edge.

@@ -3,23 +3,27 @@ reference).
 
 Design: image/audio/video payloads are opaque BINARY columns with a
 typed metadata struct alongside (mime, width/height or sample_rate,
-n_frames). All pipeline plumbing — schemas, Arrow batch shapes,
-mapInPandas signatures, partition sizing — is real and tested; only
-the codec call itself is stubbed, because no image/audio libraries
-exist in this container. Each stub is deterministic (derived from the
-payload bytes) so tests can assert end-to-end dataflow, and the
-`decoder=` hook is where a real `PIL.Image.open` / `soundfile.read`
-drops in unchanged.
+n_frames). The codec layer is REAL and stdlib-only: images are genuine
+PNG containers (zlib-compressed IDAT, CRC-validated chunks, all five
+scanline filters on decode) and audio is genuine RIFF/WAVE int16 PCM
+(manual chunk walk on decode) — no external image/audio libraries
+needed. A corrupted payload (bad signature, flipped CRC byte,
+truncated chunk) is rejected with ValueError, never silently decoded.
 
 Scale notes: mapInPandas streams Arrow batches — payloads never
 round-trip through Python row objects; spark.sql.files.maxPartitionBytes
 (not row count) governs partition sizing for large binaries, and the
 schema keeps payloads in a single column so column pruning drops them
-for metadata-only queries.
+for metadata-only queries. Decode cost is per-payload CPU with zero
+shuffle: the featurizers are map-only plans (gated by explain_audit's
+no-Exchange-before-decode check).
 """
 
 from __future__ import annotations
 
+import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,6 +34,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -51,54 +56,257 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("n_bytes", IntegerType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("px_sum", LongType(), True),
         StructField("embedding", ArrayType(FloatType()), True),
     ]
 )
 
-
-def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for an image codec: derives (w, h) from
-    the payload hash. Swap for PIL/libvips in a real deployment —
-    signature and batch flow are identical."""
-    if payload is None:
-        raise NotImplementedError("real decoder required for null-size probe")
-    import hashlib
-
-    # md5, not hash(): bytes hashing is salted per process.
-    h = int.from_bytes(hashlib.md5(bytes(payload)).digest()[:4], "big")
-    return 16 + h % 1024, 16 + (h >> 10) % 1024
+# ------------------------------------------------------------ PNG codec
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """Encode a 2-D uint8 array as a real 8-bit-grayscale PNG: header
+    signature, IHDR, one zlib-compressed IDAT (filter 0 per scanline),
+    IEND — every chunk CRC32-stamped. Round-trips through any standard
+    PNG reader."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2 or arr.size == 0:
+        raise ValueError("encode_png expects a non-empty 2-D uint8 array")
+    h, w = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    filt = np.zeros((h, 1), dtype=np.uint8)  # filter type 0 per row
+    raw = np.hstack([filt, arr]).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Parse a grayscale-8 PNG: validate the signature, walk chunks
+    verifying each CRC32, read dimensions from IHDR, inflate the
+    concatenated IDAT stream, and reconstruct scanlines through all
+    five standard filter types (None/Sub/Up/Average/Paeth, bpp=1).
+    Returns (width, height, pixels ndarray[h,w] uint8). Raises
+    ValueError on any corruption — bad signature, CRC mismatch,
+    truncation, or an unsupported variant."""
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    seen_iend = False
+    while pos < len(b):
+        if pos + 8 > len(b):
+            raise ValueError("truncated chunk header")
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated chunk data")
+        crc = b[pos + 8 + ln : pos + 12 + ln]
+        if len(crc) != 4:
+            raise ValueError("truncated chunk CRC")
+        if struct.unpack(">I", crc)[0] != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in {tag.decode('latin1')} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, ilace) != (8, 0, 0, 0, 0):
+                raise ValueError("unsupported PNG variant (need grayscale-8)")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + ln
+    if width is None or not seen_iend:
+        raise ValueError("missing IHDR or IEND")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("pixel data length mismatch")
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    out = np.empty((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.int32)
+    for y in range(height):
+        ftype = int(mat[y, 0])
+        row = mat[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            recon = row
+        elif ftype == 1:  # Sub (bpp=1: running sum mod 256)
+            recon = np.cumsum(row) % 256
+        elif ftype == 2:  # Up
+            recon = (row + prev) % 256
+        elif ftype == 3:  # Average
+            recon = np.empty(width, dtype=np.int32)
+            left = 0
+            for x in range(width):
+                recon[x] = (row[x] + (left + int(prev[x])) // 2) % 256
+                left = recon[x]
+        elif ftype == 4:  # Paeth
+            recon = np.empty(width, dtype=np.int32)
+            left = ul = 0
+            for x in range(width):
+                up = int(prev[x])
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                recon[x] = (row[x] + pred) % 256
+                left, ul = recon[x], up
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return width, height, out
+
+
+# ------------------------------------------------------------ WAV codec
+def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
+    """Encode an int16 sample vector as a real RIFF/WAVE container
+    (PCM, mono, 16-bit little-endian) via the stdlib wave module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/WAVE container with a manual chunk walk: validate
+    the RIFF/WAVE magic, locate fmt and data chunks (word-aligned),
+    check PCM/mono/16-bit, and return (samples ndarray int16,
+    sample_rate). Raises ValueError on corruption or unsupported
+    variants."""
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (ln,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        chunk = b[pos + 8 : pos + 8 + ln]
+        if len(chunk) != ln:
+            raise ValueError(f"truncated {tag.decode('latin1')} chunk")
+        if tag == b"fmt ":
+            fmt = chunk
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
+    audio_fmt, nch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if (audio_fmt, nch, bits) != (1, 1, 16):
+        raise ValueError("unsupported WAV variant (need PCM mono 16-bit)")
+    usable = len(data) - (len(data) % 2)
+    return np.frombuffer(data[:usable], dtype="<i2"), rate
+
+
+# --------------------------------------------- deterministic generators
+def _text_hv(text: str) -> int:
+    """First 4 md5 digest bytes big-endian — the shared per-document
+    seed; DuckDB replays it as CAST('0x' || substr(md5(text),1,8) AS
+    BIGINT)."""
+    return int.from_bytes(
+        hashlib.md5(text.encode("utf-8")).digest()[:4], "big"
+    )
+
+
+def generate_pixels(text: str):
+    """Deterministic per-document grayscale image: dimensions from the
+    md5 seed (16..64 px each side), pixels a stride-7 mod-256 ramp —
+    closed-form enough for a SQL oracle to recompute exact pixel sums
+    (sum over range(w*h) of (seed + 7i) % 256)."""
+    import numpy as np
+
+    hv = _text_hv(text)
+    w = 16 + hv % 49
+    h = 16 + (hv // 49) % 49
+    seed = hv % 256
+    flat = (seed + 7 * np.arange(w * h, dtype=np.int64)) % 256
+    return flat.astype(np.uint8).reshape(h, w)
+
+
+def generate_samples(text: str):
+    """Deterministic per-document int16 PCM: length 800..3199 samples
+    from the md5 seed, values a stride-37 mod-65536 ramp shifted to
+    signed — exact sample sums replayable in SQL."""
+    import numpy as np
+
+    hv = _text_hv(text)
+    n = 800 + hv % 2400
+    s = ((hv % 65536 + 37 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+    return s.astype("<i2")
+
+
+# ------------------------------------------------------------ featurize
 def image_features(
     df: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
     embedding_dim: int = 8,
-    decoder=_fake_decode,
+    decoder=decode_png,
 ) -> DataFrame:
-    """Decode + featurize images via mapInPandas (Arrow-batched).
+    """Decode + featurize images via mapInPandas (Arrow-batched): the
+    REAL PNG parse (CRC-checked container walk + inflate + de-filter)
+    per payload, then stats over the decoded pixel matrix.
 
-    Output: (media_id, n_bytes, width, height, embedding). The
-    embedding stub is a byte-histogram projection — deterministic,
-    real shape (array<float> of embedding_dim)."""
+    Output: (media_id, n_bytes, width, height, px_sum, embedding).
+    px_sum is the exact integer sum of decoded pixel values (the
+    oracle-checkable roundtrip proof); the embedding is an L1-
+    normalized pixel-value histogram folded to embedding_dim."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            ids, nb, ws, hs, embs = [], [], [], [], []
+            ids, nb, ws, hs, sums, embs = [], [], [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                w, h = decoder(b)
+                w, h, px = decoder(b)
                 hist = np.bincount(
-                    np.frombuffer(b, dtype=np.uint8) % embedding_dim,
-                    minlength=embedding_dim,
+                    px.reshape(-1) % embedding_dim, minlength=embedding_dim
                 ).astype("float32")
                 norm = float(hist.sum()) or 1.0
                 ids.append(mid)
                 nb.append(len(b))
                 ws.append(w)
                 hs.append(h)
+                sums.append(int(px.sum(dtype=np.int64)))
                 embs.append((hist / norm).tolist())
             yield pd.DataFrame(
                 {
@@ -106,6 +314,7 @@ def image_features(
                     "n_bytes": pd.array(nb, dtype="int32"),
                     "width": pd.array(ws, dtype="int32"),
                     "height": pd.array(hs, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
                     "embedding": embs,
                 }
             )
@@ -113,23 +322,20 @@ def image_features(
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
-def resize_stub(
+def resize_images(
     df: DataFrame,
     target_w: int,
     target_h: int,
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize plumbing: passes payloads through mapInPandas and emits
-    the new dimensions; the pixel transform raises NotImplementedError
-    per spec (no image libs in this container) unless a decoder-backed
-    implementation replaces `_resize_payload`."""
-
-    def _resize_payload(payload: bytes) -> bytes:
-        raise NotImplementedError(
-            "image resize requires an image codec (PIL/libvips); "
-            "plumbing (schema, batching, partitioning) is real"
-        )
+    """REAL image resize: decode the PNG, nearest-neighbor sample the
+    pixel matrix to (target_h, target_w) with pure numpy indexing
+    (src index = floor(dst * src_size / dst_size)), re-encode as PNG.
+    Map-only mapInPandas — no shuffle; payloads stream through Arrow
+    batches once."""
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError("resize targets must be positive")
 
     schema = StructType(
         [
@@ -141,16 +347,27 @@ def resize_stub(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ys = None
         for pdf in batches:
-            out = pd.DataFrame(
+            ids, outs = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = decode_png(
+                    bytes(payload) if payload is not None else b""
+                )
+                ys = np.arange(target_h, dtype=np.int64) * h // target_h
+                xs = np.arange(target_w, dtype=np.int64) * w // target_w
+                outs.append(encode_png(px[ys][:, xs]))
+                ids.append(mid)
+            yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col],
-                    "payload": [_resize_payload(bytes(p)) for p in pdf[payload_col]],
-                    "width": pd.array([target_w] * len(pdf), dtype="int32"),
-                    "height": pd.array([target_h] * len(pdf), dtype="int32"),
+                    "media_id": ids,
+                    "payload": outs,
+                    "width": pd.array([target_w] * len(ids), dtype="int32"),
+                    "height": pd.array([target_h] * len(ids), dtype="int32"),
                 }
             )
-            yield out
 
     return df.mapInPandas(run, schema)
 
@@ -176,15 +393,24 @@ def frame_sample(
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests: payload = repeated
-    md5-derived bytes, metadata consistent with _fake_decode."""
+    """Deterministic media table for tests: payload = a REAL PNG
+    encoded from generate_pixels, metadata consistent with the
+    container's IHDR."""
     rows = []
-    import hashlib
-
     for i in range(n):
-        payload = (hashlib.md5(str(i).encode()).digest() * 8)[: 64 + i]
-        w, h = _fake_decode(payload)
-        rows.append((f"m{i}", "image/fake", bytearray(payload), w, h))
+        px = generate_pixels(f"doc-{i}")
+        h, w = px.shape
+        rows.append((f"m{i}", "image/png", bytearray(encode_png(px)), w, h))
+    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+def synthetic_audio(spark, n: int = 64) -> DataFrame:
+    """Deterministic audio table for tests: payload = a REAL WAV
+    encoded from generate_samples (16 kHz mono int16)."""
+    rows = []
+    for i in range(n):
+        s = generate_samples(f"doc-{i}")
+        rows.append((f"m{i}", "audio/wav", bytearray(encode_wav(s)), 0, 0))
     return spark.createDataFrame(rows, IMAGE_SCHEMA)
 
 
@@ -193,51 +419,39 @@ AUDIO_FEATURES_SCHEMA = StructType(
         StructField("media_id", StringType(), False),
         StructField("n_samples", IntegerType(), True),
         StructField("duration_ms", IntegerType(), True),
+        StructField("pcm_sum", LongType(), True),
         StructField("rms", FloatType(), True),
         StructField("zero_crossings", IntegerType(), True),
     ]
 )
 
 
-def _fake_audio_decode(payload: bytes):
-    """Deterministic stand-in for an audio codec: interprets the raw
-    bytes as little-endian int16 PCM at 16 kHz mono (truncating a
-    trailing odd byte). Swap for `soundfile.read` in a real deployment
-    — signature (bytes -> (samples ndarray, sample_rate)) and batch
-    flow are identical."""
-    import numpy as np
-
-    if payload is None:
-        raise NotImplementedError("real decoder required for null payloads")
-    b = bytes(payload)
-    usable = len(b) - (len(b) % 2)
-    samples = np.frombuffer(b[:usable], dtype="<i2").astype(np.float32) / 32768.0
-    return samples, 16_000
-
-
 def audio_features(
     df: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
-    decoder=_fake_audio_decode,
+    decoder=decode_wav,
 ) -> DataFrame:
-    """Decode + featurize audio via mapInPandas (Arrow-batched):
-    (media_id, n_samples, duration_ms, rms, zero_crossings). The
-    integer columns are pure byte-length arithmetic (oracle-checkable);
-    rms / zero_crossings exercise the decoded sample vector and are
-    pinned by tests against a NumPy reference."""
+    """Decode + featurize audio via mapInPandas (Arrow-batched): the
+    REAL RIFF/WAVE parse per payload, then (media_id, n_samples,
+    duration_ms, pcm_sum, rms, zero_crossings) over the decoded int16
+    vector. pcm_sum is the exact integer sample sum (oracle-checkable
+    roundtrip proof); rms / zero_crossings are pinned by tests against
+    a NumPy reference."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            ids, ns, dur, rms, zc = [], [], [], [], []
+            ids, ns, dur, sums, rms, zc = [], [], [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                samples, rate = decoder(payload if payload is not None else b"")
+                raw, rate = decoder(payload if payload is not None else b"")
+                samples = raw.astype(np.float32) / 32768.0
                 n = len(samples)
                 ids.append(mid)
                 ns.append(n)
                 dur.append(n * 1000 // rate)
+                sums.append(int(raw.astype(np.int64).sum()))
                 rms.append(
                     float(np.sqrt(np.mean(samples * samples))) if n else 0.0
                 )
@@ -247,6 +461,7 @@ def audio_features(
                     "media_id": ids,
                     "n_samples": pd.array(ns, dtype="int32"),
                     "duration_ms": pd.array(dur, dtype="int32"),
+                    "pcm_sum": pd.array(sums, dtype="int64"),
                     "rms": pd.array(rms, dtype="float32"),
                     "zero_crossings": pd.array(zc, dtype="int32"),
                 }

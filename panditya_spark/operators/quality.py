@@ -40,6 +40,23 @@ def check_pattern(col: str, regex: str, name: str | None = None) -> tuple[str, C
     )
 
 
+def _conditional_counts(df: DataFrame, checks: list[tuple[str, Column]]) -> DataFrame:
+    """The one-scan conditional-count aggregate the whole suite rides
+    on — exposed unexecuted so scripts/explain_audit.py can gate its
+    plan shape (single Exchange, map-side partial aggregation).
+    coalesce: SUM over zero rows is NULL — an empty input has zero
+    violations, not a crash. Positional aliases (c0, c1, …) tolerate
+    duplicate constraint names instead of silently reporting one count
+    for both."""
+    aggs = [
+        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias(f"c{i}")
+        for i, (_, pred) in enumerate(checks)
+    ]
+    return df.agg(*aggs)
+
+
 def constraint_report(
     df: DataFrame,
     checks: list[tuple[str, Column]],
@@ -60,19 +77,9 @@ def constraint_report(
       semantics: null references are not violations).
     """
     spark = df.sparkSession
-    # coalesce: SUM over zero rows is NULL — an empty input has zero
-    # violations, not a crash. Positional indexing (row[i], not
-    # row[name]) tolerates duplicate constraint names instead of
-    # silently reporting one count for both.
-    aggs = [
-        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
-        .cast("bigint")
-        .alias(f"c{i}")
-        for i, (name, pred) in enumerate(checks)
-    ]
     results: list[tuple[str, int]] = []
-    if aggs:
-        row = df.agg(*aggs).first()
+    if checks:
+        row = _conditional_counts(df, checks).first()
         results = [(name, row[i]) for i, (name, _) in enumerate(checks)]
 
     for keys in unique_keys or []:

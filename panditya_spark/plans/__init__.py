@@ -47,7 +47,10 @@ _WINDOW = [
     "stream_sliding_microbatch",
     "stream_sessionize_batch",
     "mm_image_features",
-    "mm_frame_sample",
+    # (mm_frame_sample rotated into the combo slot in round 5 — pure
+    # int/string explode, green since r1 — freeing a slot for the REAL
+    # PNG resize→reparse roundtrip below.)
+    "mm_image_resize",
     # Graph core.
     "g1_khop_bfs",
     "g5_connected_components",
@@ -63,8 +66,10 @@ _WINDOW = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality",
-    # (text_token_stats / text_langid rotated to combo in round 4.)
-    "tpch_q18_large_orders",
+    # (text_token_stats / text_langid rotated to combo in round 4;
+    # tpch_q18_large_orders to combo in round 5 — scale-2 lossless
+    # sums, green since r4 — freeing a slot for the k-core promotion.)
+    "g15_kcore",
     "s_dpp_join",
     # Serving / label core. (f1_f2/a5, then o1/p14_16/dedup_exact,
     # rotated into the combo slot mid-round-2 for the chunking/packing
@@ -86,8 +91,11 @@ _WINDOW = [
     "text_pii_redact",
     # Relational joins / aggregates. (j1/j2/w1/a1/t3 rotated into the
     # combo slot mid-round-2 to free window slots for the five new
-    # queries below.)
-    "j5_broadcast_join_agg",
+    # queries below; j5_broadcast_join_agg to combo in round 5 —
+    # scale-2 lossless revenue sums, green since r1 — freeing a slot
+    # for the SCC promotion: g14_scc moves from combo membership to a
+    # direct window row.)
+    "g14_scc",
     "w_percentile_select",
     # One slot checks the whole trivial-projection family plus the
     # rotated-out green aggregates at full value precision (members
@@ -102,7 +110,10 @@ _WINDOW = [
     "tpch_q3_top_orders",
     "dedup_cluster_canonical",
     "text_heavy_hitters",
-    "sample_stratified",
+    # (sample_stratified rotated into the combo slot in round 5 — pure
+    # int/string md5-keyed rows, green since r2 — freeing a slot for
+    # the k-truss promotion below.)
+    "g17_ktruss",
     # Round-2 additions (driver-verified green in round 3; salted/audio
     # and the two streaming runs keep their slots — the streaming
     # machinery and the salt rewrite are the higher-risk surfaces).

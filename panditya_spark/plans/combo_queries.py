@@ -177,9 +177,8 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "a_unpivot_metrics": [("doc_id", "i"), ("metric", "s"), ("v", "i")],
     # Round 4: entity resolution (q-gram blocking + levenshtein).
     "er_fuzzy_match": [("dkey", "i"), ("matched_key", "i"), ("dist", "i")],
-    # Round 4: distributed SCC over the back-edged key chain (structural
-    # oracle: one component per nation, min-member labels).
-    "g14_scc": [("node", "s"), ("scc", "s")],
+    # (g14_scc promoted OUT of the combo to its own window slot in
+    # round 5 — the SCC decomposition now carries a direct driver row.)
     # Round 4: schema-evolution read (v1 rows surface NULL o_channel —
     # the '∅' sentinel makes the null itself value-checked).
     "s_schema_evolution": [
@@ -232,6 +231,21 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "tpch_q2_cheapest_supplier": [
         ("p_partkey", "i"), ("p_name", "s"), ("supp_key", "i"),
         ("best_price", "d"),
+    ],
+    # Round-5 rotation: four stable window queries moved here to free
+    # slots for the promotions (mm_image_resize, g15_kcore, g17_ktruss,
+    # g14_scc). All pure int/string or scale-2-lossless decimal sums;
+    # every one green since at least round 4.
+    "mm_frame_sample": [("media_id", "s"), ("frame_idx", "i")],
+    "j5_broadcast_join_agg": [
+        ("brand", "s"), ("n_items", "i"), ("revenue", "d"),
+    ],
+    "tpch_q18_large_orders": [
+        ("c_custkey", "i"), ("o_orderkey", "i"), ("total_qty", "d"),
+    ],
+    "sample_stratified": [
+        ("lang", "s"), ("source", "s"), ("doc_id", "i"), ("rn", "i"),
+        ("in_hash_sample", "i"),
     ],
 }
 

@@ -328,16 +328,50 @@ def g14_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- G15 (ext)
-@register("g15_kcore")
+def _kcore_oracle(k: int, unroll: int) -> str:
+    """UNROLLED-peel SQL oracle for the k-core: a fixed chain of
+    degree-filter CTEs. Peeling is a shrinking fixpoint, so once the
+    chain reaches it, further steps are identity — an unroll depth
+    comfortably above the measured convergence (k=75: 5 rounds at both
+    sf0.001 and sf0.01; depth 10 = 2× margin) makes the bounded SQL
+    EXACT, turning a 'not SQL-expressible' iterative operator into a
+    value-checked one."""
+    parts = [
+        "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b"
+        " FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey"
+        " AND x.l_partkey < y.l_partkey)",
+    ]
+    for i in range(unroll):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e{i} "
+            f"UNION ALL SELECT b FROM e{i}) GROUP BY node "
+            f"HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i+1} AS MATERIALIZED (SELECT a, b FROM e{i} "
+            f"WHERE a IN (SELECT node FROM k{i}) "
+            f"AND b IN (SELECT node FROM k{i}))"
+        )
+    final = (
+        f" SELECT node, CAST(count(*) AS BIGINT) AS degree FROM "
+        f"(SELECT a AS node FROM e{unroll} UNION ALL SELECT b FROM e{unroll}) "
+        f"GROUP BY node"
+    )
+    return ", ".join(parts) + final
+
+
+@register("g15_kcore", oracle=_kcore_oracle(k=75, unroll=10))
 def g15_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core membership of the part co-purchase graph (the same graph
     as g13 triangle counting: parts are adjacent when they share an
-    order). Iterative peeling is a degree-aggregate fixpoint — not
-    SQL-expressible, the Louvain/BFS registry class — so the query is
-    rows-only; exact core semantics (peeling result == brute-force
-    maximal subgraph, in-core degrees >= k, planted-core recovery) are
-    pinned by tests/test_graph.py. k=8 keeps a non-trivial core/shell
-    split at sf0.01."""
+    order), value-checked against an unrolled-peel SQL oracle (the
+    peel is a shrinking fixpoint, so a bounded CTE chain past the
+    measured convergence depth is exact — see _kcore_oracle). Exact
+    peel semantics (result == brute-force maximal subgraph, in-core
+    degrees >= k, raise on non-fixpoint) are additionally pinned by
+    tests/test_graph.py. k=75 gives a non-trivial core/shell split at
+    sf0.01 (1938 of 2000 parts survive, 5 peel rounds)."""
     from panditya_spark.operators.graph import kcore
 
     li = _t(spark, sf_dir, "lineitem")
@@ -345,7 +379,7 @@ def g15_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     e = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
-    return kcore(e, k=8).orderBy("node")
+    return kcore(e, k=75).orderBy("node")
 
 
 # ---------------------------------------------------------------- G16 (ext)
@@ -368,13 +402,58 @@ def g16_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- G17 (ext)
-@register("g17_ktruss")
+def _ktruss_oracle(k: int, unroll: int) -> str:
+    """UNROLLED support-peel SQL oracle for the k-truss: each step
+    re-enumerates triangles on the surviving edge set (the g13 ordered
+    a<b<c join) and drops edges below k-2 support. Same exactness
+    argument as _kcore_oracle: the peel fixpoint is unique and
+    shrinking, so an unroll past measured convergence (k=10: 8 rounds
+    at sf0.01, 1 at sf0.001; depth 12) is exact. The oracle's full
+    per-round recount also cross-validates the Spark side's
+    INCREMENTAL support maintenance — two different algorithms, one
+    fixpoint."""
+    parts = [
+        "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b"
+        " FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey"
+        " AND x.l_partkey < y.l_partkey)",
+    ]
+    for i in range(unroll):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc "
+            f"FROM e{i} e1 JOIN e{i} e2 ON e2.a = e1.b "
+            f"WHERE EXISTS (SELECT 1 FROM e{i} e3 "
+            f"WHERE e3.a = e1.a AND e3.b = e2.b))"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT ea, eb, count(*) AS sup FROM "
+            f"(SELECT ta AS ea, tb AS eb FROM t{i} "
+            f"UNION ALL SELECT tb, tc FROM t{i} "
+            f"UNION ALL SELECT ta, tc FROM t{i}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"e{i+1} AS MATERIALIZED (SELECT ea AS a, eb AS b FROM s{i} "
+            f"WHERE sup >= {k - 2})"
+        )
+    final = (
+        f" SELECT ea AS a, eb AS b, CAST(sup AS BIGINT) AS support "
+        f"FROM s{unroll - 1} WHERE sup >= {k - 2}"
+    )
+    return ", ".join(parts) + final
+
+
+@register("g17_ktruss", oracle=_ktruss_oracle(k=10, unroll=12))
 def g17_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss of the part co-purchase graph (edge-level cohesion, the
     step past g15's k-core): surviving canonical edges with their
-    in-truss triangle support. Rows-only (triangle-support fixpoint,
-    not SQL-expressible); exact semantics pinned by brute-force
-    equality in tests/test_graph.py::test_ktruss_matches_bruteforce."""
+    in-truss triangle support, value-checked against an unrolled
+    support-peel SQL oracle (see _ktruss_oracle — the oracle's full
+    recount per round cross-validates the incremental Spark
+    implementation). Exact semantics additionally pinned by
+    brute-force equality in
+    tests/test_graph.py::test_ktruss_matches_bruteforce. k=10 gives a
+    non-trivial truss at sf0.01 (4,974 of 115,729 edges survive,
+    8 peel rounds)."""
     from panditya_spark.operators.graph import ktruss
 
     li = _t(spark, sf_dir, "lineitem")

@@ -1,22 +1,43 @@
 """Multimodal-column queries (spec extension; absent from the
 reference — see operators/multimodal.py for the design note).
 
-The driver's testdata has no binary media table, so the media payloads
-are derived deterministically from `documents.text` (UTF-8 bytes as the
-opaque BINARY payload). That makes the whole decode→featurize path —
-mapInPandas over Arrow batches with a BINARY column — oracle-checkable:
-the deterministic fake codec is plain md5 arithmetic DuckDB can
-replicate.
+The driver's testdata has no binary media table, so media payloads are
+SYNTHESIZED deterministically from `documents.text`: each document's
+md5 seed drives a pixel ramp that is encoded into a genuine PNG
+container (zlib IDAT, CRC-validated chunks) and a PCM ramp encoded
+into a genuine RIFF/WAVE container. The featurizers then REALLY parse
+those containers back — dimensions from IHDR, samples from the RIFF
+chunk walk — so the whole decode→featurize path (mapInPandas over
+Arrow batches with a BINARY column) exercises a true codec while
+staying oracle-checkable: the deterministic generation is md5 + ramp
+arithmetic DuckDB replays exactly (integer pixel/PCM sums included,
+which proves the encode→decode roundtrip preserved the payload).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from panditya_spark.operators import multimodal as M
 from panditya_spark.plans.registry import register
 from panditya_spark.sources.loaders import load_table
+
+_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -27,69 +48,131 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _media(
-    spark: SparkSession, sf_dir: str, spread_for_decode: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str = "image",
+    spread_for_decode: bool = False,
 ) -> DataFrame:
-    """documents projected into the opaque-media shape: BINARY payload
-    plus string id. Payload bytes == UTF-8 of text, so the oracle can
-    recompute every derived value from the text column.
+    """documents projected into the opaque-media shape: a REAL PNG or
+    WAV container synthesized per document (deterministic md5-seeded
+    content), BINARY payload plus string id. Synthesis is its own
+    mapInPandas stage so the downstream featurizer parses a genuine
+    binary column it did not produce.
 
     spread_for_decode: mapInPandas parallelism equals upstream partition
     count, so a single-file media table decodes on one core unless
     round-robin spread first — but the spread shuffles the PAYLOAD
-    bytes, so it only pays when decode CPU outweighs the bytes moved.
-    With the stubbed (near-free) codec it never does (measured at
-    sf0.1: 3.0s → 7.8s regression, VERDICT r2 #4), so the default is
-    False; a real PIL/libvips decode at ~10ms+/image flips the ratio,
-    and that deployment passes True. At 100 TB the input arrives in
-    thousands of scan splits and spread_small_input is a no-op either
-    way — this knob only matters for small single-split inputs."""
+    bytes, so it only pays when decode CPU outweighs the bytes moved
+    (measured at sf0.1 with the near-free ramp codec: 3.0s → 7.8s
+    regression, VERDICT r2 #4), so the default is False; a heavier
+    JPEG/Opus-class decode flips the ratio, and that deployment passes
+    True. At 100 TB the input arrives in thousands of scan splits and
+    spread_small_input is a no-op either way — this knob only matters
+    for small single-split inputs."""
     from panditya_spark.operators.relational import spread_small_input
 
     docs = _t(spark, sf_dir, "documents")
-    # Project BEFORE any spread so only (id, payload) ever moves.
-    media = docs.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.col("text").cast("binary").alias("payload"),
+    # Project BEFORE any spread so only (id, text) ever moves.
+    slim = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"), "text"
     )
     if spread_for_decode:
-        media = spread_small_input(media)
-    return media
+        slim = spread_small_input(slim)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if kind == "image":
+                payloads = [
+                    M.encode_png(M.generate_pixels(t)) for t in pdf["text"]
+                ]
+            else:
+                payloads = [
+                    M.encode_wav(M.generate_samples(t)) for t in pdf["text"]
+                ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return slim.mapInPandas(synth, _MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------- decode+featurize
 # Extension op: image decode + feature extraction via mapInPandas
-# (operators/multimodal.py image_features). The deterministic fake
-# codec derives (width, height) from the first 4 md5 digest bytes, so
-# DuckDB replays it as hex-substring arithmetic.
+# (operators/multimodal.py image_features). The payload is a genuine
+# PNG; the featurizer parses IHDR/IDAT (CRC-checked, de-filtered) and
+# sums decoded pixels. The oracle recomputes dimensions and the exact
+# pixel sum from the deterministic generation — equality proves the
+# container roundtrip preserved every pixel.
 @register(
     "mm_image_features",
     oracle="""
     WITH h AS (
       SELECT CAST(doc_id AS VARCHAR) AS media_id,
-             octet_length(encode(text)) AS n_bytes,
              CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS hv
       FROM documents
+    ),
+    d AS (
+      SELECT media_id, 16 + hv % 49 AS w, 16 + (hv // 49) % 49 AS ht,
+             hv % 256 AS seed
+      FROM h
+    ),
+    u AS (
+      SELECT media_id, w, ht, seed, unnest(range(0, w*ht)) AS i FROM d
     )
     SELECT media_id,
-           CAST(n_bytes AS INTEGER) AS n_bytes,
-           CAST(16 + hv % 1024 AS INTEGER) AS width,
-           CAST(16 + (hv // 1024) % 1024 AS INTEGER) AS height
-    FROM h
+           CAST(any_value(w) AS INTEGER) AS width,
+           CAST(any_value(ht) AS INTEGER) AS height,
+           CAST(sum((seed + 7*i) % 256) AS BIGINT) AS px_sum
+    FROM u GROUP BY media_id
     """,
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = M.image_features(_media(spark, sf_dir))
-    return feats.select("media_id", "n_bytes", "width", "height")
+    feats = M.image_features(_media(spark, sf_dir, "image"))
+    return feats.select("media_id", "width", "height", "px_sum")
 
 
 # ---------------------------------------------------------------- embedding path
 @register("mm_image_embedding")
 def mm_image_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Featurize path incl. the array<float> embedding column (byte
-    histogram). Rows-only: float-array hashing is engine-dependent;
-    tests/test_multimodal.py asserts the values."""
-    feats = M.image_features(_media(spark, sf_dir))
+    """Featurize path incl. the array<float> embedding column (decoded-
+    pixel histogram). Rows-only: float-array hashing is engine-
+    dependent; tests/test_functions.py asserts the values."""
+    feats = M.image_features(_media(spark, sf_dir, "image"))
     return feats.select("media_id", "embedding")
+
+
+# ---------------------------------------------------------------- real resize
+# Extension op: nearest-neighbor image resize — decode PNG, numpy
+# index-sample, re-encode PNG, then a SECOND real parse of the resized
+# container to featurize. The oracle recomputes the nearest-neighbor
+# sample analytically: resized(y,x) = ramp[(y*h//th)*w + (x*w//tw)].
+@register(
+    "mm_image_resize",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS hv
+      FROM documents
+    ),
+    d AS (
+      SELECT media_id, 16 + hv % 49 AS w, 16 + (hv // 49) % 49 AS ht,
+             hv % 256 AS seed
+      FROM h
+    ),
+    yy AS (SELECT media_id, w, ht, seed, unnest(range(0, 18)) AS y FROM d),
+    xy AS (SELECT media_id, w, ht, seed, y, unnest(range(0, 24)) AS x FROM yy)
+    SELECT media_id,
+           CAST(24 AS INTEGER) AS width,
+           CAST(18 AS INTEGER) AS height,
+           CAST(sum((seed + 7*((y*ht//18)*w + (x*w//24))) % 256) AS BIGINT)
+             AS px_sum
+    FROM xy GROUP BY media_id
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = M.resize_images(_media(spark, sf_dir, "image"), 24, 18)
+    feats = M.image_features(resized)
+    return feats.select("media_id", "width", "height", "px_sum")
 
 
 # ---------------------------------------------------------------- frame sampling
@@ -116,22 +199,31 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- audio path
 # Extension op: audio decode + feature extraction via mapInPandas
-# (operators/multimodal.py audio_features). The deterministic fake
-# codec reads payload bytes as int16@16kHz PCM, so the INTEGER features
-# are pure byte-length arithmetic DuckDB replays; the float features
-# (rms, zero_crossings) exercise the decoded sample vector and are
-# pinned by tests/test_functions.py::test_audio_features against a
-# NumPy reference.
+# (operators/multimodal.py audio_features). The payload is a genuine
+# RIFF/WAVE container; the featurizer walks its chunks and decodes the
+# int16 PCM. Integer features (count, duration, exact sample sum) are
+# replayed by the oracle from the deterministic generation; the float
+# features (rms, zero_crossings) are pinned by
+# tests/test_functions.py::test_audio_features against NumPy.
 @register(
     "mm_audio_features",
     oracle="""
-    SELECT CAST(doc_id AS VARCHAR) AS media_id,
-           CAST(octet_length(encode(text)) // 2 AS INTEGER) AS n_samples,
-           CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS INTEGER)
-             AS duration_ms
-    FROM documents
+    WITH h AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS hv
+      FROM documents
+    ),
+    d AS (
+      SELECT media_id, 800 + hv % 2400 AS n, hv % 65536 AS aseed FROM h
+    ),
+    u AS (SELECT media_id, n, aseed, unnest(range(0, n)) AS j FROM d)
+    SELECT media_id,
+           CAST(any_value(n) AS INTEGER) AS n_samples,
+           CAST(any_value(n) * 1000 // 16000 AS INTEGER) AS duration_ms,
+           CAST(sum((aseed + 37*j) % 65536 - 32768) AS BIGINT) AS pcm_sum
+    FROM u GROUP BY media_id
     """,
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = M.audio_features(_media(spark, sf_dir))
-    return feats.select("media_id", "n_samples", "duration_ms")
+    feats = M.audio_features(_media(spark, sf_dir, "audio"))
+    return feats.select("media_id", "n_samples", "duration_ms", "pcm_sum")

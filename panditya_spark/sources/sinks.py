@@ -139,6 +139,28 @@ def compact_parquet(
     return n_files
 
 
+def affected_files_plan(spark, layout_dir: str, keys, key_col: str):
+    """The file-targeting plan of targeted_delete, unexecuted: a
+    LEFT-SEMI join of the layout (tagged with input_file_name) against
+    the doomed keys, reduced to distinct file paths. Exposed so
+    scripts/explain_audit.py can gate the shape (semi join, never a
+    full materialization of matching rows)."""
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(layout_dir).withColumn(
+        "_f", F.input_file_name()
+    )
+    return back.join(keys, key_col, "semi").select("_f").distinct()
+
+
+def kept_rows_plan(spark, files: list[str], keys, key_col: str):
+    """The rewrite plan of targeted_delete, unexecuted: ONLY the
+    affected files are re-read, minus the doomed keys via LEFT-ANTI
+    join — the full table is never rewritten. Exposed for the plan
+    audit (anti join over a file-scoped scan)."""
+    return spark.read.parquet(*files).join(keys, key_col, "left_anti")
+
+
 def targeted_delete(
     spark, layout_dir: str, keys_df, key_col: str
 ) -> tuple[int, int]:
@@ -166,12 +188,12 @@ def targeted_delete(
 
     from pyspark.sql import functions as F
 
-    back = spark.read.parquet(layout_dir).withColumn(
-        "_f", F.input_file_name()
-    )
     keys = keys_df.select(F.col(keys_df.columns[0]).alias(key_col)).distinct()
     affected = sorted(
-        r["_f"] for r in back.join(keys, key_col, "semi").select("_f").distinct().collect()
+        r["_f"]
+        for r in affected_files_plan(
+            spark, layout_dir, keys, key_col
+        ).collect()
     )
     total_files = len(
         [f for f in os.listdir(layout_dir) if f.endswith(".parquet")]
@@ -180,7 +202,7 @@ def targeted_delete(
         return 0, total_files
     local = [p[len("file:"):] if p.startswith("file:") else p for p in affected]
     staging = os.path.join(layout_dir, "_staging_delete")
-    kept = spark.read.parquet(*local).join(keys, key_col, "left_anti")
+    kept = kept_rows_plan(spark, local, keys, key_col)
     kept.repartition(len(local)).write.mode("overwrite").parquet(staging)
     for p in local:
         os.remove(p)

@@ -25,6 +25,106 @@ def plan_of(df) -> str:
     )
 
 
+# ---- builders for plans that live INSIDE an operator (not a registered
+# query's return value): the audit gates them directly via a callable
+# entry ("label", builder) in CHECKS.
+_AUDIT_LAYOUT: list[str] = []
+
+
+def _audit_layout(spark) -> str:
+    """A tiny shared key-clustered layout for the targeted-delete
+    plan gates (built once per run)."""
+    if not _AUDIT_LAYOUT:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        d = tempfile.mkdtemp(prefix="audit_layout_")
+        (
+            spark.range(0, 2000)
+            .select((F.col("id") % 97).alias("uid"), F.col("id").alias("v"))
+            .repartitionByRange(4, "uid")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _AUDIT_LAYOUT.append(d)
+    return _AUDIT_LAYOUT[0]
+
+
+def _build_dq_counts(spark, sf_dir):
+    from panditya_spark.operators.quality import (
+        _conditional_counts,
+        check_in_set,
+        check_not_null,
+        check_range,
+    )
+    from panditya_spark.plans.data_pipeline_queries import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    return _conditional_counts(
+        li,
+        [
+            check_not_null("l_orderkey"),
+            check_range("l_quantity", 1, 50),
+            check_range("l_discount", 0, 0.08),
+            check_in_set("l_returnflag", ["A", "N", "R"]),
+        ],
+    )
+
+
+def _build_delete_locate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from panditya_spark.sources.sinks import affected_files_plan
+
+    keys = spark.range(0, 3).select(F.col("id").alias("uid"))
+    return affected_files_plan(spark, _audit_layout(spark), keys, "uid")
+
+
+def _build_delete_rewrite(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from panditya_spark.sources.sinks import kept_rows_plan
+
+    d = _audit_layout(spark)
+    files = [
+        os.path.join(d, f) for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ][:2]
+    keys = spark.range(0, 3).select(F.col("id").alias("uid"))
+    return kept_rows_plan(spark, files, keys, "uid")
+
+
+def _build_record_high_batch(spark, sf_dir):
+    from panditya_spark.plans.streaming_queries import _t
+    from panditya_spark.streaming.windows import record_high_batch
+
+    return record_high_batch(
+        _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    )
+
+
+def _build_ktruss_round(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from panditya_spark.operators.graph import triangle_incidence
+    from panditya_spark.plans.graph_queries import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = (
+        x.join(y, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    return triangle_incidence(e)
+
+
 CHECKS = [
     # (query, [(description, regex)])
     (
@@ -308,6 +408,97 @@ CHECKS = [
              ("absent", ["CartesianProduct"])),
         ],
     ),
+    # ---- round-5 additions: the round-4 shapes previously outside the
+    # trusted gate (VERDICT r4 "What's missing" #2), plus the real-codec
+    # multimodal paths.
+    (
+        ("dq_constraint_report/conditional_counts", _build_dq_counts),
+        [
+            # The whole N-constraint suite must ride ONE scan + ONE
+            # exchange (partial->final agg); a formatted plan prints
+            # each node twice (tree + detail).
+            ("single-scan suite: one Exchange total", ("count<=", "Exchange", 2)),
+            ("map-side partial aggregation", r"partial"),
+            ("scan prunes to the 4 checked columns",
+             r"ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_discount:double,l_returnflag:string>"),
+        ],
+    ),
+    (
+        ("s_targeted_delete/locate", _build_delete_locate),
+        [
+            ("file targeting is a LEFT-SEMI join", r"LeftSemi"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct"])),
+        ],
+    ),
+    (
+        ("s_targeted_delete/rewrite", _build_delete_rewrite),
+        [
+            ("rewrite is a LEFT-ANTI join over the affected files only", r"LeftAnti"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct"])),
+        ],
+    ),
+    (
+        "tpch_q2_cheapest_supplier",
+        [
+            # Docstring claims, enforced: both fact shuffles on partkey…
+            ("fact shuffles are on the part key", r"hashpartitioning\(l_partkey"),
+            ("no shuffle on any non-part key",
+             ("absent", ["hashpartitioning(l_suppkey", "hashpartitioning(l_extendedprice"])),
+            # …and the part dimension broadcast onto the result.
+            ("part dimension broadcast", r"BroadcastHashJoin"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
+    (
+        ("stream_record_high/batch_twin", _build_record_high_batch),
+        [
+            # Both analytic windows (prev running max + record index)
+            # must share ONE user_id shuffle…
+            ("both windows share one user_id exchange",
+             ("count<=", "Exchange hashpartitioning(user_id", 2)),
+            # …and use ROWS frames (a RANGE frame over ts would merge
+            # same-timestamp peers — the r3 sessionize bug class).
+            ("analytic windows use ROWS frames", r"RowFrame"),
+            ("no RANGE frame anywhere", ("absent", ["RangeFrame"])),
+        ],
+    ),
+    (
+        "ml_group_trend",
+        [
+            # JVM-side aggregate FIRST, grouped-map model fit second.
+            ("daily volumes partial-aggregated before the model fit", r"partial"),
+            ("model fit is grouped-map Arrow (FlatMapGroupsInPandas)",
+             r"FlatMapGroupsInPandas"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
+    (
+        ("g17_ktruss/round_incidence", _build_ktruss_round),
+        [
+            # The per-round triangle plan: two equi-joins (middle-vertex
+            # join + closing-edge LEFT-SEMI probe), never a product.
+            ("closing edge probed via LEFT-SEMI join", r"LeftSemi"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
+    (
+        "mm_image_resize",
+        [
+            # decode → numpy resample → re-encode → re-parse: all
+            # map-only, chained Arrow stages, zero shuffles.
+            ("resize+reparse is map-only (no Exchange)", ("absent", ["Exchange"])),
+            ("scan prunes to (doc_id, text)",
+             r"ReadSchema: struct<doc_id:bigint,text:string"),
+        ],
+    ),
+    (
+        "mm_audio_features",
+        [
+            ("WAV synth+parse is map-only (no Exchange)", ("absent", ["Exchange"])),
+            ("scan prunes to (doc_id, text)",
+             r"ReadSchema: struct<doc_id:bigint,text:string"),
+        ],
+    ),
 ]
 
 
@@ -321,7 +512,11 @@ def main() -> int:
 
     failures = 0
     for qname, assertions in CHECKS:
-        df = QUERIES[qname](spark, sf_dir)
+        if isinstance(qname, tuple):
+            qname, builder = qname
+            df = builder(spark, sf_dir)
+        else:
+            df = QUERIES[qname](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )

@@ -257,3 +257,27 @@ def test_stream_record_high_agrees_with_batch_twin(spark):
         assert [s for _, _, s in rows_u] == list(range(1, len(rows_u) + 1)), u
         vals = [v for _, v, _ in rows_u]
         assert all(a < b for a, b in zip(vals, vals[1:])), u
+
+
+def test_analytic_windows_use_rows_frames(spark):
+    """Regression pin for the r3 sessionize bug class: an ORDER BY
+    window defaults to a RANGE frame, which merges same-timestamp
+    peers — the running-sum/running-max windows in sessionize_batch
+    and record_high_batch must compile to ROWS frames, never RANGE."""
+    from panditya_spark.sources.loaders import load_table
+    from panditya_spark.streaming.windows import (
+        record_high_batch,
+        sessionize_batch,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    for name, df in [
+        ("sessionize_batch", sessionize_batch(ev, gap_minutes=30)),
+        (
+            "record_high_batch",
+            record_high_batch(ev.select("user_id", "ts", "event_id", "value")),
+        ),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "RowFrame" in plan, name
+        assert "RangeFrame" not in plan, name
