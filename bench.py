@@ -54,6 +54,9 @@ HEADLINE = [
     "a_winsorize_clip",         # discrete-quantile clip, broadcast bounds
     "dq_constraint_report",     # one-scan constraint suite + RI anti-join
     "stream_record_high",       # stateful record detection, 3 micro-batches
+    # Round 5: real-codec media and span-level dedup.
+    "mm_image_resize",          # PNG decode -> NN resample -> re-encode -> re-parse
+    "dedup_substring_coverage", # shared k-gram interval-union coverage
 ]
 
 

@@ -649,3 +649,81 @@ def fuzzy_match_qgram(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def substring_coverage(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Exact-substring duplication coverage — the token-SPAN rung of
+    the dedup ladder (document > chunk > span), the metric behind
+    suffix-array exact-substring dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022): a token position
+    is covered when it starts a k-token window whose exact content
+    also occurs in ANOTHER document; covered spans are what that
+    method cuts out of the corpus.
+
+    Returns (doc, n_tokens, n_shared_grams, covered_tokens) — all
+    integers, oracle-exact. covered_tokens is the length of the UNION
+    of the doc's shared [pos, pos+k) intervals.
+
+    Scale shape (no suffix array needed for the coverage statistic):
+    positional k-grams via one array expression + posexplode (map
+    stage); ONE shuffle on gram content for the cross-document
+    frequency; shared grams semi-join back (same gram partitioning);
+    and the interval union is CLOSED-FORM — sort a doc's shared start
+    positions and sum min(k, next_pos − pos) with k for the last, one
+    analytic window over (doc, pos) — never a per-position explode.
+    Unlike pair-joining dedup there is no quadratic hazard: a k-gram
+    shared by d documents costs d rows, not d², because nothing joins
+    gram occurrences against each other.
+
+    Tokenization is the raw whitespace split of the shingles() family
+    (see its nested-lambda note for why the word array must stay
+    lambda-free)."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc"), w.alias("w"))
+    grams_arr = F.when(
+        F.size("w") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("w")) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("doc", F.posexplode(grams_arr).alias("pos", "gram"))
+    shared = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc").alias("dd"))
+        .filter(F.col("dd") >= 2)
+        .select("gram")
+    )
+    sp = g.join(shared, "gram", "semi").select("doc", "pos")
+    from pyspark.sql.window import Window
+
+    nxt = F.lead("pos").over(Window.partitionBy("doc").orderBy("pos"))
+    cov = (
+        sp.withColumn(
+            "c",
+            F.when(nxt.isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), nxt - F.col("pos"))
+            ),
+        )
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.sum("c").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.select("doc", F.size("w").cast("bigint").alias("n_tokens"))
+        .join(cov, "doc", "left_outer")
+        .select(
+            "doc",
+            "n_tokens",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("bigint").alias(
+                "n_shared_grams"
+            ),
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+        )
+    )

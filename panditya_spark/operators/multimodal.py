@@ -148,6 +148,11 @@ def decode_png(payload: bytes):
     if len(raw) != stride * height:
         raise ValueError("pixel data length mismatch")
     mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    if not mat[:, 0].any():
+        # Fast path: every scanline is filter 0 (None) — the layout
+        # our own encoder and most synthetic writers emit. Pure slice,
+        # no per-row reconstruction loop.
+        return width, height, np.ascontiguousarray(mat[:, 1:])
     out = np.empty((height, width), dtype=np.uint8)
     prev = np.zeros(width, dtype=np.int32)
     for y in range(height):

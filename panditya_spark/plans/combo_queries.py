@@ -247,6 +247,15 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("lang", "s"), ("source", "s"), ("doc_id", "i"), ("rn", "i"),
         ("in_hash_sample", "i"),
     ],
+    # Round 5: substring-level (span) dedup coverage — pure integers.
+    "dedup_substring_coverage": [
+        ("doc", "i"), ("n_tokens", "i"), ("n_shared_grams", "i"),
+        ("covered_tokens", "i"),
+    ],
+    # Round 5: ORC sink+source round-trip — scale-2 lossless sums.
+    "s_orc_roundtrip": [
+        ("o_orderpriority", "s"), ("n_orders", "i"), ("total_price", "d"),
+    ],
 }
 
 _NULL = "∅"

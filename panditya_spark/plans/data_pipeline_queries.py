@@ -727,6 +727,55 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- substring-level (span) dedup
+# The token-SPAN rung of the dedup ladder (document > chunk > span):
+# per-doc coverage by k-token windows whose exact content also occurs
+# in another document — the statistic behind suffix-array
+# exact-substring dedup (operators/dedup.substring_coverage). The
+# oracle recomputes the interval-union arithmetic independently.
+@register(
+    "dedup_substring_coverage",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+            FROM w WHERE len(w) >= 8)
+    ),
+    shared AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    sp AS (
+      SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM shared)
+    ),
+    iv AS (
+      SELECT doc_id, pos,
+             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+      FROM sp
+    ),
+    cov AS (
+      SELECT doc_id, count(*) AS n_shared_grams,
+             sum(CASE WHEN np IS NULL THEN 8
+                      ELSE least(8, np - pos) END) AS covered_tokens
+      FROM iv GROUP BY doc_id
+    )
+    SELECT w.doc_id AS doc,
+           CAST(len(w.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+           CAST(coalesce(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens
+    FROM w LEFT JOIN cov ON cov.doc_id = w.doc_id
+    """,
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panditya_spark.operators.dedup import substring_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_coverage(docs, "text", "doc_id", k=8)
+
+
 # ------------------------------------------------- composed quality gate
 # The single-pass multi-criteria keep/drop decision a training pipeline
 # runs after individual scorers are trusted: word-count bounds, mean

@@ -215,6 +215,42 @@ def s9_gexf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+# ---------------------------------------------------------------- ORC
+@register(
+    "s_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip — columnar-format breadth next to
+    the parquet/CSV/JSON surfaces: write a slim orders projection
+    through Spark's native ORC writer, read it back with the ORC
+    reader, and aggregate. Values, types, and grouping must all
+    survive the format change for the (parquet-fed) oracle to
+    hash-match. ORC shares parquet's scan capabilities (column
+    pruning, predicate pushdown into the stripe reader), so the
+    engine's layout guidance transfers: a deployment standardized on
+    ORC loses nothing from this engine."""
+    out = os.path.join(_sink_dir("s_orc"), "orders")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("o_orderkey") % 4 == 0)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 # ------------------------------------------------- partitioned parquet layout
 _PARTITIONED_WRITTEN: set[str] = set()
 

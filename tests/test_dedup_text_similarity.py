@@ -661,3 +661,64 @@ def test_kmeans_recovers_planted(spark):
         mapping.setdefault(truth[vid], set()).add(cl)
     assert all(len(v) == 1 for v in mapping.values()), mapping
     assert len({next(iter(v)) for v in mapping.values()}) == 3
+
+
+# ------------------------------------------- substring-span coverage
+def test_substring_coverage_hand_values(spark):
+    """Interval-union arithmetic against hand-computed spans: doc a
+    and b share one 3-gram run of length 4 (two overlapping shared
+    grams), doc c is unrelated, doc d is too short for any gram."""
+    from panditya_spark.operators.dedup import substring_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z w common run here alpha"),
+            (2, "p q common run here r s"),
+            (3, "totally different words only here"),
+            (4, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc"]: (r["n_tokens"], r["n_shared_grams"], r["covered_tokens"])
+        for r in substring_coverage(df, "text", "doc_id", k=3).collect()
+    }
+    # Shared 3-grams: "common run here" appears in docs 1 and 2 (one
+    # position each) -> coverage 3 tokens in each.
+    assert got[1] == (8, 1, 3)
+    assert got[2] == (7, 1, 3)
+    assert got[3] == (5, 0, 0)
+    assert got[4] == (1, 0, 0)
+
+
+def test_substring_coverage_merges_overlapping_spans(spark):
+    """Overlapping shared windows must union, not double-count: two
+    identical docs share every gram — coverage equals n_tokens, not
+    n_grams * k."""
+    from panditya_spark.operators.dedup import substring_coverage
+
+    text = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc"]: (r["n_tokens"], r["n_shared_grams"], r["covered_tokens"])
+        for r in substring_coverage(df, "text", "doc_id", k=4).collect()
+    }
+    # 10 tokens, 7 windows of 4 -> union covers all 10 positions.
+    assert got[1] == (10, 7, 10)
+    assert got[2] == (10, 7, 10)
+
+
+def test_substring_coverage_within_doc_repeat_not_shared(spark):
+    """A span repeated WITHIN one doc only is not cross-document
+    duplication — the frequency is distinct-doc based."""
+    from panditya_spark.operators.dedup import substring_coverage
+
+    df = spark.createDataFrame(
+        [(1, "dup span here dup span here"), (2, "nothing in common at all")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc"]: r["covered_tokens"] for r in
+           substring_coverage(df, "text", "doc_id", k=3).collect()}
+    assert got == {1: 0, 2: 0}

@@ -278,3 +278,21 @@ def test_targeted_delete_noop_when_keys_absent(spark, tmp_path):
     n_rw, _ = targeted_delete(spark, layout, doomed, "uid")
     assert n_rw == 0
     assert sorted(os.listdir(layout)) == before
+
+
+# ------------------------------------------------------------- ORC format
+def test_orc_roundtrip_preserves_types_and_values(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orc")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", -0.25, False), (3, None, None, None)],
+        ["k", "s", "v", "flag"],
+    )
+    df.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
+    # Predicate pushdown reaches the ORC scan.
+    plan = back.filter(F.col("k") > 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "k" in plan
