@@ -439,3 +439,58 @@ def kmeans_assign(
     return assigned.select(
         F.col("kid").alias(id_col), F.col("list_id").alias("cluster")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", Abbas et
+    al. 2023): cluster the embedding space with the deterministic
+    k-means above, then compare pairs ONLY within a cluster — cosine
+    >= threshold marks a semantic duplicate of the smaller-id item
+    (the deterministic keeper convention of the exact/LSH dedup
+    family; like SemDeDup itself, cross-cluster near-dups are the
+    accepted recall loss that buys the quadratic reduction).
+
+    Scale shape: k-means bounds the pair join to Σ|cluster|² instead
+    of n² — with k ~ n/target_cluster_size the within-cluster
+    self-join is one shuffle on the cluster id and each task's pair
+    block fits in memory; identical vectors always share a cluster
+    (identical centroid distances, deterministic tie-break), so exact
+    duplicates are never missed.
+
+    Returns (id, cluster, is_dup) — is_dup = 1 when a smaller-id item
+    of the same cluster sits within the threshold."""
+    assigned = kmeans_assign(df, id_col, vec_col, n_clusters, max_iter)
+    v = df.select(
+        F.col(id_col).alias("sid"), _dbl(F.col(vec_col)).alias("svec")
+    )
+    a = assigned.select(F.col(id_col).alias("sid"), "cluster").join(v, "sid")
+    lhs = a.select(
+        "cluster", F.col("sid").alias("id1"), F.col("svec").alias("v1")
+    )
+    rhs = a.select(
+        "cluster", F.col("sid").alias("id2"), F.col("svec").alias("v2")
+    )
+    dup_ids = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(cosine(F.col("v1"), F.col("v2")) >= threshold)
+        .select(F.col("id2").alias("sid"))
+        .distinct()
+    )
+    return (
+        a.select("sid", "cluster")
+        .join(dup_ids.withColumn("_d", F.lit(1)), "sid", "left_outer")
+        .select(
+            F.col("sid").alias(id_col),
+            "cluster",
+            F.coalesce("_d", F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )

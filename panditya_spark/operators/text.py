@@ -512,3 +512,37 @@ def bigram_lm_score(
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.sum("nll") / F.count(F.lit(1))).alias("bits_per_token"),
     )
+
+
+def html_strip(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
+    """HTML/boilerplate stripping — the extraction step a web-scraped
+    corpus runs before any quality/dedup scoring: drop script/style
+    blocks wholesale, remove tags, unescape the five core entities,
+    collapse whitespace. Pure builtin regexp/replace chain — map-only,
+    whole-stage-codegen, RE2-and-Java-safe patterns (no backreferences:
+    script and style blocks use separate non-greedy patterns, because
+    RE2 — DuckDB's engine, hence the oracle's — has no \\1).
+
+    Returns (id, clean_text, n_tags) where n_tags counts removed tag
+    tokens — a cheap boilerplate-density signal (markup-heavy pages
+    gate out before expensive scoring)."""
+    h = F.col(html_col)
+    no_script = F.regexp_replace(
+        F.regexp_replace(h, r"(?is)<script[^>]*>.*?</script>", " "),
+        r"(?is)<style[^>]*>.*?</style>",
+        " ",
+    )
+    n_tags = F.size(F.regexp_extract_all(no_script, F.lit(r"<[^>]+>"), F.lit(0)))
+    no_tags = F.regexp_replace(no_script, r"<[^>]+>", " ")
+    unescaped = no_tags
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),  # &amp; LAST: "&amp;lt;" -> "&lt;"
+    ):
+        unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(unescaped, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_tags.cast("int").alias("n_tags"),
+    )

@@ -256,6 +256,10 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "s_orc_roundtrip": [
         ("o_orderpriority", "s"), ("n_orders", "i"), ("total_price", "d"),
     ],
+    # Round 5: HTML/boilerplate extraction — strings + tag counts.
+    "text_html_strip": [
+        ("doc_id", "i"), ("clean_text", "s"), ("n_tags", "i"),
+    ],
 }
 
 _NULL = "∅"

@@ -257,6 +257,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(queries, cands, k=10)
 
 
+# ------------------------------------------------------ HTML extraction
+# The documents table is plain text, so the query wraps each doc in a
+# deterministic HTML shell (boilerplate head with style+script blocks —
+# the script body even contains a bare '<' — plus entity-escaped
+# punctuation) and strips it back: the oracle recomputes the expected
+# clean text from the RAW text column, so tag removal, block removal,
+# entity unescaping, and whitespace collapse are all value-checked.
+@register(
+    "text_html_strip",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(text || ' & <tag> "q" ''s''',
+                               '\\s+', ' ', 'g')) AS clean_text,
+           CAST(10 AS INTEGER) AS n_tags
+    FROM documents
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><style>p {color: red}</style>'
+            '<script type="text/javascript">var x = 1 < 2;</script>'
+            '</head><body><div class="content"><p>'
+        ),
+        F.col("text"),
+        F.lit(" &amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;"
+              "</p></div></body></html>"),
+    )
+    return T.html_strip(
+        docs.select("doc_id", html.alias("html")), "html", "doc_id"
+    )
+
+
+# ------------------------------------------------------- semantic dedup
+@register("dedup_semantic")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (operators/similarity.semantic_dedup): deterministic k-means
+    clusters bound the pair comparison, cosine >= threshold within a
+    cluster flags the larger id as a duplicate. Threshold 0.35 for the
+    same reason as dedup_embedding_cosine (the synthetic embeddings
+    top out at cosine ≈ 0.48 — a classic 0.95 cut is vacuous at every
+    sf). Rows-only (cluster ids are a float-kmeans artifact); the
+    dedup semantics — planted exact duplicates always flagged,
+    smaller-id keeper convention, determinism — are pinned by
+    tests/test_dedup_text_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # max_iter=4: the dedup verdict needs a stable partition, not a
+    # converged clustering — flags depend on within-cluster pairs, and
+    # four Lloyd rounds already separate the synthetic label modes
+    # (the per-round cost is fixpoint-loop machinery, not data).
+    return S.semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=8, threshold=0.35, max_iter=4
+    )
+
+
 # ---------------------------------------------------------------- embedding near-dup pairs
 # Threshold 0.35: the synthetic embeddings top out at cosine ≈ 0.48, so
 # a classic 0.95 near-dup cut would be vacuously empty at every sf.

@@ -722,3 +722,76 @@ def test_substring_coverage_within_doc_repeat_not_shared(spark):
     got = {r["doc"]: r["covered_tokens"] for r in
            substring_coverage(df, "text", "doc_id", k=3).collect()}
     assert got == {1: 0, 2: 0}
+
+
+# --------------------------------------------------- semantic (SemDeDup)
+def test_semantic_dedup_threshold_semantics_single_cluster(spark):
+    """k=1 degenerates to all-pairs: pins the threshold + smaller-id
+    keeper convention exactly, independent of clustering recall."""
+    from panditya_spark.operators.similarity import semantic_dedup
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),     # exact dup of 1
+        (3, [0.999, 0.01, 0.0, 0.0]),  # near dup of 1
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.98, 0.05]),   # near dup of 5
+    ]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=1, threshold=0.97
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1}
+
+
+def test_semantic_dedup_exact_duplicates_always_co_cluster(spark):
+    """EXACT duplicates have identical centroid distances, so the
+    deterministic tie-break lands them in the same cluster — they are
+    flagged at any k (near-dups split across clusters are the
+    documented SemDeDup recall loss; exact ones never are)."""
+    from panditya_spark.operators.similarity import semantic_dedup
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),     # exact dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),     # exact dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    for k in (2, 3, 4):
+        got = {
+            r["vec_id"]: r["is_dup"]
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", n_clusters=k, threshold=0.97
+            ).collect()
+        }
+        assert got[2] == 1 and got[4] == 1, (k, got)
+        assert got[1] == 0 and got[3] == 0 and got[5] == 0 and got[6] == 0, (k, got)
+
+
+def test_semantic_dedup_deterministic(spark):
+    from panditya_spark.operators.similarity import semantic_dedup
+
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(
+        (r["vec_id"], r["cluster"], r["is_dup"])
+        for r in semantic_dedup(df, "vec_id", "embedding", 4, 0.8).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"], r["is_dup"])
+        for r in semantic_dedup(df, "vec_id", "embedding", 4, 0.8).collect()
+    )
+    assert a == b
+    assert len(a) == 60

@@ -359,3 +359,38 @@ def test_audio_features(spark):
         assert g.zero_crossings == int(
             np.sum(np.signbit(samples[1:]) != np.signbit(samples[:-1]))
         )
+
+
+# ---------------------------------------------------------------- html strip
+def test_html_strip_hand_values(spark):
+    from panditya_spark.operators.text import html_strip
+
+    df = spark.createDataFrame(
+        [
+            (1, '<html><body><p>Hello  <b>world</b></p>'
+                '<script>if (a < b) { x(); }</script>'
+                '<style>.x { color: red }</style>'
+                '&amp; &lt;raw&gt; &quot;q&quot; &#39;s&#39;</body></html>'),
+            (2, "no markup at   all"),
+            (3, ""),
+        ],
+        ["doc_id", "html"],
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tags"])
+        for r in html_strip(df, "html", "doc_id").collect()
+    }
+    # Tags outside script/style: html, body, p, b, /b, /p, /body, /html = 8.
+    assert got[1] == ("Hello world & <raw> \"q\" 's'", 8)
+    assert got[2] == ("no markup at all", 0)
+    assert got[3] == ("", 0)
+
+
+def test_html_strip_double_escaped_entities(spark):
+    """&amp;lt; must become &lt; (one unescape level), not < —
+    the &amp; rule runs last."""
+    from panditya_spark.operators.text import html_strip
+
+    df = spark.createDataFrame([(1, "a &amp;lt;b&amp;gt; c")], ["doc_id", "html"])
+    row = html_strip(df, "html", "doc_id").first()
+    assert row["clean_text"] == "a &lt;b&gt; c"
