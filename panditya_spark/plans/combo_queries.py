@@ -260,6 +260,12 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "text_html_strip": [
         ("doc_id", "i"), ("clean_text", "s"), ("n_tags", "i"),
     ],
+    # Round 5: the BUILTIN session_window streaming run — epoch-micros
+    # BIGINT timestamps (stream_record_high convention), pure ints.
+    "stream_session_window_native": [
+        ("user_id", "s"), ("n_events", "i"), ("session_start_us", "i"),
+        ("session_end_us", "i"),
+    ],
 }
 
 _NULL = "∅"

@@ -278,6 +278,83 @@ def stream_sessionize_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_window_native",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           CAST(count(*) AS INTEGER) AS n_events,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window aggregation driven as a real
+    availableNow micro-batch run — the builtin-first counterpart of
+    the custom applyInPandasWithState sessionizer, value-checked
+    against the SAME gaps-and-islands oracle (so builtin, custom
+    stateful, and batch-window formulations are pinned to one
+    semantics). The sentinel files advance the watermark past every
+    real session's end, closing all real windows in append mode.
+
+    Boundary note: the builtin MERGES an event arriving exactly gap
+    after the previous one (adjacent windows coalesce — measured, and
+    pinned by test_native_session_window_gap_boundary_semantics),
+    matching the gaps-and-islands strictly-greater-than break, so the
+    shared oracle is exact even at the boundary.
+    Timestamps surface as epoch-micros BIGINTs (the stream_record_high
+    convention — no timestamp-string formatting divergence); the
+    native window end is last-event + gap, so session_end is
+    window.end − gap."""
+    from panditya_spark.streaming.windows import (
+        SENTINEL_USERS,
+        read_sessionize_stream,
+        run_stream_to_memory,
+    )
+
+    _MICROBATCH_SEQ[0] += 1
+    stream = read_sessionize_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"), "ts"
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(
+                F.col("session_window.end") - F.expr("INTERVAL 30 MINUTES")
+            ).alias("session_end_us"),
+        )
+    )
+    out = run_stream_to_memory(
+        agg,
+        f"stream_session_window_native_{_MICROBATCH_SEQ[0]}",
+        mode="append",
+    )
+    return out.filter(
+        ~F.col("user_id").isin([str(u) for u in SENTINEL_USERS])
+    )
+
+
+@register(
     "stream_attribution_join",
     oracle="""
     SELECT v.user_id AS user_id,

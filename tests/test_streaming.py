@@ -281,3 +281,33 @@ def test_analytic_windows_use_rows_frames(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "RowFrame" in plan, name
         assert "RangeFrame" not in plan, name
+
+
+def test_native_session_window_gap_boundary_semantics(spark):
+    """The builtin session_window MERGES an event arriving exactly gap
+    after the previous one (adjacent windows coalesce), matching the
+    gaps-and-islands twin's strictly-greater-than break — measured
+    here so the exact-boundary agreement is pinned, not assumed."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from panditya_spark.streaming.windows import sessionize_batch
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows_in = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(minutes=30)),          # exactly gap
+        (1, t0 + datetime.timedelta(minutes=90)),          # > gap: new
+    ]
+    df = spark.createDataFrame(rows_in, ["user_id", "ts"])
+
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    batch = sessionize_batch(df, gap_minutes=30).collect()
+    # BOTH definitions keep the exact-gap event in the first session.
+    assert sorted(r["n"] for r in native) == [1, 2]
+    assert sorted(r["n_events"] for r in batch) == [1, 2]
