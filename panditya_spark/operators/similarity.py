@@ -494,3 +494,185 @@ def semantic_dedup(
             F.coalesce("_d", F.lit(0)).cast("int").alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------- PQ ANN
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook: split the dimension into
+    m subspaces and run Lloyd k-means per subspace on a DETERMINISTIC
+    hash-ordered sample. The codebook (m × n_codes × dim/m floats) is
+    a model artifact, like the IVF centroids — at 100 TB PQ codebooks
+    are universally trained on a driver-sized subsample (the byte
+    codes, not the training, are the scale path), so the collect here
+    is bounded by `sample`, never the corpus."""
+    import numpy as np
+
+    rows = (
+        df.select(_dbl(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    codebook: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        # DISTINCT-row init: duplicate initial centroids can never
+        # split apart under Lloyd (ties assign to the first), which
+        # would leave covered-but-distinct subvectors unquantizable —
+        # with n_codes >= distinct subvectors, distinct init makes the
+        # quantization exactly lossless (pinned by pytest).
+        seen: set = set()
+        init = []
+        for r in S:
+            t = tuple(r)
+            if t not in seen:
+                seen.add(t)
+                init.append(r)
+            if len(init) == n_codes:
+                break
+        C = np.array(init)
+        if len(C) < n_codes:  # fewer distinct values than codes: pad
+            C = np.concatenate([C] * ((n_codes // len(C)) + 1))[:n_codes]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(n_codes):
+                pts = S[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        codebook.append(C.tolist())
+    return codebook
+
+
+def _sq_l2_const(v: Column, const_vec: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in const_vec])
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebook: list
+) -> DataFrame:
+    """Encode vectors to PQ codes — per subspace, the argmin-distance
+    code index. Arrow-batched pandas UDF: one numpy distance matrix +
+    argmin per subspace per batch. Same justification as
+    sign_sketch_udf above — the column-expression formulation unrolls
+    m × n_codes aggregate lambdas and spends longer in whole-stage
+    codegen than the whole job; the matmul is the vectorized fast
+    path. Map-only, zero shuffle: a 100 TB embedding table streams
+    through scan→project once and lands as m small ints per vector
+    (~32x compression for 64-dim float32 at m=8). Ties take the first
+    code (numpy argmin), matching the ADC LUT convention. Returns
+    (id, codes array<int>)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.asarray(cj, dtype=np.float64) for cj in codebook]
+    m = len(C)
+    sub = C[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.empty((len(M), m), dtype=np.int32)
+        for j in range(m):
+            S = M[:, j * sub : (j + 1) * sub]
+            d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes_df: DataFrame,
+    codebook: list,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    c_id: str = "cid",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a
+    lookup table LUT[j][code] = dot(query_subvector, centroid) is
+    baked into the plan as array literals, so the scan computes the
+    approximate cosine with m element_at lookups + a sum — no
+    decompression, no vector column read at all. The query batch is
+    driver-collected (query sets are small by definition — the same
+    contract as brute_force_topk's broadcast); candidates stream
+    map-only into a per-query TakeOrdered k.
+
+    Approximate cosine = Σ_j dot(q_j, c_code_j) /
+    (|q| · sqrt(Σ_j |c_code_j|²)) — both numerator and reconstruction
+    norm are LUT lookups. Returns (qid, cid, approx_cos, rank)."""
+    import math
+
+    m = len(codebook)
+    # Query-independent reconstruction-norm table.
+    nrm_lut = [
+        [sum(x * x for x in cvec) for cvec in codebook[j]] for j in range(m)
+    ]
+    out = None
+    for row in queries.select(
+        F.col(q_id).alias("q"), _dbl(F.col(q_vec)).alias("v")
+    ).collect():
+        qv = row["v"]
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+        sub = len(codebook[0][0])
+        dot_lut = [
+            [
+                sum(qv[j * sub + t] * codebook[j][c][t] for t in range(sub))
+                for c in range(len(codebook[j]))
+            ]
+            for j in range(m)
+        ]
+        codes = F.col("codes")
+        dot_terms = [
+            F.element_at(
+                F.array(*[F.lit(float(x)) for x in dot_lut[j]]),
+                F.element_at(codes, j + 1) + 1,
+            )
+            for j in range(m)
+        ]
+        nrm_terms = [
+            F.element_at(
+                F.array(*[F.lit(float(x)) for x in nrm_lut[j]]),
+                F.element_at(codes, j + 1) + 1,
+            )
+            for j in range(m)
+        ]
+        num = sum(dot_terms[1:], dot_terms[0])
+        rec = sum(nrm_terms[1:], nrm_terms[0])
+        scored = (
+            codes_df.filter(F.col(c_id) != F.lit(row["q"]))  # no self-match
+            .select(
+                F.lit(row["q"]).alias("qid"),
+                F.col(c_id).alias("cid"),
+                (num / (F.lit(qn) * F.sqrt(rec))).alias("approx_cos"),
+            )
+            .orderBy(F.desc("approx_cos"), F.asc("cid"))
+            .limit(k)
+        )
+        out = scored if out is None else out.unionByName(scored)
+    from pyspark.sql.window import Window as _W
+
+    return out.withColumn(
+        "rank",
+        F.row_number().over(
+            _W.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("cid"))
+        ),
+    )

@@ -291,6 +291,26 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- ANN: PQ (rows-only)
+@register("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_*): codebooks
+    trained on a deterministic driver-side sample, vectors encoded to
+    m one-byte codes in a map-only pass (the 100 TB path: the
+    compressed code table is ~32x smaller than float32 vectors and the
+    ADC scan never touches the vector column), queries answered by
+    LUT-sum asymmetric distance + TakeOrdered. Rows-only (float
+    centroid artifacts); recall and the lossless-quantization property
+    are pinned by tests/test_dedup_text_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = S.pq_train(emb, "embedding", m=8, n_codes=16, iters=4)
+    codes = S.pq_encode(emb, "vec_id", "embedding", cb)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.pq_topk(queries, codes, cb, c_id="vec_id", k=10)
+
+
 # ------------------------------------------------------- semantic dedup
 @register("dedup_semantic")
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

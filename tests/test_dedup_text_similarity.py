@@ -795,3 +795,85 @@ def test_semantic_dedup_deterministic(spark):
     )
     assert a == b
     assert len(a) == 60
+
+
+# ----------------------------------------------------------------- PQ ANN
+def test_pq_exact_when_codebook_covers_subvectors(spark):
+    """With n_codes >= distinct subvectors the quantization is
+    lossless, so ADC ranking equals exact cosine ranking."""
+    from panditya_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    import random
+
+    rnd = random.Random(5)
+    # 8 distinct 2-dim subvector values, 4-dim vectors (m=2).
+    vals = [[rnd.uniform(-1, 1) for _ in range(2)] for _ in range(8)]
+    rows_in = [
+        (i, vals[rnd.randrange(8)] + vals[rnd.randrange(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows_in, ["vec_id", "embedding"])
+    cb = pq_train(df, "embedding", m=2, n_codes=8, iters=8, sample=40)
+    codes = pq_encode(df, "vec_id", "embedding", cb)
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    approx = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in pq_topk(q, codes, cb, c_id="vec_id", k=5).collect()
+    }
+    cands = df.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    exact = {
+        (r["qid"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(q, cands, k=5).collect()
+    }
+    # Lossless quantization can still permute ties; compare top-5 SETS
+    # per query.
+    for qid in (0, 1):
+        a = {approx[(qid, r)] for r in range(1, 6)}
+        e = {exact[(qid, r)] for r in range(1, 6)}
+        assert a == e, (qid, a, e)
+
+
+def test_pq_recall_on_random_vectors(spark):
+    from panditya_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    import random
+
+    rnd = random.Random(17)
+    rows_in = [
+        (i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows_in, ["vec_id", "embedding"])
+    cb = pq_train(df, "embedding", m=4, n_codes=32, iters=6, sample=200)
+    codes = pq_encode(df, "vec_id", "embedding", cb)
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands = df.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    approx = pq_topk(q, codes, cb, c_id="vec_id", k=10).collect()
+    exact = brute_force_topk(q, cands, k=10).collect()
+    by_q_a: dict[int, set] = {}
+    by_q_e: dict[int, set] = {}
+    for r in approx:
+        by_q_a.setdefault(r["qid"], set()).add(r["cid"])
+    for r in exact:
+        by_q_e.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(by_q_a[q0] & by_q_e[q0]) / 10 for q0 in by_q_e
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
