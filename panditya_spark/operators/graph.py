@@ -1772,3 +1772,77 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     )
     state.finish()
     return out
+
+
+# ------------------------------------------------------------ G18 (ext)
+def weighted_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    weight_col: str = "weight",
+    max_iter: int = 128,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths by frontier-driven
+    relaxation — the Bellman-Ford family shaped like the other
+    iterative operators here (Δ-messaging BFS/CC): per round, ONLY the
+    improved frontier joins the edge table, candidate distances
+    min-aggregate per target, and a node re-enters the frontier only
+    when its distance strictly improved. Fixpoint when a round
+    improves nothing; negative weights are rejected up front (the
+    relaxation fixpoint is only shortest-paths under non-negative
+    weights on cyclic graphs).
+
+    Scale shape: each round is one equi-join on src (the edge table
+    keeps a stable hash partitioning a cluster reuses across rounds)
+    plus one map-side-combinable min aggregate; the frontier SHRINKS
+    toward convergence so late rounds cost the frontier, not the
+    graph. Lineage/stats reset on the shared parquet-spill cadence.
+    Exhaustion without fixpoint raises (kcore/ktruss convention).
+
+    Returns (node, dist) for every node reachable from the seed set,
+    seeds at dist 0. Integer weights give exact integer distances.
+    """
+    e = edges.select(
+        F.col("src"), F.col("dst"), F.col(weight_col).alias("w")
+    )
+    if e.filter(F.col("w") < 0).limit(1).count():
+        raise ValueError("weighted_sssp requires non-negative weights")
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.lit(0).cast("bigint").alias("dist")
+    ).distinct()
+    state = _LoopState()
+    (dist,) = state.round_end(dist)
+    frontier = dist
+    converged = False
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        merged = dist.join(cand, "node", "full_outer").select(
+            "node",
+            F.least(F.col("dist"), F.col("cand")).alias("best"),
+            F.coalesce("dist", F.col("cand")).alias("old_or_new"),
+            (
+                F.col("dist").isNull()
+                | (F.col("cand") < F.col("dist"))
+            ).alias("improved"),
+        ).select(
+            "node",
+            F.coalesce("best", "old_or_new").alias("dist"),
+            "improved",
+        )
+        dist_next = merged.select("node", "dist")
+        frontier_next = merged.filter(F.col("improved")).select("node", "dist")
+        dist, frontier = state.round_end(dist_next, frontier_next)
+        if frontier.limit(1).count() == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"weighted_sssp: no fixpoint after {max_iter} rounds "
+            "(negative cycle impossible; raise max_iter)"
+        )
+    out = _checkpoint(dist)
+    state.finish()
+    return out

@@ -266,6 +266,9 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("user_id", "s"), ("n_events", "i"), ("session_start_us", "i"),
         ("session_end_us", "i"),
     ],
+    # Round 5: weighted SSSP over the doubling DAG — exact integer
+    # distances.
+    "g18_weighted_sssp": [("node", "s"), ("dist", "i")],
 }
 
 _NULL = "∅"

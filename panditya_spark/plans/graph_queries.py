@@ -462,3 +462,51 @@ def g17_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     e = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return ktruss(e, k=10).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------- G18 (ext)
+@register(
+    "g18_weighted_sssp",
+    oracle="""
+    WITH RECURSIVE
+    dag AS (
+      SELECT 'K' || CAST(o1.o_orderkey AS VARCHAR) AS src,
+             'K' || CAST(o1.o_orderkey * 2 AS VARCHAR) AS dst,
+             1 + o1.o_orderkey % 3 AS w
+      FROM orders o1 JOIN orders o2 ON o2.o_orderkey = o1.o_orderkey * 2
+      WHERE o1.o_orderkey > 0
+    ),
+    seeds AS (
+      SELECT DISTINCT src AS node FROM dag
+      WHERE src NOT IN (SELECT dst FROM dag)
+    ),
+    walk(node, d) AS (
+      SELECT node, CAST(0 AS BIGINT) FROM seeds
+      UNION ALL
+      SELECT e.dst, w.d + e.w FROM walk w JOIN dag e ON e.src = w.node
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+    """,
+)
+def g18_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/graph.weighted_sssp) over
+    the same doubling-chain DAG as g10, with deterministic integer
+    edge weights (1 + key % 3) and the chain heads as the seed set —
+    multi-hop relaxation with EXACT integer distances, value-checked
+    against a recursive-CTE walk oracle (unique paths on this DAG keep
+    the walk linear). The operator itself handles general cyclic
+    non-negative graphs; cycle semantics are pinned by
+    tests/test_graph.py::test_weighted_sssp_* against a Dijkstra
+    reference."""
+    from panditya_spark.operators.graph import weighted_sssp
+
+    o = _t(spark, sf_dir, "orders")
+    o1 = o.select("o_orderkey").filter(F.col("o_orderkey") > 0)
+    o2 = o.select(F.col("o_orderkey").alias("k2"))
+    dag = o1.join(o2, o1["o_orderkey"] * 2 == o2["k2"]).select(
+        F.concat(F.lit("K"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("K"), (F.col("o_orderkey") * 2).cast("string")).alias("dst"),
+        (1 + F.col("o_orderkey") % 3).alias("weight"),
+    )
+    heads = dag.select("src").subtract(dag.select(F.col("dst").alias("src")))
+    return weighted_sssp(dag, heads.select(F.col("src").alias("node")))

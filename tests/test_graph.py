@@ -569,3 +569,65 @@ def test_ktruss_raises_on_exhausted_nonfixpoint(spark):
     got = ktruss(df, k=4, max_iter=32)
     assert got.count() == 0  # strip has no 4-truss
     assert {r["support"] >= 1 for r in ktruss(df, k=3, max_iter=32).collect()} <= {True}
+
+
+# ------------------------------------------------------------- G18 sssp
+def _dijkstra(edges, seeds):
+    import heapq
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {s: 0 for s in seeds}
+    pq = [(0, s) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_weighted_sssp_matches_dijkstra_with_cycles(spark):
+    from panditya_spark.operators.graph import weighted_sssp
+
+    edges = [
+        ("a", "b", 4), ("a", "c", 1), ("c", "b", 1),   # shortcut beats direct
+        ("b", "d", 2), ("d", "a", 1),                  # cycle back to a
+        ("c", "e", 10), ("b", "e", 3),
+        ("x", "y", 2),                                 # unreachable island
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["dist"] for r in weighted_sssp(df, seeds).collect()
+    }
+    assert got == _dijkstra(edges, ["a"])
+    assert got["b"] == 2 and got["e"] == 5  # via the c shortcut
+    assert "x" not in got and "y" not in got
+
+
+def test_weighted_sssp_multi_seed_and_zero_weight(spark):
+    from panditya_spark.operators.graph import weighted_sssp
+
+    edges = [("s1", "m", 5), ("s2", "m", 1), ("m", "t", 0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    seeds = spark.createDataFrame([("s1",), ("s2",)], ["node"])
+    got = {r["node"]: r["dist"] for r in weighted_sssp(df, seeds).collect()}
+    assert got == {"s1": 0, "s2": 0, "m": 1, "t": 1}
+
+
+def test_weighted_sssp_rejects_negative_weights(spark):
+    import pytest
+
+    from panditya_spark.operators.graph import weighted_sssp
+
+    df = spark.createDataFrame([("a", "b", -1)], ["src", "dst", "weight"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_sssp(df, seeds)
