@@ -269,6 +269,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # Round 5: weighted SSSP over the doubling DAG — exact integer
     # distances.
     "g18_weighted_sssp": [("node", "s"), ("dist", "i")],
+    # Round 5: quarantine ingest — the NULL bad-side sum hits the ∅
+    # sentinel, so the null itself is value-checked.
+    "s_quarantine_read": [
+        ("bucket", "s"), ("n_rows", "i"), ("total_price", "d"),
+    ],
 }
 
 _NULL = "∅"

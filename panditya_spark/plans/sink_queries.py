@@ -251,6 +251,59 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- quarantine ingest
+@register(
+    "s_quarantine_read",
+    oracle="""
+    SELECT 'good' AS bucket,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT 'bad', count(*), CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def s_quarantine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforced ingest with bad-record quarantine
+    (sources/loaders.read_json_with_quarantine): serialize orders to
+    JSONL with every 7th line deterministically corrupted (truncated
+    JSON), read it back in PERMISSIVE mode with a corrupt-record
+    column, and aggregate both splits. The oracle recomputes good/bad
+    row counts and the good-side price sum from the source table — a
+    reader that silently dropped bad lines (DROPMALFORMED) or
+    mis-routed a good line would hash-mismatch."""
+    out = os.path.join(_sink_dir("s_quarantine"), "orders_jsonl")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    line = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        # Truncated record: unparseable, lands in the corrupt column.
+        F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey").cast("string")),
+    ).otherwise(
+        F.to_json(F.struct("o_orderkey", "o_totalprice"))
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+    from panditya_spark.sources.loaders import read_json_with_quarantine
+
+    good, bad = read_json_with_quarantine(
+        spark, out, "o_orderkey bigint, o_totalprice double"
+    )
+    g = good.agg(
+        F.lit("good").alias("bucket"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    b = bad.agg(
+        F.lit("bad").alias("bucket"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("total_price"),
+    )
+    return g.unionByName(b)
+
+
 # ------------------------------------------------- partitioned parquet layout
 _PARTITIONED_WRITTEN: set[str] = set()
 

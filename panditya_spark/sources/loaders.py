@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = [
     "region",
@@ -97,3 +98,35 @@ def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
         .option("escape", '"')
         .csv(path)
     )
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced JSON ingestion with bad-record QUARANTINE — the
+    ingest pattern a production pipeline needs before anything else
+    touches the data: PERMISSIVE mode routes unparseable lines into
+    the corrupt-record column instead of failing the job (or silently
+    dropping rows, DROPMALFORMED's failure mode). Returns (good, bad):
+    good rows with the declared schema, bad rows as (raw_line) for a
+    quarantine sink + replay.
+
+    The corrupt column must be declared IN the read schema (Spark
+    populates it only when asked), and a plan over the RAW relation
+    that references only the corrupt column is rejected by Spark
+    (SPARK-21610) — the parsed frame is cached first, the documented
+    workaround, which also makes the two splits share one parse.
+    """
+    full_schema = schema + ", _corrupt string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_line")
+    )
+    return good, bad

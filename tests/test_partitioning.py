@@ -296,3 +296,27 @@ def test_orc_roundtrip_preserves_types_and_values(spark, tmp_path):
     # Predicate pushdown reaches the ORC scan.
     plan = back.filter(F.col("k") > 1)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "k" in plan
+
+
+# -------------------------------------------------------- quarantine read
+def test_quarantine_read_routes_bad_lines(spark, tmp_path):
+    from panditya_spark.sources.loaders import read_json_with_quarantine
+
+    p = str(tmp_path / "in")
+    lines = [
+        '{"k": 1, "v": 1.5}',
+        '{"k": 2, "v": ',          # truncated
+        'not json at all',
+        '{"k": 3, "v": -2.0}',
+        '{"k": "wrongtype", "v": 1.0}',  # type mismatch -> corrupt
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    df.coalesce(1).write.text(p)
+    good, bad = read_json_with_quarantine(spark, p, "k bigint, v double")
+    g = sorted((r["k"], r["v"]) for r in good.collect())
+    assert g == [(1, 1.5), (3, -2.0)]
+    raws = sorted(r["raw_line"] for r in bad.collect())
+    assert len(raws) == 3
+    assert 'not json at all' in raws
+    # The raw line is preserved verbatim for replay.
+    assert '{"k": 2, "v": ' in raws
