@@ -499,6 +499,43 @@ CHECKS = [
              r"ReadSchema: struct<doc_id:bigint,text:string"),
         ],
     ),
+    # ---- round-5 operator shapes.
+    (
+        "text_html_strip",
+        [
+            ("regexp chain is map-only (no Exchange)", ("absent", ["Exchange"])),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+            ("whole-stage codegen active", r"codegen id : \d"),
+        ],
+    ),
+    (
+        "dedup_substring_coverage",
+        [
+            ("gram frequency partial-aggregated before shuffle", r"partial"),
+            ("no cartesian/nested-loop join (linear in occurrences)",
+             ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
+        "s_orc_roundtrip",
+        [
+            ("aggregate partial before shuffle", r"partial"),
+            ("ORC scan prunes to the 3 needed columns",
+             r"ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string,o_totalprice:double"),
+        ],
+    ),
+    (
+        "s_quarantine_read",
+        [
+            # Both splits must read the SAME cached parse, not re-parse
+            # the JSON twice (SPARK-21610 workaround doubles as a
+            # single-parse guarantee).
+            ("good and bad splits share one cached parse",
+             r"InMemoryTableScan"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
 ]
 
 
