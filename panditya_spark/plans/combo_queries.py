@@ -274,6 +274,18 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "s_quarantine_read": [
         ("bucket", "s"), ("n_rows", "i"), ("total_price", "d"),
     ],
+    # Round 5: CUBE cross-classification — same lossless casts as its
+    # ROLLUP sibling (NULL grouping levels hit the ∅ sentinel).
+    "a_cube_day_type": [
+        ("day", "s"), ("event_type", "s"), ("gid", "i"), ("n_events", "i"),
+        ("total_value", "f4"),
+    ],
+    # Round 5: stream-static enrichment join — ints + scale-4-lossless
+    # decimal sums (same class as the tumbling twins).
+    "stream_static_dim_join": [
+        ("nationkey", "i"), ("event_type", "s"), ("n_events", "i"),
+        ("total_value", "f4"),
+    ],
 }
 
 _NULL = "∅"

@@ -772,6 +772,36 @@ def a_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("day", "event_type", "gid", "n_events", "total_value")
 
 
+# ---------------------------------------------------------------- cube
+# The full cross-classification complement to the rollup: all FOUR
+# grouping sets of (day, event_type) — per-cell, per-day, per-type, and
+# grand total — still ONE scan and ONE shuffle (Spark expands grouping
+# sets map-side exactly as for ROLLUP; the type-only marginal that
+# ROLLUP omits comes free in the same exchange).
+@register(
+    "a_cube_day_type",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           event_type,
+           CAST(GROUPING(CAST(ts AS DATE)) * 2 + GROUPING(event_type) AS BIGINT)
+             AS gid,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE(1, 2)
+    """,
+)
+def a_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.cube(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    ).select("day", "event_type", "gid", "n_events", "total_value")
+
+
 # ---------------------------------------------------------------- pivot
 # Long→wide pivot over the events log: one row per day, one count
 # column per event type. Spark's pivot() with an EXPLICIT value list

@@ -93,6 +93,52 @@ def stream_tumbling_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_dim_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           e.event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–STATIC join, the canonical streaming-enrichment shape: a
+    streaming fact (events) joined per micro-batch against a static
+    dimension (customer → nation), then a stateful aggregate — the
+    pattern behind every 'enrich the firehose with reference data'
+    pipeline. The dimension is a plain batch DataFrame; Spark
+    broadcasts it into each micro-batch's join (stateless — only the
+    aggregate holds state), so dimension size never enters the state
+    store. Driven to completion with availableNow; the batch-join
+    oracle verifies the result exactly."""
+    from panditya_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("nationkey", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    _MICROBATCH_SEQ[0] += 1
+    return run_stream_to_memory(
+        agg,
+        f"stream_static_dim_join_{_MICROBATCH_SEQ[0]}",
+        mode="complete",
+    )
+
+
+@register(
     "stream_dedup_microbatch",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
