@@ -1846,3 +1846,39 @@ def weighted_sssp(
     out = _checkpoint(dist)
     state.finish()
     return out
+
+
+# ------------------------------------------------------------ G19 (ext)
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node LOCAL clustering coefficient pieces: triangles through
+    the node and wedges centered on it (deg·(deg−1)/2) — the standard
+    cohesion metric C(v) = 2·tri / (deg·(deg−1)). Both components are
+    returned as EXACT integers (the coefficient itself is their ratio,
+    left to the caller) so the result is engine-exact and
+    oracle-checkable — the same reason k-core returns degrees rather
+    than normalized scores.
+
+    Scale shape: triangle credit reuses the ordered two-equi-join plan
+    of triangle_counts; undirected degree is one map-side-combinable
+    aggregate; the two join on node. Returns
+    (node, n_triangles, n_wedges) over all nodes with degree >= 1
+    (zero-triangle nodes included with n_triangles 0)."""
+    und = undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.join(tri, "node", "left_outer")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            (F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias(
+                "n_wedges"
+            ),
+        )
+    )

@@ -130,3 +130,54 @@ def time_decayed_agg(
         F.max(F.col(ts_col)).alias("last_ts"),
         (F.sum(v * w) / F.sum(w)).alias("decayed_score"),
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    window_rows: int = 24,
+    threshold: float = 3.0,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Rolling z-score anomaly detection per series — the monitoring
+    primitive of a metrics pipeline: each point is scored against the
+    mean/stddev of the PRECEDING `window_rows` points (strictly
+    trailing ROWS frame — the current point never contaminates its own
+    baseline, and ROWS not RANGE so same-timestamp peers don't merge;
+    see the sessionize ROWS-frame bug class). A point is anomalous
+    when |value − mean| > threshold · stddev with a full baseline
+    window (early points with fewer than window_rows predecessors are
+    never flagged — an unstable stddev over 2 points flags half the
+    stream).
+
+    ONE analytic window per series key = one shuffle on the key;
+    map-only before and after. Returns (key, time, value, baseline_n,
+    is_anomaly) with is_anomaly an INTEGER (engine-exact; the float z
+    itself stays internal)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(time_col)] + [
+        F.col(c) for c in (order_tiebreak or [])
+    ]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    mean = F.avg(F.col(value_col)).over(w)
+    sd = F.stddev_samp(F.col(value_col)).over(w)
+    n = F.count(F.lit(1)).over(w)
+    flag = (
+        (n >= window_rows)
+        & sd.isNotNull()
+        & (F.abs(F.col(value_col) - mean) > F.lit(threshold) * sd)
+    )
+    return df.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.col(value_col),
+        n.cast("bigint").alias("baseline_n"),
+        flag.cast("int").alias("is_anomaly"),
+    )

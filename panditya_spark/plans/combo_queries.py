@@ -286,6 +286,16 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("nationkey", "i"), ("event_type", "s"), ("n_events", "i"),
         ("total_value", "f4"),
     ],
+    # Round 5: local clustering-coefficient components — exact ints.
+    "g19_clustering_coeff": [
+        ("node", "i"), ("n_triangles", "i"), ("n_wedges", "i"),
+    ],
+    # Round 5: rolling z-score anomaly flags — epoch-micros BIGINTs +
+    # raw 2-decimal values + integer flags.
+    "ts_rolling_zscore": [
+        ("event_type", "s"), ("ts_us", "i"), ("value", "d"),
+        ("baseline_n", "i"), ("is_anomaly", "i"),
+    ],
 }
 
 _NULL = "∅"

@@ -510,3 +510,48 @@ def g18_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     heads = dag.select("src").subtract(dag.select(F.col("dst").alias("src")))
     return weighted_sssp(dag, heads.select(F.col("src").alias("node")))
+
+
+# ---------------------------------------------------------------- G19 (ext)
+@register(
+    "g19_clustering_coeff",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lp x JOIN lp y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+    ),
+    tn AS (
+      SELECT node, count(*) AS n_triangles
+      FROM (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY node
+    )
+    SELECT deg.node,
+           CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS n_wedges
+    FROM deg LEFT JOIN tn ON tn.node = deg.node
+    """,
+)
+def g19_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering-coefficient components over the part
+    co-purchase graph (operators/graph.clustering_coefficients):
+    exact integer (triangles, wedges) per node — C(v) is their ratio.
+    Value-checked every round through the combo slot."""
+    from panditya_spark.operators.graph import clustering_coefficients
+
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return clustering_coefficients(e)

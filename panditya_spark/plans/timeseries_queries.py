@@ -101,3 +101,51 @@ def ts_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return time_decayed_agg(ev, "user_id", "ts", "value", 24.0)
+
+
+@register(
+    "ts_rolling_zscore",
+    oracle="""
+    WITH scored AS (
+      SELECT event_type, ts, event_id, value,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, epoch_us(ts) AS ts_us, value,
+           CAST(n AS BIGINT) AS baseline_n,
+           CAST(n >= 24 AND sd IS NOT NULL
+                AND abs(value - m) > 3.0 * sd AS INTEGER) AS is_anomaly
+    FROM scored
+    """,
+)
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags per event-type series
+    (operators/timeseries.rolling_zscore_anomalies): strictly-trailing
+    24-row baseline, |v − mean| > 3σ, integer flags. ONE analytic
+    window = one shuffle per series key; the oracle replays the same
+    ROWS frame. event_id breaks same-timestamp ordering ties so both
+    engines walk the identical sequence; timestamps surface as
+    epoch-micros BIGINTs (the stream_record_high convention)."""
+    from panditya_spark.operators.timeseries import rolling_zscore_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_zscore_anomalies(
+        ev,
+        key_col="event_type",
+        time_col="ts",
+        value_col="value",
+        window_rows=24,
+        threshold=3.0,
+        order_tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        "baseline_n",
+        "is_anomaly",
+    )

@@ -631,3 +631,25 @@ def test_weighted_sssp_rejects_negative_weights(spark):
     seeds = spark.createDataFrame([("a",)], ["node"])
     with pytest.raises(ValueError, match="non-negative"):
         weighted_sssp(df, seeds)
+
+
+# -------------------------------------------------- G19 clustering coeff
+def test_clustering_coefficients_hand_values(spark):
+    from panditya_spark.operators.graph import clustering_coefficients
+
+    # K4 minus edge (c,d) plus pendant e on a: by hand —
+    # a: deg 4 (b,c,d,e) -> 6 wedges, 2 triangles (abc, abd);
+    # b: deg 3 -> 3 wedges, 2 triangles; c,d: deg 2 -> 1 wedge,
+    # 1 triangle; e: deg 1 -> 0 wedges.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("a", "e"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["n_triangles"], r["n_wedges"])
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got == {
+        "a": (2, 6), "b": (2, 3), "c": (1, 1), "d": (1, 1), "e": (0, 0),
+    }

@@ -302,3 +302,34 @@ def test_text_operators_on_degenerate_documents(spark):
         for c in ("dup_2gram_frac", "dup_3gram_frac"):
             assert r[c] is not None and 0.0 <= r[c] <= 1.0, (r["doc_id"], c)
         assert r["keep"] in (0, 1)
+
+
+# ------------------------------------------------------ rolling z-score
+def test_rolling_zscore_hand_values(spark):
+    """A flat baseline then a spike: the spike is flagged only once
+    the trailing window is FULL; the spike never contaminates its own
+    baseline (strictly trailing frame)."""
+    import datetime
+
+    from panditya_spark.operators.timeseries import rolling_zscore_anomalies
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows_in = []
+    # 6 near-flat points then a huge spike, then one normal point.
+    vals = [10.0, 10.1, 9.9, 10.0, 10.2, 9.8, 100.0, 10.0]
+    for i, v in enumerate(vals):
+        rows_in.append(("a", t0 + datetime.timedelta(hours=i), i, v))
+    df = spark.createDataFrame(rows_in, ["k", "ts", "event_id", "value"])
+    out = rolling_zscore_anomalies(
+        df, "k", "ts", "value", window_rows=6, threshold=3.0,
+        order_tiebreak=["event_id"],
+    ).orderBy("ts").collect()
+    flags = [(r["baseline_n"], r["is_anomaly"]) for r in out]
+    # First 6 points: incomplete baseline -> never flagged.
+    assert all(f == 0 for _, f in flags[:6])
+    assert [n for n, _ in flags] == [0, 1, 2, 3, 4, 5, 6, 6]
+    # The spike (7th index 6) has a full flat baseline -> flagged.
+    assert flags[6] == (6, 1)
+    # The return-to-normal point: baseline now contains the spike, so
+    # stddev exploded and 10.0 sits within 3 sigma -> not flagged.
+    assert flags[7] == (6, 0)
