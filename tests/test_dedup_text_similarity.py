@@ -877,3 +877,53 @@ def test_pq_recall_on_random_vectors(spark):
         len(by_q_a[q0] & by_q_e[q0]) / 10 for q0 in by_q_e
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_substring_coverage_matches_bruteforce_property(spark):
+    """Randomized corpora vs a brute-force reference: per doc, the
+    covered-token count must equal the size of the union of [pos,
+    pos+k) intervals over positions whose k-gram occurs in another
+    document. One batched Spark run over many seeded corpora."""
+    import random
+
+    from panditya_spark.operators.dedup import substring_coverage
+
+    k = 3
+    all_rows = []
+    doc_id = 0
+    for seed in range(8):
+        rnd = random.Random(seed)
+        vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> collisions
+        for _ in range(5):
+            n = rnd.randrange(0, 12)
+            all_rows.append(
+                (doc_id, " ".join(rnd.choice(vocab) for _ in range(n)))
+            )
+            doc_id += 1
+    df = spark.createDataFrame(all_rows, ["doc_id", "text"])
+    # All docs share the tiny vocab, so grams collide across seed
+    # groups — the reference is computed over the WHOLE table, exactly
+    # what Spark sees.
+    grams_all: dict[str, set] = {}
+    toks_all = {}
+    for did, text in all_rows:
+        w = [t for t in text.strip().split() if t] or ([""] if text.strip() == "" else [])
+        toks_all[did] = w
+        for i in range(max(0, len(w) - k + 1)):
+            grams_all.setdefault(" ".join(w[i : i + k]), set()).add(did)
+    got = {
+        r["doc"]: (r["n_tokens"], r["n_shared_grams"], r["covered_tokens"])
+        for r in substring_coverage(df, "text", "doc_id", k=k).collect()
+    }
+    for did, text in all_rows:
+        w = toks_all[did]
+        shared = [
+            i
+            for i in range(max(0, len(w) - k + 1))
+            if len(grams_all[" ".join(w[i : i + k])]) >= 2
+        ]
+        covered: set[int] = set()
+        for i in shared:
+            covered.update(range(i, i + k))
+        want = (len(w) if w else 1, len(shared), len(covered))
+        assert got[did] == want, (did, text, got[did], want)
