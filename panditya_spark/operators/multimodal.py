@@ -237,8 +237,11 @@ def decode_wav(payload: bytes):
     audio_fmt, nch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if (audio_fmt, nch, bits) != (1, 1, 16):
         raise ValueError("unsupported WAV variant (need PCM mono 16-bit)")
-    usable = len(data) - (len(data) % 2)
-    return np.frombuffer(data[:usable], dtype="<i2"), rate
+    if rate == 0:
+        raise ValueError("corrupt fmt chunk: zero sample rate")
+    if len(data) % 2:
+        raise ValueError("corrupt data chunk: odd byte length for 16-bit PCM")
+    return np.frombuffer(data, dtype="<i2"), rate
 
 
 # --------------------------------------------- deterministic generators
@@ -354,7 +357,6 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        ys = None
         for pdf in batches:
             ids, outs = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):

@@ -556,15 +556,6 @@ def pq_train(
     return codebook
 
 
-def _sq_l2_const(v: Column, const_vec: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in const_vec])
-    return F.aggregate(
-        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def pq_encode(
     df: DataFrame, id_col: str, vec_col: str, codebook: list
 ) -> DataFrame:
@@ -626,6 +617,13 @@ def pq_topk(
     nrm_lut = [
         [sum(x * x for x in cvec) for cvec in codebook[j]] for j in range(m)
     ]
+    # Materialize the code table ONCE: each per-query union branch
+    # re-evaluates its input plan (Spark does no common-subplan
+    # elimination across union branches), so a lazy pq_encode plan
+    # would rerun the full Arrow encode per query. localCheckpoint
+    # cuts the lineage and lets the ContextCleaner reclaim the blocks
+    # when the result is dropped (no cache leak).
+    codes_df = codes_df.localCheckpoint(eager=True)
     out = None
     for row in queries.select(
         F.col(q_id).alias("q"), _dbl(F.col(q_vec)).alias("v")
@@ -668,6 +666,11 @@ def pq_topk(
             .limit(k)
         )
         out = scored if out is None else out.unionByName(scored)
+    if out is None:  # empty query set: empty frame, stable schema
+        spark = codes_df.sparkSession
+        return spark.createDataFrame(
+            [], "qid long, cid long, approx_cos double, rank int"
+        )
     from pyspark.sql.window import Window as _W
 
     return out.withColumn(

@@ -114,8 +114,11 @@ def read_json_with_quarantine(
     The corrupt column must be declared IN the read schema (Spark
     populates it only when asked), and a plan over the RAW relation
     that references only the corrupt column is rejected by Spark
-    (SPARK-21610) — the parsed frame is cached first, the documented
-    workaround, which also makes the two splits share one parse.
+    (SPARK-21610) — the parsed frame is materialized first (eager
+    localCheckpoint), which satisfies the restriction, makes the two
+    splits share one parse, AND lets the ContextCleaner reclaim the
+    blocks when the splits are dropped (a cache() here would leak one
+    pinned relation per invocation for the session lifetime).
     """
     full_schema = schema + ", _corrupt string"
     df = (
@@ -123,7 +126,7 @@ def read_json_with_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(path)
-        .cache()
+        .localCheckpoint(eager=True)
     )
     good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = df.filter(F.col("_corrupt").isNotNull()).select(

@@ -394,3 +394,49 @@ def test_html_strip_double_escaped_entities(spark):
     df = spark.createDataFrame([(1, "a &amp;lt;b&amp;gt; c")], ["doc_id", "html"])
     row = html_strip(df, "html", "doc_id").first()
     assert row["clean_text"] == "a &lt;b&gt; c"
+
+
+def test_wav_decoder_rejects_zero_rate_and_odd_data():
+    """Fuzzed-container guards: a fmt chunk with rate=0 or a 16-bit
+    data chunk of odd byte length must raise, not divide by zero or
+    silently truncate."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from panditya_spark.operators.multimodal import decode_wav, encode_wav
+
+    good = bytearray(encode_wav(np.array([1, -2, 3], dtype="<i2")))
+    # Patch the sample-rate field (fmt chunk starts at offset 12+8;
+    # rate is 4 bytes at fmt+4). Locate fmt to stay layout-agnostic.
+    i = bytes(good).index(b"fmt ")
+    zero_rate = bytes(good[: i + 8 + 4]) + b"\x00\x00\x00\x00" + bytes(good[i + 8 + 8 :])
+    with pytest.raises(ValueError, match="zero sample rate"):
+        decode_wav(zero_rate)
+
+    # Odd-length data chunk: rewrite the data chunk with 3 bytes.
+    j = bytes(good).index(b"data")
+    odd = bytes(good[:j]) + b"data" + struct.pack("<I", 3) + b"\x01\x02\x03"
+    with pytest.raises(ValueError, match="odd byte length"):
+        decode_wav(odd)
+
+
+def test_pq_topk_empty_query_set(spark):
+    from panditya_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    cb = pq_train(df, "embedding", m=1, n_codes=4, iters=2, sample=8)
+    codes = pq_encode(df, "vec_id", "embedding", cb)
+    empty_q = df.filter("vec_id < 0").select(
+        df["vec_id"].alias("qid"), df["embedding"].alias("qvec")
+    )
+    out = pq_topk(empty_q, codes, cb, c_id="vec_id", k=3)
+    assert out.count() == 0
+    assert out.columns == ["qid", "cid", "approx_cos", "rank"]
