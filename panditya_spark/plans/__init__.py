@@ -126,9 +126,13 @@ _WINDOW = [
     # columns — moved to the combo slot; the freed slots give the new
     # round-4 operators individual CORRECTNESS rows.
     "ts_gapfill_interpolate",
-    "s_zorder_layout",
+    # (s_zorder_layout / sample_importance rotated into the combo slot
+    # late in round 5 — pure int / scale-2-lossless columns, green
+    # since r4 — freeing direct rows for the two round-5 flagship
+    # families below.)
     "a_winsorize_clip",
-    "sample_importance",
+    "dedup_substring_coverage",
+    "stream_session_window_native",
 ]
 if len(_WINDOW) != 50:
     raise RuntimeError(f"_WINDOW must hold exactly 50 names, got {len(_WINDOW)}")

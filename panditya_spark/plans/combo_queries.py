@@ -247,11 +247,6 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("lang", "s"), ("source", "s"), ("doc_id", "i"), ("rn", "i"),
         ("in_hash_sample", "i"),
     ],
-    # Round 5: substring-level (span) dedup coverage — pure integers.
-    "dedup_substring_coverage": [
-        ("doc", "i"), ("n_tokens", "i"), ("n_shared_grams", "i"),
-        ("covered_tokens", "i"),
-    ],
     # Round 5: ORC sink+source round-trip — scale-2 lossless sums.
     "s_orc_roundtrip": [
         ("o_orderpriority", "s"), ("n_orders", "i"), ("total_price", "d"),
@@ -260,11 +255,15 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "text_html_strip": [
         ("doc_id", "i"), ("clean_text", "s"), ("n_tags", "i"),
     ],
-    # Round 5: the BUILTIN session_window streaming run — epoch-micros
-    # BIGINT timestamps (stream_record_high convention), pure ints.
-    "stream_session_window_native": [
-        ("user_id", "s"), ("n_events", "i"), ("session_start_us", "i"),
-        ("session_end_us", "i"),
+    # Round-5 rotation (late): two stable round-4 queries moved here
+    # from the window to give the substring-coverage and builtin
+    # session-window flagships direct driver rows.
+    "s_zorder_layout": [
+        ("o_orderkey", "i"), ("o_custkey", "i"), ("o_totalprice", "d"),
+    ],
+    "sample_importance": [
+        ("doc_id", "i"), ("tgt_evidence", "i"), ("raw_evidence", "i"),
+        ("keep", "i"),
     ],
     # Round 5: weighted SSSP over the doubling DAG — exact integer
     # distances.
