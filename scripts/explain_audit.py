@@ -528,11 +528,14 @@ CHECKS = [
     (
         "s_quarantine_read",
         [
-            # Both splits must read the SAME cached parse, not re-parse
-            # the JSON twice (SPARK-21610 workaround doubles as a
-            # single-parse guarantee).
-            ("good and bad splits share one cached parse",
-             r"InMemoryTableScan"),
+            # Both splits must read the SAME materialized parse (eager
+            # localCheckpoint -> LogicalRDD), never re-parse the JSON
+            # (SPARK-21610 workaround doubles as a single-parse
+            # guarantee).
+            ("good and bad splits read the checkpointed parse",
+             r"ExistingRDD|LogicalRDD"),
+            ("the JSON source is never re-scanned downstream",
+             ("absent", ["Scan json"])),
             ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
         ],
     ),
