@@ -265,6 +265,10 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "i"), ("tgt_evidence", "i"), ("raw_evidence", "i"),
         ("keep", "i"),
     ],
+    # Round 5: the shard-production pipeline manifest — pure integers.
+    "pipeline_training_shards": [
+        ("shard_id", "i"), ("n_chunks", "i"), ("total_words", "i"),
+    ],
     # Round 5: weighted SSSP over the doubling DAG — exact integer
     # distances.
     "g18_weighted_sssp": [("node", "s"), ("dist", "i")],

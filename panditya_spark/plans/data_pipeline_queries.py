@@ -1512,3 +1512,134 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- training-shard production
+@register(
+    "pipeline_training_shards",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text, source,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
+      FROM (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM w WHERE len(w) >= 2)
+      ) GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT w.doc_id, w.text
+      FROM w LEFT JOIN g2 ON w.doc_id = g2.doc_id
+      WHERE len(w.w) BETWEEN 10 AND 100000
+        AND (CASE WHEN len(w.w) > 0
+                  THEN CAST(length(regexp_replace(w.text, '\\s+', '', 'g'))
+                            AS DOUBLE) / len(w.w)
+                  ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        AND coalesce(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) <= 0.2
+    ),
+    keepers AS (
+      SELECT kept.* FROM kept
+      JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+            FROM kept GROUP BY 1) m
+        ON kept.doc_id = m.doc_id
+    ),
+    ch AS (
+      SELECT doc_id, CAST((st - 1) / 56 + 1 AS INTEGER) AS chunk_idx,
+             least(64, len(w2) - st + 1) AS cw
+      FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w2,
+               unnest(generate_series(
+                 1, greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                 56)) AS st
+        FROM keepers
+      )
+    ),
+    f AS (SELECT * FROM ch WHERE cw >= 8),
+    s AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' ||
+                                     CAST(chunk_idx AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS shard_id,
+             cw
+      FROM f
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(cw) AS BIGINT) AS total_words
+    FROM s GROUP BY shard_id
+    """,
+)
+def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's END PRODUCT, not just its accounting: quality
+    gate → exact dedup → 64/56 chunking → deterministic md5 shard
+    assignment → an ACTUAL Hive-partitioned parquet shard layout
+    written to disk — then the manifest (per-shard chunk and token
+    counts) is computed by READING THE SHARDS BACK, so the oracle
+    (which recomputes the whole DAG from the source table) verifies
+    gate, dedup, chunker, shard router, writer, and reader in one
+    hash compare. Shard assignment is a pure md5 function of
+    (doc_id, chunk_idx) — layout-independent and replayable at any
+    parallelism, which is what makes a training-shard build
+    reproducible on a 1000-executor cluster."""
+    import os
+
+    from panditya_spark.plans.sink_queries import _sink_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    w = T._plain_words(text)
+    n_words = F.size(w)
+    mwl = F.when(
+        n_words > 0,
+        F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    d2 = T._dup_ngram_frac(w, 2)
+    gated = docs.filter(
+        n_words.between(10, 100000) & mwl.between(2.0, 12.0) & (d2 <= 0.2)
+    ).select("doc_id", "text", F.md5(text).alias("h"))
+    from pyspark.sql.window import Window
+
+    keepers = (
+        gated.withColumn(
+            "_min", F.min("doc_id").over(Window.partitionBy("h"))
+        )
+        .filter(F.col("doc_id") == F.col("_min"))
+        .select("doc_id", "text")
+    )
+    chunks = T.chunk_documents(
+        keepers, "text", "doc_id", chunk_size=64, stride=56
+    ).filter(F.col("n_words") >= 8)
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("-"),
+                    F.col("chunk_idx").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sharded = chunks.select(
+        (hv % 8).alias("shard_id"), "n_words", "chunk_text"
+    )
+    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    out = os.path.join(_sink_dir(f"train_shards_{suffix}"), "shards")
+    (
+        sharded.write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )

@@ -927,3 +927,31 @@ def test_substring_coverage_matches_bruteforce_property(spark):
             covered.update(range(i, i + k))
         want = (len(w) if w else 1, len(shared), len(covered))
         assert got[did] == want, (did, text, got[did], want)
+
+
+def test_training_shard_routing_is_layout_independent(spark):
+    """The md5 shard router must assign identical shards regardless of
+    input partitioning — the property that makes a shard build
+    reproducible at any parallelism."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, j) for i in range(50) for j in range(1, 4)],
+        ["doc_id", "chunk_idx"],
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-"),
+                           F.col("chunk_idx").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    one = {
+        (r["doc_id"], r["chunk_idx"]): r["s"]
+        for r in df.coalesce(1).select("doc_id", "chunk_idx", (hv % 8).alias("s")).collect()
+    }
+    many = {
+        (r["doc_id"], r["chunk_idx"]): r["s"]
+        for r in df.repartition(16).select("doc_id", "chunk_idx", (hv % 8).alias("s")).collect()
+    }
+    assert one == many
+    assert set(one.values()) == set(range(8))  # all shards populated
