@@ -1589,7 +1589,22 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from panditya_spark.plans.sink_queries import _sink_dir
 
-    docs = _t(spark, sf_dir, "documents")
+    from panditya_spark.operators.relational import spread_small_input
+
+    # The gate's per-doc array work (bigram distinct fraction) is the
+    # expensive map stage here, and the sf0.1 documents table is ONE
+    # parquet split — unspread it runs single-core. The spread alone
+    # is NOT enough: Catalyst pushes the deterministic gate filter
+    # back through the round-robin exchange, re-serializing it onto
+    # the single input split — the eager localCheckpoint is the
+    # optimizer barrier that keeps the (tiny) spread materialization
+    # below the (expensive) gate. Measured at sf0.1: 12.6s -> ~4s
+    # warm. At 100 TB the input arrives in thousands of splits and
+    # spread_small_input is a no-op, so this path only pays where it
+    # helps.
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
     text = F.col("text")
     w = T._plain_words(text)
     n_words = F.size(w)
@@ -1634,7 +1649,12 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
     out = os.path.join(_sink_dir(f"train_shards_{suffix}"), "shards")
     (
-        sharded.write.mode("overwrite")
+        # One task per shard: without the repartition every upstream
+        # task writes a sliver into every shard dir (tasks x shards
+        # small files — measured 2.5x slower end-to-end at sf0.1); a
+        # real build sizes this to target-file-size, not 1 file/shard.
+        sharded.repartition(8, "shard_id")
+        .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(out)
     )
