@@ -24,6 +24,53 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# ----------------------------------------------- shared corpus quality gate
+# The ONE quality gate (word-count bounds, mean-word-length bounds,
+# Gopher bigram-repetition cap) shared by pipeline_quality_gate and
+# both composed pipelines (end-to-end accounting, shard production) —
+# a threshold or tokenization tweak lands in every consumer AND every
+# oracle at once instead of silently diverging the copies.
+def _gate_exprs(text):
+    """Returns (n_words, keep) Columns for the corpus quality gate."""
+    w = T._plain_words(text)
+    n_words = F.size(w)
+    mwl = F.when(
+        n_words > 0,
+        F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    d2 = T._dup_ngram_frac(w, 2)
+    keep = (
+        n_words.between(10, 100000)
+        & mwl.between(2.0, 12.0)
+        & (d2 <= 0.2)
+    )
+    return n_words, keep
+
+
+# Oracle twin: the shared w/g2 CTE bodies and the keep predicate (over
+# aliases w/g2 joined on doc_id), composed into each consumer's SQL.
+_GATE_W_G2_SQL = """w AS (
+      SELECT doc_id, text, source,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
+      FROM (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM w WHERE len(w) >= 2)
+      ) GROUP BY doc_id
+    )"""
+_GATE_KEEP_SQL = """len(w.w) BETWEEN 10 AND 100000
+        AND (CASE WHEN len(w.w) > 0
+                  THEN CAST(length(regexp_replace(w.text, '\\s+', '', 'g'))
+                            AS DOUBLE) / len(w.w)
+                  ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        AND coalesce(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) <= 0.2"""
+
+
 # ---------------------------------------------------------------- dedup: exact
 @register(
     "dedup_exact",
@@ -861,53 +908,17 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by its own query; this pins their composition).
 @register(
     "pipeline_quality_gate",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, text,
-             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                         x -> x <> '') AS w
-      FROM documents
-    ),
-    g2 AS (
-      SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
-      FROM (
-        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
-        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
-              FROM w WHERE len(w) >= 2)
-      ) GROUP BY doc_id
-    ),
-    f AS (
-      SELECT w.doc_id,
-             CAST(len(w.w) AS INTEGER) AS n_words,
-             CASE WHEN len(w.w) > 0
-                  THEN CAST(length(regexp_replace(w.text, '\\s+', '', 'g'))
-                            AS DOUBLE) / len(w.w)
-                  ELSE 0.0 END AS mwl,
-             coalesce(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) AS d2
-      FROM w LEFT JOIN g2 ON w.doc_id = g2.doc_id
-    )
-    SELECT doc_id, n_words,
-           CAST(n_words BETWEEN 10 AND 100000
-                AND mwl BETWEEN 2.0 AND 12.0
-                AND d2 <= 0.2 AS INTEGER) AS keep
-    FROM f
+    oracle=f"""
+    WITH {_GATE_W_G2_SQL}
+    SELECT w.doc_id,
+           CAST(len(w.w) AS INTEGER) AS n_words,
+           CAST({_GATE_KEEP_SQL} AS INTEGER) AS keep
+    FROM w LEFT JOIN g2 ON w.doc_id = g2.doc_id
     """,
 )
 def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    text = F.col("text")
-    w = T._plain_words(text)
-    n_words = F.size(w)
-    mwl = F.when(
-        n_words > 0,
-        F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_words,
-    ).otherwise(F.lit(0.0))
-    d2 = T._dup_ngram_frac(w, 2)
-    keep = (
-        n_words.between(10, 100000)
-        & mwl.between(2.0, 12.0)
-        & (d2 <= 0.2)
-    )
+    n_words, keep = _gate_exprs(F.col("text"))
     return docs.select(
         "doc_id", n_words.alias("n_words"), keep.cast("int").alias("keep")
     )
@@ -1399,30 +1410,12 @@ def ml_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- end-to-end pipeline DAG
 @register(
     "pipeline_end_to_end",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, text, source,
-             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                         x -> x <> '') AS w
-      FROM documents
-    ),
-    g2 AS (
-      SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
-      FROM (
-        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
-        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
-              FROM w WHERE len(w) >= 2)
-      ) GROUP BY doc_id
-    ),
+    oracle=f"""
+    WITH {_GATE_W_G2_SQL},
     kept AS (
       SELECT w.doc_id, w.text, w.source
       FROM w LEFT JOIN g2 ON w.doc_id = g2.doc_id
-      WHERE len(w.w) BETWEEN 10 AND 100000
-        AND (CASE WHEN len(w.w) > 0
-                  THEN CAST(length(regexp_replace(w.text, '\\s+', '', 'g'))
-                            AS DOUBLE) / len(w.w)
-                  ELSE 0.0 END) BETWEEN 2.0 AND 12.0
-        AND coalesce(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) <= 0.2
+      WHERE {_GATE_KEEP_SQL}
     ),
     keepers AS (
       SELECT kept.* FROM kept
@@ -1470,13 +1463,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulations is part of what the check proves."""
     docs = _t(spark, sf_dir, "documents")
     text = F.col("text")
-    w = T._plain_words(text)
-    n_words = F.size(w)
-    mwl = F.when(
-        n_words > 0,
-        F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_words,
-    ).otherwise(F.lit(0.0))
-    d2 = T._dup_ngram_frac(w, 2)
+    _, keep = _gate_exprs(text)
     # Chunking tokenization is the RAW split (chunk_documents'
     # contract), not the lowercased/filtered gate tokenization.
     raw_len = F.size(F.split(F.trim(text), r"\s+"))
@@ -1486,9 +1473,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    per_doc = docs.filter(
-        n_words.between(10, 100000) & mwl.between(2.0, 12.0) & (d2 <= 0.2)
-    ).select(
+    per_doc = docs.filter(keep).select(
         "doc_id",
         "source",
         F.md5(text).alias("h"),
@@ -1517,30 +1502,12 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- training-shard production
 @register(
     "pipeline_training_shards",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, text, source,
-             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                         x -> x <> '') AS w
-      FROM documents
-    ),
-    g2 AS (
-      SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
-      FROM (
-        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
-        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
-              FROM w WHERE len(w) >= 2)
-      ) GROUP BY doc_id
-    ),
+    oracle=f"""
+    WITH {_GATE_W_G2_SQL},
     kept AS (
       SELECT w.doc_id, w.text
       FROM w LEFT JOIN g2 ON w.doc_id = g2.doc_id
-      WHERE len(w.w) BETWEEN 10 AND 100000
-        AND (CASE WHEN len(w.w) > 0
-                  THEN CAST(length(regexp_replace(w.text, '\\s+', '', 'g'))
-                            AS DOUBLE) / len(w.w)
-                  ELSE 0.0 END) BETWEEN 2.0 AND 12.0
-        AND coalesce(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) <= 0.2
+      WHERE {_GATE_KEEP_SQL}
     ),
     keepers AS (
       SELECT kept.* FROM kept
@@ -1587,7 +1554,7 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible on a 1000-executor cluster."""
     import os
 
-    from panditya_spark.plans.sink_queries import _sink_dir
+    from panditya_spark.plans.sink_queries import _sf_suffix, _sink_dir
 
     from panditya_spark.operators.relational import spread_small_input
 
@@ -1606,16 +1573,10 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
     ).localCheckpoint(eager=True)
     text = F.col("text")
-    w = T._plain_words(text)
-    n_words = F.size(w)
-    mwl = F.when(
-        n_words > 0,
-        F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_words,
-    ).otherwise(F.lit(0.0))
-    d2 = T._dup_ngram_frac(w, 2)
-    gated = docs.filter(
-        n_words.between(10, 100000) & mwl.between(2.0, 12.0) & (d2 <= 0.2)
-    ).select("doc_id", "text", F.md5(text).alias("h"))
+    _, keep = _gate_exprs(text)
+    gated = docs.filter(keep).select(
+        "doc_id", "text", F.md5(text).alias("h")
+    )
     from pyspark.sql.window import Window
 
     keepers = (
@@ -1646,14 +1607,18 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = chunks.select(
         (hv % 8).alias("shard_id"), "n_words", "chunk_text"
     )
-    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    suffix = _sf_suffix(sf_dir)
     out = os.path.join(_sink_dir(f"train_shards_{suffix}"), "shards")
     (
         # One task per shard: without the repartition every upstream
         # task writes a sliver into every shard dir (tasks x shards
         # small files — measured 2.5x slower end-to-end at sf0.1); a
         # real build sizes this to target-file-size, not 1 file/shard.
-        sharded.repartition(8, "shard_id")
+        # repartitionByRange, not hash repartition: murmur3 of the 8
+        # shard ids collides into 4 of 8 partitions (one task would
+        # serialize 3 shards); range partitioning keys each distinct
+        # shard id to its own task.
+        sharded.repartitionByRange(8, "shard_id")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(out)

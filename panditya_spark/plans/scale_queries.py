@@ -84,7 +84,9 @@ def j_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_partitioning.py::test_bucketed_join_no_exchange). The
     oracle is the plain join — bucketing must be invisible in the
     result."""
-    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    from panditya_spark.plans.sink_queries import _sf_suffix
+
+    suffix = _sf_suffix(sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"panditya_buckets_{suffix}")
     ct, ot = f"pspark_cust_{suffix}", f"pspark_ord_{suffix}"
     c = _t(spark, sf_dir, "customer").select(

@@ -28,6 +28,12 @@ from panditya_spark.sources.loaders import load_table, read_csv_all_string
 _SINK_TMP: str | None = None
 
 
+def _sf_suffix(sf_dir: str) -> str:
+    """Filesystem-safe per-sf-dir key for sink-dir names — one
+    definition so every query keys its artifacts consistently."""
+    return "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+
+
 def _sink_dir(name: str) -> str:
     global _SINK_TMP
     if _SINK_TMP is None:
@@ -316,7 +322,7 @@ def _partitioned_events(
     path. Shared by the layout round-trip (which forces a fresh write —
     the write IS what it tests) and the DPP join (which only needs the
     layout to exist)."""
-    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    suffix = _sf_suffix(sf_dir)
     out = _sink_dir(f"part_events_{suffix}")
     if force or out not in _PARTITIONED_WRITTEN:
         (
@@ -488,7 +494,7 @@ def s_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from panditya_spark.operators.partitioning import zorder_write
 
-    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    suffix = _sf_suffix(sf_dir)
     out = os.path.join(_sink_dir(f"zorder_orders_{suffix}"), "orders")
     orders = _t(spark, sf_dir, "orders").withColumn(
         "_days", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
@@ -527,7 +533,7 @@ def s_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from panditya_spark.sources.sinks import targeted_delete
 
-    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    suffix = _sf_suffix(sf_dir)
     out = os.path.join(_sink_dir(f"tgtdel_events_{suffix}"), "events")
     ev = _t(spark, sf_dir, "events")
     # Fresh layout per invocation: the delete mutates it.
