@@ -1832,9 +1832,14 @@ def weighted_sssp(
             F.coalesce("best", "old_or_new").alias("dist"),
             "improved",
         )
-        dist_next = merged.select("node", "dist")
-        frontier_next = merged.filter(F.col("improved")).select("node", "dist")
-        dist, frontier = state.round_end(dist_next, frontier_next)
+        # ONE materialization per round: the (node, dist, improved)
+        # frame is the only checkpointed state; the frontier is a lazy
+        # filter over it (no plan growth — it reads the fresh
+        # checkpoint), halving the per-round materialization cost of
+        # the dist/frontier pair.
+        (merged,) = state.round_end(merged)
+        dist = merged.select("node", "dist")
+        frontier = merged.filter(F.col("improved")).select("node", "dist")
         if frontier.limit(1).count() == 0:
             converged = True
             break
