@@ -95,7 +95,14 @@ def main() -> int:
     # A/B): g5 first call 6.39s → 5.68s; minhash 3.9-4.4s → 3.6-4.1s
     # with B < A on every paired iteration.
     mid = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
-    _MID_WARM = {"g5_connected_components", "dedup_minhash_lsh"}
+    _MID_WARM = {
+        "g5_connected_components",
+        "dedup_minhash_lsh",
+        # The shard build's partitioned write picks different AQE
+        # shuffle variants by input size (measured 8.0s first sf0.1
+        # call after only the sf0.001 warmup vs 2.1-2.9s warm).
+        "pipeline_training_shards",
+    }
     for warm_q in (
         "stream_tumbling_microbatch",
         "g5_connected_components",
