@@ -147,13 +147,28 @@ def main() -> int:
     except Exception as exc:  # noqa: BLE001
         print(f"stream-input prep failed: {exc!r}", file=sys.stderr)
 
+    # count() alone is NOT a safe materializer for every plan: Spark
+    # eliminates a left-outer join under count() when the right side
+    # is provably duplicate-free (the substring-coverage query's
+    # per-doc aggregate), which would time an empty plan. Queries in
+    # this map get a forcing aggregate that touches their payload
+    # columns instead; everything else keeps count() for cross-round
+    # comparability.
+    from pyspark.sql import functions as F
+
+    FORCE = {
+        "dedup_substring_coverage": lambda df: df.agg(
+            F.sum("covered_tokens"), F.sum("n_shared_grams")
+        ).collect(),
+    }
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()
         try:
-            fn(spark, sf_dir).count()
+            FORCE.get(name, lambda df: df.count())(fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — per-query isolation
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
