@@ -160,6 +160,19 @@ def main() -> int:
         "dedup_substring_coverage": lambda df: df.agg(
             F.sum("covered_tokens"), F.sum("n_shared_grams")
         ).collect(),
+        # Same elimination class, found by stage-level metrics audit:
+        # a pure per-row projection (quality features) and a
+        # unique-right left join + windows (gap-fill) both collapse to
+        # a metadata row count under count(). Their r1-r4 numbers
+        # measured that collapsed plan — consistently, so the
+        # cross-round TREND was still apples-to-apples — and are
+        # restated honestly from round 5 (see COVERAGE.md).
+        "text_quality": lambda df: df.agg(
+            F.sum("n_tokens"), F.sum("mean_word_len")
+        ).collect(),
+        "ts_gapfill_interpolate": lambda df: df.agg(
+            *[F.sum(c) for c in df.columns if c not in ("event_type", "ts")]
+        ).collect(),
     }
 
     timings: dict[str, float] = {}
