@@ -5,10 +5,11 @@ Prints exactly one JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
-Each query is timed end-to-end: plan construction + execution to a
-driver-side count() (forces full materialization without paying
-collect serialization for large results). A warmup query first absorbs
-JVM/session startup so numbers measure the engine, not the boot.
+Each query is timed end-to-end: plan construction + execution into a
+noop-format write (full materialization — every output row is
+consumed, nothing is optimizer-eliminable — without paying collect
+serialization). A warmup query first absorbs JVM/session startup so
+numbers measure the engine, not the boot.
 """
 
 from __future__ import annotations
@@ -147,40 +148,20 @@ def main() -> int:
     except Exception as exc:  # noqa: BLE001
         print(f"stream-input prep failed: {exc!r}", file=sys.stderr)
 
-    # count() alone is NOT a safe materializer for every plan: Spark
-    # eliminates a left-outer join under count() when the right side
-    # is provably duplicate-free (the substring-coverage query's
-    # per-doc aggregate), which would time an empty plan. Queries in
-    # this map get a forcing aggregate that touches their payload
-    # columns instead; everything else keeps count() for cross-round
-    # comparability.
-    from pyspark.sql import functions as F
-
-    FORCE = {
-        "dedup_substring_coverage": lambda df: df.agg(
-            F.sum("covered_tokens"), F.sum("n_shared_grams")
-        ).collect(),
-        # Same elimination class, found by stage-level metrics audit:
-        # a pure per-row projection (quality features) and a
-        # unique-right left join + windows (gap-fill) both collapse to
-        # a metadata row count under count(). Their r1-r4 numbers
-        # measured that collapsed plan — consistently, so the
-        # cross-round TREND was still apples-to-apples — and are
-        # restated honestly from round 5 (see COVERAGE.md).
-        "text_quality": lambda df: df.agg(
-            F.sum("n_tokens"), F.sum("mean_word_len")
-        ).collect(),
-        "ts_gapfill_interpolate": lambda df: df.agg(
-            *[F.sum(c) for c in df.columns if c not in ("event_type", "ts")]
-        ).collect(),
-        # count() of a groupBy keeps the grouping but STRIPS the eight
-        # aggregate measures (only group keys are needed to count
-        # groups) — Q1's whole point is the measure computation.
-        "tpch_q1_pricing": lambda df: df.agg(
-            *[F.sum(c) for c in df.columns
-              if c not in ("l_returnflag", "l_linestatus")]
-        ).collect(),
-    }
+    # Materializer: a noop-format write, NOT count(). count() lets the
+    # optimizer eliminate real work — duplicate-free left joins drop,
+    # cardinality-preserving windows/generates prune, projection
+    # expressions and aggregate MEASURES strip (only group keys are
+    # needed to count groups). A round-5 plan-diff audit
+    # (scripts/bench_audit.py) found 12 of 32 headline queries partly
+    # or wholly eliminated under count(); the noop write consumes
+    # every output row, so nothing is eliminable by construction.
+    # r1-r4 numbers were count()-based — consistently on both sides
+    # of every cross-round comparison, so the TRENDS stay valid — and
+    # are restated under the honest materializer from round 5
+    # (ledger in COVERAGE.md).
+    def _materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -188,7 +169,7 @@ def main() -> int:
         fn = QUERIES[name]
         t0 = time.time()
         try:
-            FORCE.get(name, lambda df: df.count())(fn(spark, sf_dir))
+            _materialize(fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — per-query isolation
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
