@@ -269,6 +269,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "pipeline_training_shards": [
         ("shard_id", "i"), ("n_chunks", "i"), ("total_words", "i"),
     ],
+    # Round 5: null-safe join — the NULL key row exercises the ∅
+    # sentinel; balances are scale-2 lossless sums.
+    "j_null_safe_join": [
+        ("nk", "i"), ("n_a", "i"), ("n_b", "i"), ("bal_a", "d"),
+    ],
     # Round 5: weighted SSSP over the doubling DAG — exact integer
     # distances.
     "g18_weighted_sssp": [("node", "s"), ("dist", "i")],

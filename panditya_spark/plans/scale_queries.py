@@ -198,6 +198,56 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- null-safe join
+@register(
+    "j_null_safe_join",
+    oracle="""
+    WITH k AS (
+      SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  ELSE c_nationkey END AS nk,
+             c_acctbal
+      FROM customer
+    ),
+    a AS (SELECT nk, count(*) AS n_a,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_a
+          FROM k GROUP BY nk),
+    b AS (SELECT nk, count(*) AS n_b FROM k GROUP BY nk)
+    SELECT a.nk, a.n_a, b.n_b, a.bal_a
+    FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+    """,
+)
+def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): a derived
+    nullable key (every 11th customer's nation nulled) is aggregated
+    two ways and self-joined with eqNullSafe, so the NULL key group
+    JOINS TO ITSELF instead of silently dropping — the semantics gap
+    between <=> and = that loses rows in naive dimension joins over
+    incomplete data. The NULL row surfaces through the combo's ∅
+    sentinel, so the null-matching behavior itself is value-checked.
+    Plan: a plain hash join on the null-safe key (Spark plans <=> as
+    an equi join on coalesce-wrapped keys — no nested loop)."""
+    c = _t(spark, sf_dir, "customer")
+    k = c.select(
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+        "c_acctbal",
+    )
+    a = k.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bal_a"),
+    )
+    b = k.groupBy(F.col("nk").alias("nk_b")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    return (
+        a.join(b, a["nk"].eqNullSafe(b["nk_b"]))
+        .select("nk", "n_a", "n_b", "bal_a")
+    )
+
+
 # ------------------------------------------------------- TPC-H-style headliners
 # The two canonical analytic shapes a 100 TB deployment is sized by:
 # Q1 = full-table scan + rich partial-aggregate rollup (pure map-side

@@ -334,3 +334,24 @@ def test_constraint_report_empty_input_and_duplicate_names(spark):
         ("same_name", 1),
         ("same_name", 0),
     ]
+
+
+def test_null_safe_join_matches_plain_join_plus_null_group(spark):
+    """eqNullSafe = plain equi join PLUS the NULL<=>NULL matches, and
+    the plan stays an equi hash join (no nested loop)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c"), (2, "d")], ["k", "l"]
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (None, "y"), (3, "z")], ["k", "r"]
+    )
+    ns = left.join(
+        right.withColumnRenamed("k", "k2"),
+        F.col("k").eqNullSafe(F.col("k2")),
+    )
+    got = sorted((r["l"], r["r"]) for r in ns.collect())
+    assert got == [("a", "x"), ("b", "y"), ("c", "y")]
+    plan = ns._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
