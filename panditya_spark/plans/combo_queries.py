@@ -304,6 +304,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "s"), ("ts_us", "i"), ("value", "d"),
         ("baseline_n", "i"), ("is_anomaly", "i"),
     ],
+    # Round 5: distribution windows — all integers (cume_dist is
+    # surfaced as the exact at-or-below row count).
+    "w_ntile_cume_dist": [
+        ("source", "s"), ("doc_id", "i"), ("quartile", "i"), ("cd_n", "i"),
+    ],
 }
 
 _NULL = "∅"

@@ -851,6 +851,41 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- distribution windows
+@register(
+    "w_ntile_cume_dist",
+    oracle="""
+    SELECT source, doc_id,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           CAST(round(cume_dist() OVER w *
+                      count(*) OVER (PARTITION BY source)) AS BIGINT) AS cd_n
+    FROM documents
+    WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+    """,
+)
+def w_ntile_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window breadth (§2.5): per-source quartile buckets
+    (ntile) and cumulative distribution (cume_dist) over document
+    length — the percentile machinery a curriculum-ordering or
+    length-balanced sampling pass uses. One window shuffle per
+    source; doc_id breaks length ties so both engines walk one total
+    order. cume_dist is surfaced as round(cd * n) — the exact integer
+    count of rows at-or-below — because the raw k/n double is one ulp
+    from engine-dependent under stringification while the rounded
+    product is integer-exact."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    return docs.select(
+        "source",
+        "doc_id",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.cume_dist().over(w) * n).cast("bigint").alias("cd_n"),
+    )
+
+
 # ----------------------------------------- substring-level (span) dedup
 # The token-SPAN rung of the dedup ladder (document > chunk > span):
 # per-doc coverage by k-token windows whose exact content also occurs
