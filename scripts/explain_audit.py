@@ -526,6 +526,24 @@ CHECKS = [
         ],
     ),
     (
+        "j_null_safe_join",
+        [
+            # <=> must plan as an equi hash/merge join on the
+            # coalesce-wrapped key — never a nested loop.
+            ("null-safe equality is an equi join",
+             ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("partial aggregation before the join", r"partial"),
+        ],
+    ),
+    (
+        "w_ntile_cume_dist",
+        [
+            ("both windows share one source exchange",
+             ("count<=", "Exchange hashpartitioning(source", 2)),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
         "s_quarantine_read",
         [
             # Both splits must read the SAME materialized parse (eager
