@@ -155,7 +155,17 @@ def rolling_zscore_anomalies(
     ONE analytic window per series key = one shuffle on the key;
     map-only before and after. Returns (key, time, value, baseline_n,
     is_anomaly) with is_anomaly an INTEGER (engine-exact; the float z
-    itself stays internal)."""
+    itself stays internal).
+
+    The mean and stddev are ROUNDED to 6 decimals before the threshold
+    comparison: avg/stddev accumulation order differs across engines
+    (and partitionings), so a point sitting within one ulp of the
+    3-sigma boundary could otherwise flip the integer flag between two
+    correct executions. Snapping both statistics to a fixed grid makes
+    the comparison operands bit-identical everywhere except the
+    measure-zero case of a true value landing within float noise of a
+    half-grid point (the same robustness convention as the rounded
+    cosine ranks in operators/similarity)."""
     from pyspark.sql.window import Window
 
     order = [F.col(time_col)] + [
@@ -166,8 +176,8 @@ def rolling_zscore_anomalies(
         .orderBy(*order)
         .rowsBetween(-window_rows, -1)
     )
-    mean = F.avg(F.col(value_col)).over(w)
-    sd = F.stddev_samp(F.col(value_col)).over(w)
+    mean = F.round(F.avg(F.col(value_col)).over(w), 6)
+    sd = F.round(F.stddev_samp(F.col(value_col)).over(w), 6)
     n = F.count(F.lit(1)).over(w)
     flag = (
         (n >= window_rows)

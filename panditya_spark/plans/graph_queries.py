@@ -335,7 +335,11 @@ def _kcore_oracle(k: int, unroll: int) -> str:
     comfortably above the measured convergence (k=75: 5 rounds at both
     sf0.001 and sf0.01; depth 10 = 2× margin) makes the bounded SQL
     EXACT, turning a 'not SQL-expressible' iterative operator into a
-    value-checked one."""
+    value-checked one. The final SELECT ASSERTS the fixpoint was
+    reached (|e_N| == |e_{N-1}|, valid because the peel only shrinks):
+    at a larger sf where the unroll proves too shallow, the oracle
+    errors loudly as an oracle-calibration problem instead of
+    surfacing a spurious engine mismatch (ADVICE r5)."""
     parts = [
         "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
         "e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b"
@@ -353,9 +357,16 @@ def _kcore_oracle(k: int, unroll: int) -> str:
             f"WHERE a IN (SELECT node FROM k{i}) "
             f"AND b IN (SELECT node FROM k{i}))"
         )
+    parts.append(
+        f"chk AS (SELECT CASE WHEN (SELECT count(*) FROM e{unroll}) = "
+        f"(SELECT count(*) FROM e{unroll - 1}) THEN 1 ELSE CAST(error("
+        f"'kcore oracle: unroll {unroll} too shallow for this sf — "
+        f"peel not at fixpoint') AS INTEGER) END AS ok)"
+    )
     final = (
         f" SELECT node, CAST(count(*) AS BIGINT) AS degree FROM "
         f"(SELECT a AS node FROM e{unroll} UNION ALL SELECT b FROM e{unroll}) "
+        f"CROSS JOIN chk WHERE chk.ok = 1 "
         f"GROUP BY node"
     )
     return ", ".join(parts) + final
@@ -411,7 +422,9 @@ def _ktruss_oracle(k: int, unroll: int) -> str:
     at sf0.01, 1 at sf0.001; depth 12) is exact. The oracle's full
     per-round recount also cross-validates the Spark side's
     INCREMENTAL support maintenance — two different algorithms, one
-    fixpoint."""
+    fixpoint. Like _kcore_oracle, the final SELECT asserts the
+    fixpoint (|e_N| == |e_{N-1}|) and errors loudly if the unroll is
+    too shallow for the sf (ADVICE r5)."""
     parts = [
         "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
         "e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b"
@@ -435,9 +448,15 @@ def _ktruss_oracle(k: int, unroll: int) -> str:
             f"e{i+1} AS MATERIALIZED (SELECT ea AS a, eb AS b FROM s{i} "
             f"WHERE sup >= {k - 2})"
         )
+    parts.append(
+        f"chk AS (SELECT CASE WHEN (SELECT count(*) FROM e{unroll}) = "
+        f"(SELECT count(*) FROM e{unroll - 1}) THEN 1 ELSE CAST(error("
+        f"'ktruss oracle: unroll {unroll} too shallow for this sf — "
+        f"peel not at fixpoint') AS INTEGER) END AS ok)"
+    )
     final = (
         f" SELECT ea AS a, eb AS b, CAST(sup AS BIGINT) AS support "
-        f"FROM s{unroll - 1} WHERE sup >= {k - 2}"
+        f"FROM s{unroll - 1} CROSS JOIN chk WHERE chk.ok = 1 AND sup >= {k - 2}"
     )
     return ", ".join(parts) + final
 

@@ -107,9 +107,12 @@ def ts_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_rolling_zscore",
     oracle="""
     WITH scored AS (
+      -- m/sd rounded to 6 decimals BEFORE the 3-sigma comparison on
+      -- both engines: accumulation-order ulp divergence must not flip
+      -- the integer flag (see operators/timeseries.py).
       SELECT event_type, ts, event_id, value,
-             avg(value) OVER w AS m,
-             stddev_samp(value) OVER w AS sd,
+             round(avg(value) OVER w, 6) AS m,
+             round(stddev_samp(value) OVER w, 6) AS sd,
              count(*) OVER w AS n
       FROM events
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
