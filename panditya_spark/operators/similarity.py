@@ -598,84 +598,95 @@ def pq_topk(
     c_id: str = "cid",
     k: int = 10,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a
-    lookup table LUT[j][code] = dot(query_subvector, centroid) is
-    baked into the plan as array literals, so the scan computes the
-    approximate cosine with m element_at lookups + a sum — no
-    decompression, no vector column read at all. The query batch is
-    driver-collected (query sets are small by definition — the same
-    contract as brute_force_topk's broadcast); candidates stream
-    map-only into a per-query TakeOrdered k.
+    """Asymmetric-distance (ADC) top-k over PQ codes as ONE broadcast
+    equi-join, constant plan size in the query count (the round-5
+    per-query union-branch formulation grew one plan branch per query
+    — 10k queries meant a 10k-branch plan):
 
-    Approximate cosine = Σ_j dot(q_j, c_code_j) /
-    (|q| · sqrt(Σ_j |c_code_j|²)) — both numerator and reconstruction
-    norm are LUT lookups. Returns (qid, cid, approx_cos, rank)."""
+    1. Driver-side LUT TABLE: for each collected query row, for each
+       (subspace j, code c): dot(q_j, centroid_{j,c}) plus the
+       query-independent reconstruction norm |centroid_{j,c}|² and the
+       query norm — n_queries × m × n_codes rows, driver-sized under
+       the same small-query contract as brute_force_topk's broadcast.
+    2. The code table posexplodes its m codes and equi-joins the
+       BROADCAST LUT on (subspace, code) — a BroadcastHashJoin, never
+       a product; all m rows of a (query, candidate) pair stay in the
+       exploding task, so the partial aggregate completes map-side.
+    3. groupBy (qid, cid) sums the dot / norm terms as DECIMAL(28,18)
+       — decimal addition is exact and order-independent, so the
+       scores are bit-reproducible across partitionings AND engines
+       (float sums would vary in the last ulp with shuffle order); a
+       DuckDB oracle can replay them exactly.
+    4. approx_cos = num / (|q| · sqrt(rec)); per-query top-k via one
+       qid-partitioned row_number window (ties break on cid).
+
+    Returns (qid, cid, approx_cos, rank). The empty-query frame
+    derives qid/cid types from the input schemas (a hardcoded 'long'
+    schema previously diverged for string ids — ADVICE r5)."""
     import math
 
     m = len(codebook)
-    # Query-independent reconstruction-norm table.
+    spark = codes_df.sparkSession
     nrm_lut = [
         [sum(x * x for x in cvec) for cvec in codebook[j]] for j in range(m)
     ]
-    # Materialize the code table ONCE: each per-query union branch
-    # re-evaluates its input plan (Spark does no common-subplan
-    # elimination across union branches), so a lazy pq_encode plan
-    # would rerun the full Arrow encode per query. localCheckpoint
-    # cuts the lineage and lets the ContextCleaner reclaim the blocks
-    # when the result is dropped (no cache leak).
-    codes_df = codes_df.localCheckpoint(eager=True)
-    out = None
+    sub = len(codebook[0][0])
+    lut_rows = []
     for row in queries.select(
         F.col(q_id).alias("q"), _dbl(F.col(q_vec)).alias("v")
     ).collect():
         qv = row["v"]
         qn = math.sqrt(sum(x * x for x in qv)) or 1.0
-        sub = len(codebook[0][0])
-        dot_lut = [
-            [
-                sum(qv[j * sub + t] * codebook[j][c][t] for t in range(sub))
-                for c in range(len(codebook[j]))
-            ]
-            for j in range(m)
-        ]
-        codes = F.col("codes")
-        dot_terms = [
-            F.element_at(
-                F.array(*[F.lit(float(x)) for x in dot_lut[j]]),
-                F.element_at(codes, j + 1) + 1,
-            )
-            for j in range(m)
-        ]
-        nrm_terms = [
-            F.element_at(
-                F.array(*[F.lit(float(x)) for x in nrm_lut[j]]),
-                F.element_at(codes, j + 1) + 1,
-            )
-            for j in range(m)
-        ]
-        num = sum(dot_terms[1:], dot_terms[0])
-        rec = sum(nrm_terms[1:], nrm_terms[0])
-        scored = (
-            codes_df.filter(F.col(c_id) != F.lit(row["q"]))  # no self-match
-            .select(
-                F.lit(row["q"]).alias("qid"),
-                F.col(c_id).alias("cid"),
-                (num / (F.lit(qn) * F.sqrt(rec))).alias("approx_cos"),
-            )
-            .orderBy(F.desc("approx_cos"), F.asc("cid"))
-            .limit(k)
-        )
-        out = scored if out is None else out.unionByName(scored)
-    if out is None:  # empty query set: empty frame, stable schema
-        spark = codes_df.sparkSession
-        return spark.createDataFrame(
-            [], "qid long, cid long, approx_cos double, rank int"
-        )
-    from pyspark.sql.window import Window as _W
+        for j in range(m):
+            for c in range(len(codebook[j])):
+                dotv = sum(qv[j * sub + t] * codebook[j][c][t] for t in range(sub))
+                lut_rows.append((row["q"], j, c, dotv, nrm_lut[j][c], qn))
 
-    return out.withColumn(
-        "rank",
-        F.row_number().over(
-            _W.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("cid"))
-        ),
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    qid_type = queries.schema[q_id].dataType
+    lut_schema = StructType(
+        [
+            StructField("qid", qid_type),
+            StructField("j", IntegerType()),
+            StructField("code", IntegerType()),
+            StructField("dotv", DoubleType()),
+            StructField("nrmv", DoubleType()),
+            StructField("qn", DoubleType()),
+        ]
+    )
+    lut = spark.createDataFrame(lut_rows, lut_schema)
+
+    exploded = codes_df.select(
+        F.col(c_id).alias("cid"), F.posexplode("codes").alias("j", "code")
+    )
+    dec = "decimal(28,18)"
+    scored = (
+        exploded.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("cid") != F.col("qid"))  # no self-match
+        .groupBy("qid", "cid")
+        .agg(
+            F.sum(F.col("dotv").cast(dec)).alias("num"),
+            F.sum(F.col("nrmv").cast(dec)).alias("rec"),
+            F.min("qn").alias("qn"),
+        )
+        .select(
+            "qid",
+            "cid",
+            (
+                F.col("num").cast("double")
+                / (F.col("qn") * F.sqrt(F.col("rec").cast("double")))
+            ).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
     )
