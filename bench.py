@@ -59,6 +59,10 @@ HEADLINE = [
     "mm_image_resize",          # PNG decode -> NN resample -> re-encode -> re-parse
     "dedup_substring_coverage", # shared k-gram interval-union coverage
     "pipeline_training_shards", # gate->dedup->chunk->route->write->read manifest
+    # Round 6: the ANN-compression and semantic-dedup scale paths get
+    # official trend lines (VERDICT r5 next-round #8).
+    "ann_pq_sq_topk",           # SQ codebook + single-join decimal ADC scan
+    "dedup_semantic",           # k-means-bucketed SemDeDup pair pass
 ]
 
 

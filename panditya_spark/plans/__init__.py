@@ -55,7 +55,6 @@ _WINDOW = [
     "g1_khop_bfs",
     "g5_connected_components",
     "g10_longest_chain",
-    "g13_triangle_counts",
     "g2_g11_full_undirected",
     "g12_density",
     "a10_degree_stats",
@@ -76,7 +75,6 @@ _WINDOW = [
     # and pivot/unpivot/SCD2 queries.)
     # (a_pivot_daily rotated to combo in round 4.)
     "cdc_merge_upsert",
-    "text_chunking",
     # The real micro-batch streaming run (availableNow → memory sink),
     # oracle-verified against the same SQL as its batch twin. Replaces
     # f2_entity_labels in the window (a subset of f1_f2_entity_labels,
@@ -87,8 +85,6 @@ _WINDOW = [
     # (a_unpivot_metrics rotated to combo in round 4.)
     "j_bloom_filter_join",
     "text_repetition_filter",
-    "text_contamination",
-    "text_pii_redact",
     # Relational joins / aggregates. (j1/j2/w1/a1/t3 rotated into the
     # combo slot mid-round-2 to free window slots for the five new
     # queries below; j5_broadcast_join_agg to combo in round 5 —
@@ -101,15 +97,14 @@ _WINDOW = [
     # rotated-out green aggregates at full value precision (members
     # incl. a1-a4/a6/a7/a9/a12/j1/j2/w1/t1/t3/t4/f2/p1..p10_13 — see
     # combo_queries).
-    "p_combo_projections",
-    "seq_packing",
+    "p_combo_a",
+    "p_combo_b",
     # New in round 2 (cont.): TPC-H headline shapes, dedup cluster
     # canonicalization, vocabulary heavy hitters, deterministic
     # stratified sampling — never driver-verified before.
     "tpch_q1_pricing",
     "tpch_q3_top_orders",
-    "dedup_cluster_canonical",
-    "text_heavy_hitters",
+
     # (sample_stratified rotated into the combo slot in round 5 — pure
     # int/string md5-keyed rows, green since r2 — freeing a slot for
     # the k-truss promotion below.)
@@ -133,6 +128,21 @@ _WINDOW = [
     "a_winsorize_clip",
     "dedup_substring_coverage",
     "stream_session_window_native",
+    # Round-6 promotions (VERDICT r5 next-round #1/#2): the combo's two
+    # heaviest members move to direct rows, and the four never-driver-
+    # verified flagship families gain engine-exact derivative oracles
+    # (scalar-quantization PQ, HITS/PPR top-k rank order, the planted
+    # exact-duplicate SemDeDup invariant). Seven long-green pure-int/
+    # string queries rotated into the (now split) combo slots:
+    # text_chunking, seq_packing, dedup_cluster_canonical,
+    # text_heavy_hitters, text_pii_redact, text_contamination,
+    # g13_triangle_counts.
+    "g18_weighted_sssp",
+    "pipeline_training_shards",
+    "ann_pq_sq_topk",
+    "g16_hits_topk",
+    "g8_ppr_topk",
+    "dedup_semantic_dups",
 ]
 if len(_WINDOW) != 50:
     raise RuntimeError(f"_WINDOW must hold exactly 50 names, got {len(_WINDOW)}")

@@ -1,9 +1,11 @@
-"""Combo correctness query: the driver's gate verifies only the first
-50 registered queries, so the trivially-cheap projection-family queries
-would otherwise lose their per-round CORRECTNESS row to higher-risk
-operators. ``p_combo_projections`` folds each member query's full
-result into (member, row-string) rows — one window slot buys an exact
-value-level check of all members every round.
+"""Combo correctness queries: the driver's gate verifies only the
+first 50 registered queries, so the trivially-cheap projection-family
+queries would otherwise lose their per-round CORRECTNESS row to
+higher-risk operators. ``p_combo_a``/``p_combo_b`` (split by a stable
+md5 name hash since round 6) fold each member query's full result
+into (member, row-string) rows — two window slots buy an exact
+value-level check of all members every round, with no single row
+covering more than 45 queries.
 
 Cross-engine stringification rules (the row strings must be
 byte-identical in Spark and DuckDB):
@@ -265,18 +267,14 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "i"), ("tgt_evidence", "i"), ("raw_evidence", "i"),
         ("keep", "i"),
     ],
-    # Round 5: the shard-production pipeline manifest — pure integers.
-    "pipeline_training_shards": [
-        ("shard_id", "i"), ("n_chunks", "i"), ("total_words", "i"),
-    ],
+    # (pipeline_training_shards and g18_weighted_sssp promoted OUT of
+    # the combo to their own window slots in round 6 — the two heaviest
+    # members now carry direct driver rows, VERDICT r5 next-round #1.)
     # Round 5: null-safe join — the NULL key row exercises the ∅
     # sentinel; balances are scale-2 lossless sums.
     "j_null_safe_join": [
         ("nk", "i"), ("n_a", "i"), ("n_b", "i"), ("bal_a", "d"),
     ],
-    # Round 5: weighted SSSP over the doubling DAG — exact integer
-    # distances.
-    "g18_weighted_sssp": [("node", "s"), ("dist", "i")],
     # Round 5: quarantine ingest — the NULL bad-side sum hits the ∅
     # sentinel, so the null itself is value-checked.
     "s_quarantine_read": [
@@ -309,9 +307,160 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "w_ntile_cume_dist": [
         ("source", "s"), ("doc_id", "i"), ("quartile", "i"), ("cd_n", "i"),
     ],
+    # Round-6 rotation: seven stable window queries (green since round
+    # 2/3, pure int/string columns — no float cast anywhere) moved here
+    # to free direct rows for the round-6 promotions (PQ-SQ ANN, HITS
+    # top-k, PPR top-k, semantic-dedup planted check, weighted SSSP,
+    # training shards) and the second combo slot.
+    "text_chunking": [
+        ("doc_id", "i"), ("chunk_idx", "i"), ("n_words", "i"),
+        ("chunk_text", "s"),
+    ],
+    "seq_packing": [
+        ("source", "s"), ("doc_id", "i"), ("n_words", "i"),
+        ("start_offset", "i"), ("bin_first", "i"), ("bin_last", "i"),
+    ],
+    "dedup_cluster_canonical": [
+        ("doc_id", "i"), ("canonical_id", "i"), ("keep", "i"),
+    ],
+    "text_heavy_hitters": [("token", "s"), ("cnt", "i")],
+    "text_pii_redact": [
+        ("c_custkey", "i"), ("n_emails", "i"), ("n_urls", "i"),
+        ("n_phones", "i"), ("redacted", "s"),
+    ],
+    "text_contamination": [("doc", "i"), ("bench", "i"), ("n_shared", "i")],
+    "g13_triangle_counts": [("node", "i"), ("n_triangles", "i")],
 }
 
 _NULL = "∅"
+
+# Two combo slots (round 6, VERDICT r5 next-round #1): one 80-plus-
+# member slot was both the single point of failure for most oracle
+# checks and the heaviest row in the driver gate. Members split by a
+# deterministic RUNTIME-balanced greedy partition: heaviest member
+# first into the lighter bin (ties and order fixed by the literal
+# weights + name sort — no hashing, no RNG), so each slot re-checks
+# ~half the family in ~half the wall-clock and a regression halves
+# the diagnosis space.
+
+# Measured solo (Spark collect + DuckDB oracle) seconds at sf0.01 on
+# the round-6 host, one warm session. Only the ORDERING matters — a
+# 2x drift leaves the split near-balanced; members not listed (new
+# rotations) default to 0.5 until re-measured.
+_WEIGHTS: dict[str, float] = {
+    "a11_edge_pattern_count": 0.58,
+    "a12_bucket_histogram": 0.54,
+    "a15_combined_histogram": 10.01,
+    "a1_conditional_count": 0.47,
+    "a2_conditional_count2": 0.53,
+    "a3_set_collect_sorted": 1.02,
+    "a4_count_distinct": 0.96,
+    "a5_formatted_freq_agg": 0.54,
+    "a6_truncated_ratio": 0.43,
+    "a7_having_filter": 0.35,
+    "a9_group_count": 0.34,
+    "a_cube_day_type": 0.32,
+    "a_pivot_daily": 0.36,
+    "a_rollup_day_type": 0.44,
+    "a_unpivot_metrics": 0.3,
+    "dedup_chunk_level": 0.92,
+    "dedup_cluster_canonical": 2.58,
+    "dedup_exact": 0.42,
+    "dedup_fingerprint": 0.4,
+    "dq_constraint_report": 1.36,
+    "er_fuzzy_match": 1.18,
+    "f1_f2_entity_labels": 0.41,
+    "f2_entity_labels": 0.25,
+    "f7_link_labels": 0.26,
+    "g13_triangle_counts": 2.18,
+    "g19_clustering_coeff": 2.64,
+    "j1_adjacency_list": 0.52,
+    "j2_inverse_adjacency": 0.84,
+    "j5_broadcast_join_agg": 0.39,
+    "j8_expand_to_authors": 0.36,
+    "j9_summary_counts": 0.86,
+    "j_bucketed_join": 1.02,
+    "j_null_safe_join": 0.35,
+    "j_range_join": 0.69,
+    "mm_frame_sample": 0.55,
+    "o1_collation_sort": 3.07,
+    "p10_13_rowskip_type_filter": 0.25,
+    "p14_16_map_ops": 0.3,
+    "p1_scan_project_filter": 4.2,
+    "p3_coalesce_fill": 0.27,
+    "p4_regex_clean": 0.26,
+    "p5_7_drop_rename_fill": 0.27,
+    "p8_split_explode": 0.4,
+    "p9_11_12_guard_validate_lookup": 0.28,
+    "pipeline_end_to_end": 1.88,
+    "pipeline_quality_gate": 1.86,
+    "s6_csv_roundtrip": 0.81,
+    "s7_entity_map_roundtrip": 1.63,
+    "s9_gexf_roundtrip": 1.27,
+    "s_orc_roundtrip": 0.76,
+    "s_partitioned_layout": 1.66,
+    "s_quarantine_read": 0.78,
+    "s_schema_evolution": 1.11,
+    "s_targeted_delete": 1.28,
+    "s_zorder_layout": 1.0,
+    "sample_importance": 0.85,
+    "sample_mixture": 0.98,
+    "sample_stratified": 0.31,
+    "seq_packing": 0.32,
+    "skew_key_profile": 0.4,
+    "sql_top_customer_per_nation": 1.44,
+    "stream_record_high": 2.94,
+    "stream_sliding_daily": 1.13,
+    "stream_static_dim_join": 1.0,
+    "stream_upsert_sink": 2.88,
+    "t1_t2_union_dedupe": 0.6,
+    "t3_overlap_partition": 0.48,
+    "t4_unique_to_group": 0.5,
+    "text_chunking": 0.31,
+    "text_contamination": 0.56,
+    "text_heavy_hitters": 0.29,
+    "text_html_strip": 0.25,
+    "text_langid": 0.42,
+    "text_normalize": 0.25,
+    "text_pii_redact": 0.25,
+    "text_token_stats": 0.26,
+    "tpch_q16_supplier_counts": 0.9,
+    "tpch_q18_large_orders": 0.61,
+    "tpch_q22_dormant_balance": 0.88,
+    "tpch_q2_cheapest_supplier": 1.0,
+    "tpch_q4_order_priority": 0.43,
+    "tpch_q5_local_supplier": 0.69,
+    "tpch_q6_forecast": 0.51,
+    "ts_rolling_zscore": 0.51,
+    "w1_top_n": 0.43,
+    "w2_first_match_backfill": 0.72,
+    "w_ntile_cume_dist": 0.31,
+}
+
+
+def _split_members() -> tuple[dict, dict]:
+    order = sorted(_MEMBERS, key=lambda n: (-_WEIGHTS.get(n, 0.5), n))
+    loads = [0.0, 0.0]
+    names: list[list[str]] = [[], []]
+    for n in order:
+        i = 0 if loads[0] <= loads[1] else 1
+        names[i].append(n)
+        loads[i] += _WEIGHTS.get(n, 0.5)
+    return (
+        {n: _MEMBERS[n] for n in sorted(names[0])},
+        {n: _MEMBERS[n] for n in sorted(names[1])},
+    )
+
+
+_MEMBERS_A, _MEMBERS_B = _split_members()
+
+# Import-time guard (the round-6 "done" criterion, kept enforced): no
+# single CORRECTNESS row may cover more than 45 queries.
+for _slot in (_MEMBERS_A, _MEMBERS_B):
+    if len(_slot) > 45:
+        raise RuntimeError(
+            f"combo slot covers {len(_slot)} members (> 45): split further"
+        )
 
 
 def _stringify(df: DataFrame, member: str) -> DataFrame:
@@ -330,9 +479,9 @@ def _stringify(df: DataFrame, member: str) -> DataFrame:
     )
 
 
-def _combo_oracle() -> str:
+def _combo_oracle(members: dict) -> str:
     parts = []
-    for member, spec in _MEMBERS.items():
+    for member, spec in members.items():
         exprs = []
         for name, kind in spec:
             if kind == "d":
@@ -349,10 +498,19 @@ def _combo_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@register("p_combo_projections", oracle=_combo_oracle())
-def p_combo_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _combo_plan(spark: SparkSession, sf_dir: str, members: dict) -> DataFrame:
     out = None
-    for member in _MEMBERS:
+    for member in members:
         part = _stringify(QUERIES[member](spark, sf_dir), member)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register("p_combo_a", oracle=_combo_oracle(_MEMBERS_A))
+def p_combo_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _combo_plan(spark, sf_dir, _MEMBERS_A)
+
+
+@register("p_combo_b", oracle=_combo_oracle(_MEMBERS_B))
+def p_combo_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _combo_plan(spark, sf_dir, _MEMBERS_B)

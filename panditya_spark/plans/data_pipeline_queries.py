@@ -358,6 +358,105 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(queries, codes, cb, c_id="vec_id", k=10)
 
 
+# --------------------------------------- ANN: PQ, scalar-quantization codebook
+_PQ_DIM, _PQ_CODES, _PQ_K = 64, 16, 10
+
+
+def _pq_sq_oracle() -> str:
+    """DuckDB twin of the FULL scalar-quantization PQ pipeline: codebook
+    construction (per-dim min/max grid), encode (explicit argmin over
+    the 16 centers, code tiebreak — numpy argmin's first-minimum), ADC
+    scoring (per-term products cast to DECIMAL(28,18) and summed — the
+    exact order-independent arithmetic pq_topk itself uses), and the
+    per-query rank window. Every float op is a single closed-form
+    expression over identical IEEE inputs in both engines (min/max
+    aggregates are order-independent; the decimal sums are exact), so
+    the (qid, cid, rank) output is engine-exact — no unrolled-kmeans
+    float parity needed."""
+    d, nc, k = _PQ_DIM, _PQ_CODES, _PQ_K
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    js AS (SELECT unnest(generate_series(1, {d})) AS j),
+    cs AS (SELECT unnest(generate_series(0, {nc - 1})) AS c),
+    dims AS (SELECT vec_id, j, v[j] AS x FROM e CROSS JOIN js),
+    st AS (SELECT j, min(x) AS lo, max(x) AS hi FROM dims GROUP BY j),
+    cent AS (
+      SELECT j, c, lo + (c + 0.5) * ((hi - lo) / {nc}) AS ctr
+      FROM st CROSS JOIN cs
+    ),
+    enc AS (
+      SELECT vec_id, j, c AS code, ctr,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY (x - ctr) * (x - ctr), c) AS rn
+      FROM dims JOIN cent USING (j)
+    ),
+    codes AS (SELECT vec_id, j, ctr FROM enc WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    terms AS (
+      SELECT q.qid, cd.vec_id AS cid,
+             CAST(q.qv[cd.j] * cd.ctr AS DECIMAL(28,18)) AS dt,
+             CAST(cd.ctr * cd.ctr AS DECIMAL(28,18)) AS nt
+      FROM q JOIN codes cd ON cd.vec_id <> q.qid
+    ),
+    scored AS (
+      SELECT qid, cid, SUM(dt) AS num, SUM(nt) AS rec
+      FROM terms GROUP BY qid, cid
+    ),
+    ranked AS (
+      SELECT qid, cid,
+             CAST(row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(num AS DOUBLE) / sqrt(CAST(rec AS DOUBLE)) DESC,
+                        cid
+             ) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_pq_sq_topk", oracle=_pq_sq_oracle())
+def ann_pq_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with a SCALAR-QUANTIZATION codebook (sub=1, 16 uniform
+    grid levels per dimension from the per-dim min/max — the SQ8
+    compression family): the codebook is a closed-form driver artifact
+    instead of a sampled-kmeans fit, which makes the ENTIRE pipeline —
+    pq_encode's argmin, pq_topk's broadcast-LUT join, decimal ADC sums,
+    rank window — value-checked against an exact DuckDB oracle every
+    round. ann_pq_topk (the trained-codebook twin) stays rows-only
+    because kmeans centroids aren't SQL-derivable; this query is the
+    direct driver row for the shared PQ engine machinery (VERDICT r5
+    next-round #2). Ranking robustness: the score ordering is computed
+    from exact decimal sums, so rank flips would need true score gaps
+    below one double ulp — not a property of the synthetic embeddings.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("j", "x")
+        )
+        .groupBy("j")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("j")
+        .collect()
+    )
+    assert len(stats) == _PQ_DIM, f"embedding dim {len(stats)} != {_PQ_DIM}"
+    cb = []
+    for r in stats:
+        lo, hi = r["lo"], r["hi"]
+        step = (hi - lo) / _PQ_CODES
+        cb.append([[lo + (c + 0.5) * step] for c in range(_PQ_CODES)])
+    codes = S.pq_encode(emb, "vec_id", "embedding", cb)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.pq_topk(queries, codes, cb, c_id="vec_id", k=_PQ_K).select(
+        "qid", "cid", "rank"
+    )
+
+
 # ------------------------------------------------------- semantic dedup
 @register("dedup_semantic")
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,6 +478,47 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=8, threshold=0.35, max_iter=4
     )
+
+
+# ------------------------------------- semantic dedup, planted-duplicate check
+@register(
+    "dedup_semantic_dups",
+    oracle="""
+    SELECT vec_id, CAST(0 AS INTEGER) AS is_dup FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000, CAST(1 AS INTEGER) AS is_dup
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+)
+def dedup_semantic_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct driver row for the semantic_dedup pipeline (VERDICT r5
+    next-round #2) on its ENGINE-EXACT invariant: every vec_id % 10
+    row is planted as an identical clone at id+10000, and SemDeDup's
+    guarantee — identical vectors always share a k-means cluster
+    (identical rounded centroid similarities + deterministic
+    tie-break), the within-cluster pair join sees them, the smaller id
+    keeps — makes the integer flag column exactly predictable: clones
+    1, everything else 0 (threshold 0.999999 sits far above the
+    synthetic corpus's 0.48 natural ceiling and far below self-cosine,
+    so no float boundary exists). A wrong cluster assignment for any
+    clone, a broken pair join, or an inverted keeper convention all
+    flip flags. The float-threshold near-dup semantics (0.97-class)
+    and cluster structure stay pinned by
+    tests/test_dedup_text_similarity.py; dedup_semantic remains the
+    rows-only full-output twin."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    out = S.semantic_dedup(
+        emb.unionByName(clones),
+        "vec_id",
+        "embedding",
+        n_clusters=8,
+        threshold=0.999999,
+        max_iter=4,
+    )
+    return out.select("vec_id", "is_dup")
 
 
 # ---------------------------------------------------------------- embedding near-dup pairs

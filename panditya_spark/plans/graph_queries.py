@@ -412,6 +412,87 @@ def g16_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_topk_oracle(iters: int, k: int) -> str:
+    """UNROLLED HITS power-iteration oracle: each round is two
+    (join + group-sum + L2-normalize) CTE blocks — the exact update
+    hits() runs distributed. Floats cross engines differ only by
+    accumulation-order ulps (~1e-13 after 12 rounds), so the checked
+    output is the top-k AUTHORITY rank order over authorities ROUNDED
+    to 6 decimals: structurally-tied nodes (all orders of one
+    customer, all customers of one nation — single-term authority
+    updates on this graph) snap to equal and break on node id, and
+    the k-boundary gaps between distinct rounded levels are orders of
+    magnitude above the noise (verified at sf0.001/sf0.01)."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM"
+        " edges UNION ALL SELECT dst FROM edges))",
+        "h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)",
+    ]
+    for t in range(1, iters + 2):
+        parts.append(
+            f"ar{t} AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS raw "
+            f"FROM edges e JOIN h{t-1} h ON h.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"af{t} AS MATERIALIZED (SELECT n.node, coalesce(ar.raw, 0.0) AS raw "
+            f"FROM nodes n LEFT JOIN ar{t} ar USING (node))"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT af.node, CASE WHEN q.nrm > 0 "
+            f"THEN af.raw / q.nrm ELSE 0.0 END AS authority "
+            f"FROM af{t} af CROSS JOIN "
+            f"(SELECT sqrt(sum(raw * raw)) AS nrm FROM af{t}) q)"
+        )
+        if t == iters + 1:
+            # hits() returns the authority OF the final hub vector —
+            # one extra authority half-round, no hub update after it.
+            break
+        parts.append(
+            f"hr{t} AS MATERIALIZED (SELECT e.src AS node, sum(a.authority) AS raw "
+            f"FROM edges e JOIN a{t} a ON a.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"hf{t} AS MATERIALIZED (SELECT n.node, coalesce(hr.raw, 0.0) AS raw "
+            f"FROM nodes n LEFT JOIN hr{t} hr USING (node))"
+        )
+        parts.append(
+            f"h{t} AS MATERIALIZED (SELECT hf.node, CASE WHEN q.nrm > 0 "
+            f"THEN hf.raw / q.nrm ELSE 0.0 END AS hub "
+            f"FROM hf{t} hf CROSS JOIN "
+            f"(SELECT sqrt(sum(raw * raw)) AS nrm FROM hf{t}) q)"
+        )
+    final = (
+        f" SELECT rk, node FROM (SELECT CAST(row_number() OVER ("
+        f"ORDER BY round(authority, 6) DESC, node) AS INTEGER) AS rk, node "
+        f"FROM a{iters + 1}) WHERE rk <= {k}"
+    )
+    return ", ".join(parts) + final
+
+
+@register("g16_hits_topk", oracle=_hits_topk_oracle(iters=12, k=10))
+def g16_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 HITS AUTHORITIES of the key-chain graph as (rank, node)
+    — the direct driver row for the g16 family (VERDICT r5 next-round
+    #2): the full float frame stays rows-only in g16_hits (L2 float
+    fixpoint), but the authority RANK ORDER at a fixed k is an
+    engine-exact integer derivative once authorities are rounded to 6
+    decimals (see _hits_topk_oracle for the robustness argument; exact
+    numeric semantics remain pinned by
+    tests/test_graph.py::test_hits_matches_numpy)."""
+    from panditya_spark.operators.graph import hits
+
+    from pyspark.sql.window import Window
+
+    res = hits(key_chain_edges(spark, sf_dir), iters=12)
+    w = Window.orderBy(F.desc(F.round(F.col("authority"), 6)), F.asc("node"))
+    return (
+        res.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("rk").cast("int").alias("rk"), "node")
+    )
+
+
 # ---------------------------------------------------------------- G17 (ext)
 def _ktruss_oracle(k: int, unroll: int) -> str:
     """UNROLLED support-peel SQL oracle for the k-truss: each step

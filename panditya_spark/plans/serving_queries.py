@@ -579,6 +579,81 @@ def g3_g4_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotated
 
 
+def _ppr_topk_oracle(iters: int, k: int) -> str:
+    """UNROLLED personalized-PageRank oracle: each round is one
+    contrib join-sum, one dangling-mass aggregate, and the combine
+    expression written in personalized_pagerank's exact operand order
+    ((1.0 - 0.85) matches the Python 1-damping bit pattern). On the
+    key-chain graph every node has in-degree <= 1, so contrib sums are
+    single-term (bit-exact cross-engine); only the dangling mass is a
+    wide float sum, and it enters every rank through the same
+    multiplicative chain — rank ORDER is noise-robust. The checked
+    output is the top-k rank order over ranks rounded to 9 decimals:
+    structural classes (customers of one nation, orders of one
+    customer — bit-equal in-engine) snap equal and break on node id."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM"
+        " edges UNION ALL SELECT dst FROM edges))",
+        "seeds AS MATERIALIZED (SELECT DISTINCT 'N' || CAST(n_nationkey AS VARCHAR)"
+        " AS node FROM nation WHERE n_regionkey = 0)",
+        "restart AS MATERIALIZED (SELECT node, 1.0 / (SELECT count(*) FROM seeds)"
+        " AS r0 FROM seeds)",
+        "outd AS MATERIALIZED (SELECT src AS node, count(*) AS od FROM edges GROUP BY src)",
+        "pr0 AS MATERIALIZED (SELECT n.node, coalesce(s.r0, 0.0) AS rank "
+        "FROM nodes n LEFT JOIN restart s USING (node))",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank / o.od) AS contrib "
+            f"FROM edges e JOIN pr{t-1} r ON r.node = e.src "
+            f"JOIN outd o ON o.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm "
+            f"FROM pr{t-1} r WHERE r.node NOT IN (SELECT node FROM outd))"
+        )
+        parts.append(
+            f"pr{t} AS MATERIALIZED (SELECT n.node, "
+            f"(1.0 - 0.85) * coalesce(s.r0, 0.0) + 0.85 * "
+            f"(coalesce(c.contrib, 0.0) + d.dm * coalesce(s.r0, 0.0)) AS rank "
+            f"FROM nodes n LEFT JOIN restart s USING (node) "
+            f"LEFT JOIN c{t} c USING (node) CROSS JOIN d{t} d)"
+        )
+    final = (
+        f" SELECT rk, node FROM (SELECT CAST(row_number() OVER ("
+        f"ORDER BY round(rank, 9) DESC, node) AS INTEGER) AS rk, node "
+        f"FROM pr{iters} WHERE rank > 0) WHERE rk <= {k}"
+    )
+    return ", ".join(parts) + final
+
+
+@register("g8_ppr_topk", oracle=_ppr_topk_oracle(iters=10, k=20))
+def g8_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 personalized-PageRank proximity order (seeded at
+    region-0's nations) as (rank, node) — the direct driver row for
+    the g8 PPR family (VERDICT r5 next-round #2): the float rank
+    frame stays rows-only in g8_personalized_pagerank, but the rank
+    ORDER at a fixed k is an engine-exact integer derivative after
+    9-decimal rounding (see _ppr_topk_oracle; mass conservation and
+    proximity decay remain pinned by
+    tests/test_graph.py::test_personalized_pagerank_proximity_and_mass).
+    """
+    from panditya_spark.operators.graph import personalized_pagerank
+
+    n = load_table(spark, sf_dir, "nation")
+    seeds = n.filter(F.col("n_regionkey") == 0).select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node")
+    )
+    ranks = personalized_pagerank(key_chain_edges(spark, sf_dir), seeds, iters=10)
+    w = Window.orderBy(F.desc(F.round(F.col("rank"), 9)), F.asc("node"))
+    return (
+        ranks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("rk").cast("int").alias("rk"), "node")
+    )
+
+
 # ------------------------------------------------------ G8 personalized (ext)
 @register("g8_personalized_pagerank")
 def g8_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,6 +106,97 @@ def _build_record_high_batch(spark, sf_dir):
     )
 
 
+def _build_sssp_round(spark, sf_dir):
+    """One weighted-SSSP relaxation round as a LAZY plan (the loop in
+    operators/graph.weighted_sssp materializes per round, so the
+    registered query can't be explained without running it): frontier
+    ⋈ edges on src, map-side-combinable min aggregate, full-outer
+    merge against the running distances."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.plans.graph_queries import _t
+
+    o = _t(spark, sf_dir, "orders")
+    o1 = o.select("o_orderkey").filter(F.col("o_orderkey") > 0)
+    o2 = o.select(F.col("o_orderkey").alias("k2"))
+    dag = o1.join(o2, o1["o_orderkey"] * 2 == o2["k2"]).select(
+        F.concat(F.lit("K"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("K"), (F.col("o_orderkey") * 2).cast("string")).alias("dst"),
+        (1 + F.col("o_orderkey") % 3).alias("w"),
+    )
+    heads = dag.select("src").subtract(dag.select(F.col("dst").alias("src")))
+    dist = heads.select(
+        F.col("src").alias("node"), F.lit(0).cast("bigint").alias("dist")
+    )
+    cand = (
+        dist.join(dag, dist["node"] == dag["src"])
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+    )
+    return dist.join(cand, "node", "full_outer").select(
+        "node",
+        F.coalesce(F.least("dist", "cand"), F.coalesce("dist", "cand")).alias(
+            "dist"
+        ),
+        (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias(
+            "improved"
+        ),
+    )
+
+
+def _build_semantic_dedup_pairs(spark, sf_dir):
+    """The semantic-dedup within-cluster pair plan (the full operator
+    runs its k-means actions eagerly; the gated shape is the candidate
+    join): assignments ⋈ vectors, then the self-join ON THE CLUSTER ID
+    — candidates are bucketed, never an all-pairs product."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.plans.data_pipeline_queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # A stand-in assignment with the real queries' shape (vec_id %
+    # n_clusters) keeps the gate load-independent — the join geometry
+    # is identical to kmeans_assign's output.
+    a = emb.select(
+        F.col("vec_id").alias("sid"),
+        (F.col("vec_id") % 8).alias("cluster"),
+        F.col("embedding").alias("svec"),
+    )
+    lhs = a.select("cluster", F.col("sid").alias("id1"), F.col("svec").alias("v1"))
+    rhs = a.select("cluster", F.col("sid").alias("id2"), F.col("svec").alias("v2"))
+    from panditya_spark.operators.similarity import cosine
+
+    return (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(cosine(F.col("v1"), F.col("v2")) >= 0.999)
+        .select("id1", "id2")
+    )
+
+
+def _build_session_window_batch(spark, sf_dir):
+    """Batch twin of the builtin session_window aggregation (the
+    registered query drives a real micro-batch run; the gate asserts
+    the session-window aggregate machinery on the equivalent batch
+    plan)."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.plans.streaming_queries import _t
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"), "ts"
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros(F.col("session_window.start")).alias("s_us"),
+        )
+    )
+
+
 def _build_ktruss_round(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -543,6 +634,55 @@ CHECKS = [
             ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
         ],
     ),
+    # ---- round-6 additions: the round-5 iterative/ANN shapes that had
+    # no gate (VERDICT r5 next-round #4) plus the new promotions.
+    (
+        ("g18_weighted_sssp/round_relax", _build_sssp_round),
+        [
+            ("relaxation min-aggregate is partial (map-side combine)", r"partial"),
+            ("dist merge is a single FullOuter equi join", r"FullOuter"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
+    (
+        "g19_clustering_coeff",
+        [
+            ("closing edge probed via LEFT-SEMI join", r"LeftSemi"),
+            ("degree + triangle aggregates partial", r"partial"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
+    (
+        ("stream_session_window_native/batch_twin", _build_session_window_batch),
+        [
+            ("builtin session-window aggregate present", r"(?i)session.?window"),
+            ("single user_id exchange feeds the session merge",
+             ("count<=", "Exchange hashpartitioning(user_id", 1)),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
+    (
+        ("dedup_semantic/cluster_pairs", _build_semantic_dedup_pairs),
+        [
+            # SemDeDup's whole point: candidates ride the cluster-id
+            # equi-join, never an all-pairs product.
+            ("pair candidates are cluster-bucketed (equi join)",
+             r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
+    (
+        "ann_pq_sq_topk",
+        [
+            # The round-6 single-join ADC contract: NO per-query union
+            # branches, one broadcast LUT equi-join, partial decimal
+            # sums before the (qid, cid) exchange.
+            ("no per-query union branches", ("absent", ["Union"])),
+            ("LUT joined via BroadcastHashJoin", r"BroadcastHashJoin"),
+            ("ADC term sums partial-aggregated", r"partial"),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
     (
         "s_quarantine_read",
         [
@@ -561,14 +701,18 @@ CHECKS = [
 
 
 def main() -> int:
+    import time
+
     from panditya_spark.plans import QUERIES
     from panditya_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    t_start = time.monotonic()
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
     failures = 0
+    n_gates = 0
     for qname, assertions in CHECKS:
         if isinstance(qname, tuple):
             qname, builder = qname
@@ -596,13 +740,21 @@ def main() -> int:
                     raise ValueError(kind)
             else:
                 ok = re.search(pattern, plan, re.S | re.M) is not None
+            n_gates += 1
             print(f"{'PASS' if ok else 'FAIL'} {qname}: {desc}")
             if not ok:
                 failures += 1
                 print("---- plan ----")
                 print(plan[:4000])
                 print("--------------")
-    print(f"\n{failures} plan-shape failures")
+    # Runtime is part of the audit's own contract (one shared session
+    # across all gates; budget 300s — only plans compile, nothing
+    # heavy executes, so sustained growth past the budget means a gate
+    # builder started doing real work).
+    wall = time.monotonic() - t_start
+    print(f"\n{failures} plan-shape failures over {n_gates} gates")
+    print(f"audit wall-clock: {wall:.1f}s (budget 300s)"
+          + ("  WARN: over budget" if wall > 300 else ""))
     return 1 if failures else 0
 
 
