@@ -387,16 +387,25 @@ def kmeans_assign(
     analysis, dedup-cluster seeding, and IVF index construction (the
     ivf_topk inverted lists are exactly one short run of this).
 
-    Each iteration is the classic DataFrame pair: assign = broadcast
-    the k centroids, per-row argmax (map-only); update = posexplode /
-    avg / re-assemble per list (one shuffle by cluster id). Iterates
-    to assignment fixpoint or max_iter. Deterministic end-to-end: the
-    init is a hash-ordered sample (no RNG), updates are exact
-    averages, ties break on list id.
+    Each iteration: assign = ONE Arrow-batched pandas UDF doing a
+    single matmul of the vector batch against the k collected
+    centroids (map-only — centroids are a k-row driver artifact, the
+    same bounded-model contract as the PQ codebook and the IVF
+    centroid table; the earlier crossJoin + per-centroid fold-
+    expression scoring spent more time in whole-stage codegen than
+    the whole job, the documented sign_sketch case); update =
+    posexplode / avg / re-assemble per list (one shuffle by cluster
+    id, stays distributed — vectors never leave the executors).
+    Iterates to assignment fixpoint or max_iter. Deterministic
+    end-to-end: the init is a hash-ordered sample (no RNG), updates
+    are exact averages, similarities are rounded to 6 decimals before
+    the argmax, ties break on the smaller list id (numpy first-max).
 
     Returns (id, cluster) with cluster ids 1..k (row_number order of
     the initial centroid sample).
     """
+    from pyspark.sql.functions import pandas_udf
+
     cand = df.select(
         F.col(id_col).alias("kid"), _dbl(F.col(vec_col)).alias("kvec")
     ).cache()
@@ -408,30 +417,38 @@ def kmeans_assign(
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        scored = cand.crossJoin(F.broadcast(cents)).withColumn(
-            "cent_sim", F.round(cosine(F.col("kvec"), F.col("centvec")), 6)
-        )
-        w = Window.partitionBy("kid").orderBy(F.desc("cent_sim"), F.asc("list_id"))
-        return (
-            scored.withColumn("nr", F.row_number().over(w))
-            .filter(F.col("nr") == 1)
-            .select("kid", "kvec", "list_id")
-        )
+        rows = cents.orderBy("list_id").collect()
+        C = np.stack([np.asarray(r["centvec"], dtype=np.float64) for r in rows])
+        ids = np.array([r["list_id"] for r in rows], dtype=np.int64)
+        Cn = np.linalg.norm(C, axis=1)
+        Cn[Cn == 0] = 1.0
+
+        @pandas_udf("long")
+        def best_list(v: pd.Series) -> pd.Series:
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            Mn = np.linalg.norm(M, axis=1)
+            Mn[Mn == 0] = 1.0
+            sims = np.round((M @ C.T) / np.outer(Mn, Cn), 6)
+            # argmax takes the FIRST maximum; columns are ascending
+            # list_id, so ties break on the smaller id.
+            return pd.Series(ids[np.argmax(sims, axis=1)])
+
+        return cand.select("kid", "kvec", best_list("kvec").alias("list_id"))
 
     assigned = assign(cent).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        cent = F.broadcast(
-            _avg_vectors(assigned, "list_id", "kvec").withColumnRenamed(
-                "kvec", "centvec"
-            )
+        cent = _avg_vectors(assigned, "list_id", "kvec").withColumnRenamed(
+            "kvec", "centvec"
         )
-        new = assign(cent).localCheckpoint(eager=True)
-        changed = (
+        new = assign(cent).localCheckpoint(eager=False)
+        # ONE action materializes the lazy checkpoint AND answers the
+        # fixpoint probe (the SSSP round_end_probe shape).
+        moved = not (
             new.alias("n")
             .join(assigned.alias("o"), "kid")
             .filter(F.col("n.list_id") != F.col("o.list_id"))
+            .isEmpty()
         )
-        moved = not changed.isEmpty()
         assigned = new
         if not moved:
             break
@@ -439,6 +456,28 @@ def kmeans_assign(
     return assigned.select(
         F.col("kid").alias(id_col), F.col("list_id").alias("cluster")
     )
+
+
+def pairwise_cosine_udf():
+    """Arrow-batched pairwise cosine for candidate-pair FILTERS (no
+    surfaced similarity column): one einsum per batch replaces the
+    64-element zip_with/aggregate fold, whose whole-stage codegen
+    dominated cold-call time on wide pair joins (the sign_sketch
+    argument). Oracle-checked queries that SURFACE a rounded sim
+    (dedup_embedding_cosine, ann_cosine_topk) keep the deterministic
+    column-expression fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pcos(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        A = np.stack(v1.to_numpy()).astype(np.float64)
+        B = np.stack(v2.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        den[den == 0] = 1.0
+        return pd.Series(num / den)
+
+    return pcos
 
 
 def semantic_dedup(
@@ -478,10 +517,11 @@ def semantic_dedup(
     rhs = a.select(
         "cluster", F.col("sid").alias("id2"), F.col("svec").alias("v2")
     )
+    pcos = pairwise_cosine_udf()
     dup_ids = (
         lhs.join(rhs, "cluster")
         .filter(F.col("id1") < F.col("id2"))
-        .filter(cosine(F.col("v1"), F.col("v2")) >= threshold)
+        .filter(pcos(F.col("v1"), F.col("v2")) >= threshold)
         .select(F.col("id2").alias("sid"))
         .distinct()
     )

@@ -164,12 +164,13 @@ def _build_semantic_dedup_pairs(spark, sf_dir):
     )
     lhs = a.select("cluster", F.col("sid").alias("id1"), F.col("svec").alias("v1"))
     rhs = a.select("cluster", F.col("sid").alias("id2"), F.col("svec").alias("v2"))
-    from panditya_spark.operators.similarity import cosine
+    from panditya_spark.operators.similarity import pairwise_cosine_udf
 
+    pcos = pairwise_cosine_udf()
     return (
         lhs.join(rhs, "cluster")
         .filter(F.col("id1") < F.col("id2"))
-        .filter(cosine(F.col("v1"), F.col("v2")) >= 0.999)
+        .filter(pcos(F.col("v1"), F.col("v2")) >= 0.999)
         .select("id1", "id2")
     )
 
