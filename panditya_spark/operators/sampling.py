@@ -201,3 +201,84 @@ def importance_select(
         .cast("int")
         .alias("keep"),
     )
+
+
+def token_budget_allocation(
+    groups: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    weight_col: str,
+    total_budget_col: str = "total_budget",
+    max_epochs: int = 1,
+) -> DataFrame:
+    """Token-budget mixture allocation — the data-mixing planning step
+    of a training pipeline (the DoReMi/Pile-style "how many tokens of
+    each source does this run consume" decision): given per-group
+    available token counts and integer mixture weights, split an
+    integer token budget proportionally to the weights, cap every
+    group at ``max_epochs`` passes over its own data, and hand the
+    capped groups' surplus to the uncapped groups in a second
+    proportional round (two-round water-filling; any residual after
+    round two is reported in ``unallocated`` rather than silently
+    over-assigned — exact water-filling is a <=n_groups-round
+    fixpoint, and two rounds is the documented planning contract).
+
+    ALL arithmetic is BIGINT with integral DIV (never float shares,
+    never double division — exact past 2^53), so the allocation is
+    engine-exact and oracle-checkable at any corpus size.
+
+    Input: one row per group with (group, tokens, weight,
+    total_budget) — total_budget is a column so callers can derive it
+    from the corpus itself in the same plan (e.g. "one corpus pass").
+    Scale shape: everything after the caller's per-group aggregate
+    runs on an n_groups-row frame — two 1-row aggregates broadcast
+    back via crossJoin, no shuffle larger than the group list.
+
+    Returns (group, avail_tokens, weight, cap_tokens, alloc_tokens,
+    epochs_micro, unallocated) with epochs_micro = allocated epochs at
+    1e-6 scale and unallocated the same global residual on every row.
+    """
+    g = groups.select(
+        F.col(group_col).alias("grp"),
+        F.col(tokens_col).cast("bigint").alias("avail"),
+        F.col(weight_col).cast("bigint").alias("w"),
+        F.col(total_budget_col).cast("bigint").alias("budget"),
+    )
+    tot_w = g.agg(F.sum("w").alias("w_total"))
+    round1 = (
+        g.crossJoin(F.broadcast(tot_w))
+        .withColumn("cap", F.col("avail") * max_epochs)
+        .withColumn("r1", F.expr("least(cap, budget * w DIV w_total)"))
+        .withColumn("capped", (F.col("r1") >= F.col("cap")).cast("int"))
+    )
+    leftovers = round1.agg(
+        (F.max("budget") - F.sum("r1")).alias("leftover"),
+        F.sum(F.when(F.col("capped") == 0, F.col("w")).otherwise(F.lit(0))).alias(
+            "w_uncapped"
+        ),
+    )
+    alloc = (
+        round1.crossJoin(F.broadcast(leftovers))
+        .withColumn(
+            "r2",
+            F.expr(
+                "CASE WHEN capped = 0 AND w_uncapped > 0 "
+                "THEN least(cap - r1, leftover * w DIV w_uncapped) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .withColumn("alloc", F.col("r1") + F.col("r2"))
+    )
+    residual = alloc.agg((F.max("leftover") - F.sum("r2")).alias("unallocated"))
+    return alloc.crossJoin(F.broadcast(residual)).select(
+        F.col("grp"),
+        F.col("avail").alias("avail_tokens"),
+        F.col("w").alias("weight"),
+        F.col("cap").alias("cap_tokens"),
+        F.col("alloc").alias("alloc_tokens"),
+        F.expr(
+            "CASE WHEN avail > 0 THEN alloc * 1000000 DIV avail "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("epochs_micro"),
+        F.col("unallocated").cast("bigint").alias("unallocated"),
+    )

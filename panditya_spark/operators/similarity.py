@@ -243,10 +243,17 @@ def ivf_topk(
     3. Each query probes its `nprobe` nearest lists; survivors are
        exactly re-ranked (precision of returned rows is exact).
 
-    Centroids stay a driver-size table (nlist rows) and are broadcast;
-    candidates shuffle once by list id. Deterministic end-to-end: the
-    hash sample, Lloyd updates, and rounded re-rank have no RNG state.
+    Centroids stay a driver-size table (nlist rows); candidates
+    shuffle once by list id. Assignment/probing is one Arrow-batched
+    matmul against the collected centroid matrix per call (the
+    kmeans_assign/sign_sketch vectorization — the crossJoin +
+    per-centroid fold expression spent its time in whole-stage
+    codegen). Deterministic end-to-end: the hash sample, Lloyd
+    updates, 6-decimal-rounded similarities with smaller-list_id
+    ties, and the rounded re-rank have no RNG state.
     """
+    from pyspark.sql.functions import pandas_udf
+
     cand = candidates.select(
         F.col(c_id).alias("cid2"), _dbl(F.col(c_vec)).alias("cvec2")
     ).cache()
@@ -258,22 +265,32 @@ def ivf_topk(
     )
 
     def nearest(df: DataFrame, key: str, vec: str, cents: DataFrame, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "cent_sim", F.round(cosine(F.col(vec), F.col("centvec")), 6)
-        )
-        w = Window.partitionBy(key).orderBy(F.desc("cent_sim"), F.asc("list_id"))
-        return (
-            scored.withColumn("nr", F.row_number().over(w))
-            .filter(F.col("nr") <= n)
-            .drop("nr", "centvec", "cent_sim")
+        rows = cents.orderBy("list_id").collect()
+        C = np.stack([np.asarray(r["centvec"], dtype=np.float64) for r in rows])
+        ids = np.array([r["list_id"] for r in rows], dtype=np.int64)
+        Cn = np.linalg.norm(C, axis=1)
+        Cn[Cn == 0] = 1.0
+        top = min(n, len(ids))
+
+        @pandas_udf("array<long>")
+        def topn(v: pd.Series) -> pd.Series:
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            Mn = np.linalg.norm(M, axis=1)
+            Mn[Mn == 0] = 1.0
+            sims = np.round((M @ C.T) / np.outer(Mn, Cn), 6)
+            idb = np.broadcast_to(ids, sims.shape)
+            # lexsort: last key dominates -> order by (-sim, list_id)
+            order = np.lexsort((idb, -sims), axis=-1)[:, :top]
+            return pd.Series([ids[o].tolist() for o in order])
+
+        return df.select(
+            key, vec, F.explode(topn(F.col(vec))).alias("list_id")
         )
 
     for _ in range(lloyd_iters):
         assigned = nearest(cand, "cid2", "cvec2", cent, 1)
-        cent = F.broadcast(
-            _avg_vectors(assigned, "list_id", "cvec2").withColumnRenamed(
-                "cvec2", "centvec"
-            )
+        cent = _avg_vectors(assigned, "list_id", "cvec2").withColumnRenamed(
+            "cvec2", "centvec"
         )
     # Materialize the inverted lists, then release the candidate cache:
     # the returned plan reads the materialized lists, so nothing pins

@@ -330,6 +330,12 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     ],
     "text_contamination": [("doc", "i"), ("bench", "i"), ("n_shared", "i")],
     "g13_triangle_counts": [("node", "i"), ("n_triangles", "i")],
+    # Round 6: token-budget mixture plan — pure BIGINT DIV arithmetic.
+    "sample_token_budget": [
+        ("source", "s"), ("avail_tokens", "i"), ("weight", "i"),
+        ("cap_tokens", "i"), ("alloc_tokens", "i"), ("epochs_micro", "i"),
+        ("unallocated", "i"),
+    ],
 }
 
 _NULL = "∅"
@@ -406,6 +412,7 @@ _WEIGHTS: dict[str, float] = {
     "sample_importance": 0.85,
     "sample_mixture": 0.98,
     "sample_stratified": 0.31,
+    "sample_token_budget": 0.5,
     "seq_packing": 0.32,
     "skew_key_profile": 0.4,
     "sql_top_customer_per_nation": 1.44,

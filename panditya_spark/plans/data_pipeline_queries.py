@@ -480,6 +480,82 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- token-budget mixture planning
+@register(
+    "sample_token_budget",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> ''))) AS avail
+      FROM documents GROUP BY source
+    ),
+    base AS (
+      SELECT source, avail,
+             1 + CAST(substr(source, 4) AS INTEGER) % 5 AS w,
+             (SELECT SUM(avail) FROM tok) AS budget
+      FROM tok
+    ),
+    r1 AS (
+      SELECT *, avail AS cap,
+             least(avail,
+                   budget * w // (SELECT SUM(w) FROM base)) AS r1
+      FROM base
+    ),
+    lf AS (
+      SELECT max(budget) - SUM(r1) AS leftover,
+             SUM(CASE WHEN r1 < cap THEN w ELSE 0 END) AS w_uncapped
+      FROM r1
+    ),
+    r2 AS (
+      SELECT r1.*, lf.leftover,
+             CASE WHEN r1.r1 < r1.cap AND lf.w_uncapped > 0
+                  THEN least(r1.cap - r1.r1,
+                             lf.leftover * r1.w // lf.w_uncapped)
+                  ELSE 0 END AS r2
+      FROM r1 CROSS JOIN lf
+    ),
+    res AS (SELECT max(leftover) - SUM(r2) AS unallocated FROM r2)
+    SELECT source,
+           CAST(avail AS BIGINT) AS avail_tokens,
+           CAST(w AS BIGINT) AS weight,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(r1 + r2 AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN avail > 0
+                     THEN (r1 + r2) * 1000000 // avail ELSE 0 END
+                AS BIGINT) AS epochs_micro,
+           CAST(res.unallocated AS BIGINT) AS unallocated
+    FROM r2 CROSS JOIN res
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture plan over the documents corpus
+    (operators/sampling.token_budget_allocation): per-source whitespace
+    token counts, mixture weight 1 + source-index % 5, budget = one
+    full corpus pass, max one epoch per source — high-weight sources
+    cap at their own size and their surplus water-fills the rest (the
+    data-mixing planning step before shard production). Pure BIGINT
+    DIV arithmetic end-to-end, so every column is engine-exact."""
+    from panditya_spark.operators.sampling import token_budget_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    )
+    per = (
+        docs.select("source", n.alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+    )
+    tot = per.agg(F.sum("tokens").alias("total_budget"))
+    g = per.crossJoin(F.broadcast(tot)).withColumn(
+        "weight", F.lit(1) + F.substring("source", 4, 8).cast("int") % 5
+    )
+    return token_budget_allocation(
+        g, "source", "tokens", "weight", "total_budget", max_epochs=1
+    ).withColumnRenamed("grp", "source")
+
+
 # ------------------------------------- semantic dedup, planted-duplicate check
 @register(
     "dedup_semantic_dups",

@@ -333,3 +333,49 @@ def test_rolling_zscore_hand_values(spark):
     # The return-to-normal point: baseline now contains the spike, so
     # stddev exploded and 10.0 sits within 3 sigma -> not flagged.
     assert flags[7] == (6, 0)
+
+
+# ------------------------------------------- token-budget allocation
+def test_token_budget_waterfill_hand_values(spark):
+    """Hand-computed two-round water-filling: budget 100 over three
+    groups (weights 1/1/2, W=4). Round 1: shares 25/25/50; group c
+    caps at its 30 available tokens. Round 2: leftover 20 splits over
+    the uncapped weights (1+1): +10 each, within caps. Exact integer
+    output, zero residual."""
+    from panditya_spark.operators.sampling import token_budget_allocation
+
+    g = spark.createDataFrame(
+        [("a", 60, 1, 100), ("b", 60, 1, 100), ("c", 30, 2, 100)],
+        ["grp", "tokens", "w", "total_budget"],
+    )
+    out = {
+        r["grp"]: (r["alloc_tokens"], r["cap_tokens"], r["unallocated"])
+        for r in token_budget_allocation(
+            g, "grp", "tokens", "w", "total_budget", max_epochs=1
+        ).collect()
+    }
+    assert out == {
+        "a": (35, 60, 0),
+        "b": (35, 60, 0),
+        "c": (30, 30, 0),
+    }, out
+
+
+def test_token_budget_residual_reported(spark):
+    """When round two still can't place the budget (everything caps),
+    the residual surfaces in `unallocated` instead of over-assigning:
+    budget 100, total capacity 40 -> every group capped, 60 left."""
+    from panditya_spark.operators.sampling import token_budget_allocation
+
+    g = spark.createDataFrame(
+        [("a", 10, 1, 100), ("b", 30, 3, 100)],
+        ["grp", "tokens", "w", "total_budget"],
+    )
+    rows = token_budget_allocation(
+        g, "grp", "tokens", "w", "total_budget", max_epochs=1
+    ).collect()
+    out = {r["grp"]: r["alloc_tokens"] for r in rows}
+    assert out == {"a": 10, "b": 30}, out
+    assert all(r["unallocated"] == 60 for r in rows)
+    # epochs at 1e-6 scale: fully consumed groups read exactly 1.0.
+    assert all(r["epochs_micro"] == 1000000 for r in rows)
