@@ -685,6 +685,20 @@ CHECKS = [
         ],
     ),
     (
+        "sample_token_budget",
+        [
+            # Per-source token totals combine map-side; the plan's only
+            # joins are the two 1-row planning aggregates broadcast
+            # back (the tpch_q22 scalar-subquery class) onto an
+            # n_groups-row frame — nothing larger ever joins.
+            ("per-source token totals partial-aggregated", r"partial"),
+            ("planning aggregates broadcast (1-row)", r"BroadcastExchange"),
+            ("scan prunes to (text, source)",
+             r"ReadSchema: struct<text:string,source:string|ReadSchema: struct<source:string,text:string"),
+            ("no cartesian product", ("absent", ["CartesianProduct"])),
+        ],
+    ),
+    (
         "s_quarantine_read",
         [
             # Both splits must read the SAME materialized parse (eager
