@@ -336,6 +336,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("cap_tokens", "i"), ("alloc_tokens", "i"), ("epochs_micro", "i"),
         ("unallocated", "i"),
     ],
+    # Round 6: VARIANT schema-on-read — integer-leaf JSON, exact.
+    "s_variant_json": [
+        ("etype", "s"), ("n_events", "i"), ("total_cents", "i"),
+        ("n_users", "i"), ("seq1_sum", "i"),
+    ],
 }
 
 _NULL = "∅"
@@ -451,6 +456,10 @@ def _split_members() -> tuple[dict, dict]:
     names: list[list[str]] = [[], []]
     for n in order:
         i = 0 if loads[0] <= loads[1] else 1
+        # Runtime balance first, but never let a slot exceed the
+        # 45-member diagnosis cap while the other has room.
+        if len(names[i]) >= 45:
+            i = 1 - i
         names[i].append(n)
         loads[i] += _WEIGHTS.get(n, 0.5)
     return (

@@ -551,3 +551,74 @@ def s_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ------------------------------------------------- VARIANT semi-structured
+@register(
+    "s_variant_json",
+    oracle="""
+    WITH payload AS (
+      SELECT '{"user":{"id":' || CAST(user_id AS VARCHAR)
+             || ',"type":"' || event_type || '"},"amt":'
+             || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+             || ',"seq":[' || CAST(event_id AS VARCHAR) || ','
+             || CAST(event_id % 7 AS VARCHAR) || ']}' AS js
+      FROM events
+    ),
+    x AS (
+      SELECT CAST(json_extract_string(js, '$.user.type') AS VARCHAR) AS etype,
+             CAST(json_extract(js, '$.user.id') AS BIGINT) AS uid,
+             CAST(json_extract(js, '$.amt') AS BIGINT) AS amt,
+             CAST(json_extract(js, '$.seq[1]') AS BIGINT) AS seq1
+      FROM payload
+    )
+    SELECT etype, count(*) AS n_events,
+           CAST(sum(amt) AS BIGINT) AS total_cents,
+           CAST(count(DISTINCT uid) AS BIGINT) AS n_users,
+           CAST(sum(seq1) AS BIGINT) AS seq1_sum
+    FROM x GROUP BY etype
+    """,
+)
+def s_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-on-read via Spark 4's VARIANT type: each
+    event row is serialized into a nested JSON payload (object +
+    array, integer-only leaves so the oracle is engine-exact), parsed
+    ONCE with parse_json into a VARIANT column, and consumed with
+    typed variant_get path extractions — the modern engine's answer
+    to "the pipeline receives JSON events whose schema isn't known at
+    write time". The aggregate proves the extracted values, types,
+    and array indexing (VARIANT paths are 0-based, DuckDB JSON paths
+    too) end-to-end against an independent JSON implementation.
+    Map-only until the final partial-aggregated groupBy — the same
+    one-shuffle plan as any typed-column aggregate; at 100 TB the
+    parse+extract streams through the scan stage."""
+    from panditya_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    ev = load_table(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"user":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"type":"'),
+        F.col("event_type"),
+        F.lit('"},"amt":'),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit(',"seq":['),
+        F.col("event_id").cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    v = ev.select(F.parse_json(js).alias("v"))
+    x = v.select(
+        F.variant_get("v", "$.user.type", "string").alias("etype"),
+        F.variant_get("v", "$.user.id", "bigint").alias("uid"),
+        F.variant_get("v", "$.amt", "bigint").alias("amt"),
+        F.variant_get("v", "$.seq[1]", "bigint").alias("seq1"),
+    )
+    return x.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amt").alias("total_cents"),
+        F.count_distinct(F.col("uid")).alias("n_users"),
+        F.sum("seq1").alias("seq1_sum"),
+    )

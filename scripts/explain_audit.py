@@ -685,6 +685,24 @@ CHECKS = [
         ],
     ),
     (
+        "s_variant_json",
+        [
+            # parse_json/variant_get are JVM-native expressions: the
+            # whole parse+extract pipeline must stay in the scan stage
+            # (one exchange total, for the final aggregate) with no
+            # Python eval anywhere.
+            ("VARIANT parse+extract stays JVM-side",
+             ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+            # Two physical exchanges (formatted plans print each node
+            # twice): the count_distinct two-phase agg's (etype, uid)
+            # shuffle plus the final etype aggregate — the standard
+            # distinct-agg plan, nothing per-row or per-path.
+            ("two exchanges total (distinct agg + final agg)",
+             ("count<=", "Exchange", 4)),
+            ("extraction aggregate partial before shuffle", r"partial"),
+        ],
+    ),
+    (
         "sample_token_budget",
         [
             # Per-source token totals combine map-side; the plan's only
