@@ -727,3 +727,87 @@ def substring_coverage(
             ),
         )
     )
+
+
+def dedup_against_snapshot(
+    incoming: DataFrame,
+    snapshot: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Incremental corpus-refresh dedup: flag each INCOMING document
+    that duplicates the EXISTING snapshot — the production pattern
+    where a crawled batch lands against an already-deduped corpus and
+    only the batch may be rejected (the snapshot is immutable, so
+    keeper election is trivial: the snapshot always wins). Composes
+    the existing primitives cross-corpus instead of self-joining:
+
+    - exact: md5(text) membership against the snapshot's distinct
+      hash set (one equi-join on the hash);
+    - near: the inverted-index shingle join of ngram_jaccard_pairs,
+      but incoming x snapshot only — candidates share a k-shingle,
+      exact Jaccard >= threshold verifies. The stop-shingle
+      document-frequency cap is computed over the UNION of both
+      corpora (a shingle hot in the snapshot must be stop-listed even
+      if rare in the batch) and sizes use the capped sets, keeping
+      Jaccard a true set similarity (same contract as the self-join
+      path).
+
+    Scale shape: the batch side is typically tiny next to the
+    snapshot; every join is equi (hash, shingle, then doc id) and the
+    hot-shingle cap bounds the fan-out exactly as in the self-join
+    path — no all-pairs anywhere. Returns one row per incoming doc:
+    (id, dup_exact, dup_near) integer flags."""
+    inc_h = incoming.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h")
+    )
+    snap_h = snapshot.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    exact = inc_h.join(
+        snap_h.withColumn("_e", F.lit(1)), "h", "left_outer"
+    ).select("doc", F.coalesce("_e", F.lit(0)).cast("int").alias("dup_exact"))
+
+    inc_sh = _shingle_table(incoming, text_col, id_col, k)
+    snap_sh = _shingle_table(snapshot, text_col, id_col, k).withColumnRenamed(
+        "doc", "sdoc"
+    )
+    if max_doc_freq is not None:
+        hot = (
+            inc_sh.select("sh")
+            .union(snap_sh.select("sh"))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        inc_sh = inc_sh.join(F.broadcast(hot), "sh", "left_anti")
+        snap_sh = snap_sh.join(F.broadcast(hot), "sh", "left_anti")
+    n1 = inc_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n1"))
+    n2 = snap_sh.groupBy("sdoc").agg(F.count(F.lit(1)).alias("n2"))
+    common = (
+        inc_sh.join(snap_sh, "sh")
+        .groupBy("doc", "sdoc")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    near = (
+        common.join(n1, "doc")
+        .join(n2, "sdoc")
+        .filter(
+            F.col("c").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("c"))
+            >= threshold
+        )
+        .select("doc")
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    return (
+        exact.join(near, "doc", "left_outer")
+        .select(
+            F.col("doc").alias(id_col),
+            "dup_exact",
+            F.coalesce("_n", F.lit(0)).cast("int").alias("dup_near"),
+        )
+    )

@@ -341,6 +341,10 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("etype", "s"), ("n_events", "i"), ("total_cents", "i"),
         ("n_users", "i"), ("seq1_sum", "i"),
     ],
+    # Round 6: incremental snapshot dedup — integer flags.
+    "dedup_incremental": [
+        ("doc_id", "i"), ("dup_exact", "i"), ("dup_near", "i"),
+    ],
 }
 
 _NULL = "∅"

@@ -480,6 +480,84 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- incremental snapshot dedup
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH snap AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ),
+    inc AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 20000, text FROM documents
+      WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1
+    ),
+    exact AS (
+      SELECT i.doc_id,
+             CASE WHEN md5(i.text) IN (SELECT md5(text) FROM snap)
+                  THEN 1 ELSE 0 END AS dup_exact
+      FROM inc i
+    ),
+    wi AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM inc),
+    ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM snap),
+    shi AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM wi WHERE len(w) >= 3)
+    ),
+    shs AS (
+      SELECT DISTINCT doc_id AS sdoc, array_to_string(w[i:i+2], ' ') AS s
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM ws WHERE len(w) >= 3)
+    ),
+    hot AS (
+      SELECT s FROM (
+        SELECT s FROM shi UNION ALL SELECT s FROM shs
+      ) GROUP BY s HAVING count(*) > 100
+    ),
+    ci AS (SELECT * FROM shi WHERE s NOT IN (SELECT s FROM hot)),
+    cs AS (SELECT * FROM shs WHERE s NOT IN (SELECT s FROM hot)),
+    n1 AS (SELECT doc_id, count(*) AS n1 FROM ci GROUP BY doc_id),
+    n2 AS (SELECT sdoc, count(*) AS n2 FROM cs GROUP BY sdoc),
+    common AS (
+      SELECT ci.doc_id, cs.sdoc, count(*) AS c
+      FROM ci JOIN cs ON ci.s = cs.s GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT common.doc_id
+      FROM common JOIN n1 ON n1.doc_id = common.doc_id
+      JOIN n2 ON n2.sdoc = common.sdoc
+      WHERE CAST(c AS DOUBLE) / (n1.n1 + n2.n2 - c) >= 0.5
+    )
+    SELECT e.doc_id, CAST(e.dup_exact AS INTEGER) AS dup_exact,
+           CAST(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS dup_near
+    FROM exact e LEFT JOIN near ON near.doc_id = e.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-refresh dedup (operators/dedup.dedup_against_snapshot):
+    the existing snapshot is docs with doc_id % 3 != 0; the incoming
+    batch is the remaining third PLUS planted exact clones of every
+    snapshot doc with doc_id % 10 == 1 (re-crawled pages) at
+    id+20000 — so both flag paths are exercised: clones must flag
+    dup_exact AND dup_near (identical shingle sets, Jaccard 1), and
+    any organic cross-split near-dups flag dup_near only. The
+    snapshot always keeps; only batch rows are flagged. Fully
+    oracle-checked (hash membership, union-capped shingle sets, exact
+    Jaccard)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snap = docs.filter(F.col("doc_id") % 3 != 0)
+    clones = snap.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    inc = docs.filter(F.col("doc_id") % 3 == 0).unionByName(clones)
+    return D.dedup_against_snapshot(
+        inc, snap, "text", "doc_id", k=3, threshold=0.5
+    )
+
+
 # ---------------------------------------------- token-budget mixture planning
 @register(
     "sample_token_budget",

@@ -685,6 +685,18 @@ CHECKS = [
         ],
     ),
     (
+        "dedup_incremental",
+        [
+            # Cross-corpus inverted-index join: every join is equi
+            # (hash / shingle / doc id); the stop-list rides broadcast
+            # anti-joins; nothing all-pairs.
+            ("no cartesian/nested-loop join",
+             ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("shingle/size aggregates partial", r"partial"),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
         "s_variant_json",
         [
             # parse_json/variant_get are JVM-native expressions: the

@@ -955,3 +955,50 @@ def test_training_shard_routing_is_layout_independent(spark):
     }
     assert one == many
     assert set(one.values()) == set(range(8))  # all shards populated
+
+
+# ------------------------------------------- incremental snapshot dedup
+def test_dedup_against_snapshot_hand_values(spark):
+    """Snapshot {A, B}; batch: exact clone of A, a near-variant of B
+    (shares most shingles), and a fresh doc. Only the batch is
+    flagged; the fresh doc passes clean."""
+    from panditya_spark.operators.dedup import dedup_against_snapshot
+
+    snap = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # exact clone of 1
+            (11, "one two three four five six eight"),     # near-variant of 2
+            (12, "totally unrelated content goes here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["dup_exact"], r["dup_near"])
+        for r in dedup_against_snapshot(
+            inc, snap, "text", "doc_id", k=3, threshold=0.5
+        ).collect()
+    }
+    # doc 11 shares 4 of its 5 shingles with doc 2 (5 shingles each,
+    # union 6): Jaccard 4/6 = 0.67 >= 0.5.
+    assert out == {10: (1, 1), 11: (0, 1), 12: (0, 0)}, out
+
+
+def test_dedup_against_snapshot_snapshot_never_flagged(spark):
+    """The output is one row per INCOMING doc only — the snapshot is
+    immutable and never appears in the result."""
+    from panditya_spark.operators.dedup import dedup_against_snapshot
+
+    snap = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], ["doc_id", "text"]
+    )
+    inc = spark.createDataFrame([(9, "a b c d e f")], ["doc_id", "text"])
+    rows = dedup_against_snapshot(inc, snap, "text", "doc_id").collect()
+    assert [r["doc_id"] for r in rows] == [9]
+    assert rows[0]["dup_exact"] == 1 and rows[0]["dup_near"] == 1
