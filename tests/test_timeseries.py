@@ -379,3 +379,67 @@ def test_token_budget_residual_reported(spark):
     assert all(r["unallocated"] == 60 for r in rows)
     # epochs at 1e-6 scale: fully consumed groups read exactly 1.0.
     assert all(r["epochs_micro"] == 1000000 for r in rows)
+
+
+def test_token_budget_matches_python_mirror_property(spark):
+    """Property: the distributed allocator equals a sequential Python
+    mirror of the documented two-round water-filling on arbitrary
+    small inputs — every alloc, the epochs scale, and the residual."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from panditya_spark.operators.sampling import token_budget_allocation
+
+    def reference(tw, budget, epochs):
+        W = sum(w for _, w in tw)
+        caps = [t * epochs for t, _ in tw]
+        r1 = [min(caps[i], budget * w // W) for i, (_, w) in enumerate(tw)]
+        L = budget - sum(r1)
+        WU = sum(w for i, (_, w) in enumerate(tw) if r1[i] < caps[i])
+        r2 = [
+            min(caps[i] - r1[i], L * w // WU)
+            if r1[i] < caps[i] and WU > 0
+            else 0
+            for i, (_, w) in enumerate(tw)
+        ]
+        unalloc = L - sum(r2)
+        return (
+            [r1[i] + r2[i] for i in range(len(tw))],
+            unalloc,
+            [
+                ((r1[i] + r2[i]) * 1000000 // tw[i][0]) if tw[i][0] > 0 else 0
+                for i in range(len(tw))
+            ],
+        )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 500), st.integers(1, 5)),
+            min_size=1,
+            max_size=5,
+        ),
+        st.integers(0, 2000),
+        st.integers(1, 3),
+    )
+    def check(tw, budget, epochs):
+        g = spark.createDataFrame(
+            [(f"g{i}", t, w, budget) for i, (t, w) in enumerate(tw)],
+            ["grp", "tokens", "w", "total_budget"],
+        )
+        rows = {
+            r["grp"]: r
+            for r in token_budget_allocation(
+                g, "grp", "tokens", "w", "total_budget", max_epochs=epochs
+            ).collect()
+        }
+        alloc, unalloc, em = reference(tw, budget, epochs)
+        for i in range(len(tw)):
+            r = rows[f"g{i}"]
+            assert r["alloc_tokens"] == alloc[i], (tw, budget, epochs, i)
+            assert r["epochs_micro"] == em[i]
+            assert r["unallocated"] == unalloc
+            assert 0 <= r["alloc_tokens"] <= r["cap_tokens"]
+        assert unalloc >= 0
+
+    check()
