@@ -683,3 +683,21 @@ def stream_record_high(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_record_high_{_MICROBATCH_SEQ[0]}",
         mode="append",
     )
+
+
+# ---------------------------------------------- streaming near-dedup ingest
+@register("stream_ingest_neardedup")
+def stream_ingest_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-refresh ingestion loop as a REAL availableNow
+    micro-batch run (streaming/windows.run_stream_ingest_neardedup):
+    documents arrive in three deterministic batches; each batch dedups
+    against itself (exact + near) and then against the accumulated
+    survivor snapshot before appending — streaming composition of the
+    same operators dedup_incremental value-checks in batch mode.
+    Rows-only (the batch-ordered greedy is order-dependent); the
+    replay semantics are pinned against a sequential Python mirror in
+    tests/test_streaming.py::test_stream_ingest_neardedup_matches_replay.
+    """
+    from panditya_spark.streaming.windows import run_stream_ingest_neardedup
+
+    return run_stream_ingest_neardedup(spark, sf_dir).orderBy("doc_id")

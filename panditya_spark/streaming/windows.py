@@ -689,3 +689,154 @@ def record_high_batch(events: DataFrame) -> DataFrame:
         .filter(F.col("_rec") == 1)
         .select("user_id", "ts_us", "value", "record_seq")
     )
+
+
+# ---------------------------------------------- streaming near-dedup ingest
+_DOCS_STREAM_CACHE: dict[str, str] = {}
+
+
+def build_docs_stream_input(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> str:
+    """Materialize the documents table as ``n_batches`` parquet files
+    (batch b = docs with doc_id % n_batches == b), mtime-ordered so the
+    file source delivers them as a deterministic arrival sequence —
+    the ingestion-pipeline twin of build_sessionize_stream_input.
+    Cached per (path, mtime, n)."""
+    import atexit
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = f"{src}:{os.path.getmtime(src)}:{n_batches}"
+    cached = _DOCS_STREAM_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    d = tempfile.mkdtemp(prefix="panditya-docs-stream-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    pdf = pq.read_table(src, columns=["doc_id", "text"]).to_pandas()
+    import pyarrow as pa
+
+    for b in range(n_batches):
+        sub = pdf[pdf.doc_id % n_batches == b]
+        pq.write_table(
+            pa.Table.from_pandas(sub, preserve_index=False),
+            os.path.join(d, f"{b:02d}_batch.parquet"),
+        )
+    now = _time.time()
+    for j, name in enumerate(sorted(os.listdir(d))):
+        os.utime(os.path.join(d, name), (now + j, now + j))
+    _DOCS_STREAM_CACHE[key] = d
+    return d
+
+
+def run_stream_ingest_neardedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_batches: int = 3,
+    timeout_sec: int = 240,
+) -> DataFrame:
+    """Streaming NEAR-duplicate ingestion — the corpus-refresh loop as
+    a real micro-batch run: each arriving batch (1) dedups against
+    itself (exact md5 keeper = min id; near = any smaller-id pair at
+    Jaccard >= threshold drops the larger — the semantic_dedup keeper
+    convention), then (2) dedups against the ACCUMULATED survivor
+    snapshot via dedup_against_snapshot (the exact cross-corpus
+    operator the batch path uses), and only clean documents append to
+    the snapshot. Batch order is deterministic (doc_id % n_batches,
+    mtime-sequenced files, maxFilesPerTrigger=1), so the greedy
+    batch-ordered survivor set is reproducible — pinned by a
+    sequential Python replay in tests/test_streaming.py. Rows-only at
+    the driver (the greedy chain is order-dependent — not cleanly
+    SQL-expressible).
+
+    Returns the final snapshot as (doc_id, batch_seq)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.window import Window as _W
+
+    from panditya_spark.operators.dedup import (
+        dedup_against_snapshot,
+        ngram_jaccard_pairs,
+    )
+
+    d = build_docs_stream_input(spark, sf_dir, n_batches)
+    first = os.path.join(d, sorted(os.listdir(d))[0])
+    schema = spark.read.parquet(first).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+                StructField("batch_seq", IntegerType()),
+            ]
+        ),
+    )
+    state = {"df": empty, "seq": 0}
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        state["seq"] += 1
+        w = _W.partitionBy("h").orderBy("doc_id")
+        b1 = (
+            batch.withColumn("h", F.md5(F.col("text")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("h", "_rn")
+        )
+        pairs = ngram_jaccard_pairs(
+            b1, "text", "doc_id", k=k, threshold=threshold
+        )
+        b2 = b1.join(
+            pairs.select(F.col("doc2").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        flags = dedup_against_snapshot(
+            b2,
+            state["df"].select("doc_id", "text"),
+            "text",
+            "doc_id",
+            k=k,
+            threshold=threshold,
+        )
+        clean = flags.filter(
+            (F.col("dup_exact") == 0) & (F.col("dup_near") == 0)
+        ).select("doc_id")
+        survivors = b2.join(clean, "doc_id", "left_semi").withColumn(
+            "batch_seq", F.lit(state["seq"]).cast("int")
+        )
+        state["df"] = (
+            state["df"].unionByName(survivors).localCheckpoint(eager=True)
+        )
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="panditya-neardedup-ckpt-")
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return state["df"].select("doc_id", "batch_seq")

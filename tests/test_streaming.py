@@ -311,3 +311,81 @@ def test_native_session_window_gap_boundary_semantics(spark):
     # BOTH definitions keep the exact-gap event in the first session.
     assert sorted(r["n"] for r in native) == [1, 2]
     assert sorted(r["n_events"] for r in batch) == [1, 2]
+
+
+def test_stream_ingest_neardedup_matches_replay(spark, tmp_path):
+    """The streaming ingest's batch-ordered greedy must equal a
+    sequential Python replay of its documented rules: per batch —
+    exact keeper = first text occurrence by id; near = any smaller-id
+    in-batch doc at Jaccard >= 0.5 drops the doc; then exact/near
+    against the accumulated snapshot; survivors append."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from panditya_spark.streaming.windows import run_stream_ingest_neardedup
+
+    docs = [
+        (0, "a b c d e f g"),
+        (3, "a b c d e f g"),        # in-batch exact dup of 0
+        (6, "a b c d e f h"),        # in-batch near dup of 0
+        (9, "p q r s t u v"),
+        (1, "a b c d e f g"),        # cross-batch exact dup of 0
+        (4, "p q r s t u w"),        # cross-batch near dup of 9
+        (7, "m n o aa bb cc dd"),
+        (2, "m n o aa bb cc ee"),    # cross-batch near dup of 7
+        (5, "x y z xx yy zz qq"),
+        (8, "x y z xx yy zz qq"),    # in-batch exact dup of 5
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    def sh(text, k=3):
+        w = [t for t in text.strip().split() if t]
+        return (
+            {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+            if len(w) >= k
+            else set()
+        )
+
+    def jac(a, b):
+        return len(a & b) / len(a | b) if (a or b) else 0.0
+
+    snapshot: list[tuple[int, str]] = []
+    expected = set()
+    for b in range(3):
+        batch = sorted((d, t) for d, t in docs if d % 3 == b)
+        b1 = []
+        seen_texts = set()
+        for d, t in batch:
+            if t in seen_texts:
+                continue
+            seen_texts.add(t)
+            b1.append((d, t))
+        b2 = [
+            (d, t)
+            for d, t in b1
+            if not any(
+                d2 < d and jac(sh(t), sh(t2)) >= 0.5 for d2, t2 in b1
+            )
+        ]
+        for d, t in b2:
+            dup_exact = any(t == t2 for _, t2 in snapshot)
+            dup_near = any(jac(sh(t), sh(t2)) >= 0.5 for _, t2 in snapshot)
+            if not dup_exact and not dup_near:
+                snapshot.append((d, t))
+                expected.add((d, b + 1))
+
+    got = {
+        (r["doc_id"], r["batch_seq"])
+        for r in run_stream_ingest_neardedup(
+            spark, str(tmp_path), n_batches=3, timeout_sec=180
+        ).collect()
+    }
+    assert got == expected, (sorted(got), sorted(expected))
