@@ -28,8 +28,10 @@ from panditya_spark.plans import combo_queries  # noqa: E402,F401  (must import 
 # Order inside the window: previously-unverified oracle queries first, then
 # the graph / data-pipeline / serving core, then relational aggregates.
 _WINDOW = [
-    # Oracle-bearing queries that had no CORRECTNESS row in round 1.
-    "a14_branching_factor",
+    # (a14_branching_factor rotated into the combo slots late in round
+    # 6 — its one-row avg is exactly 10.0 on this corpus, lossless at
+    # f4 — freeing the slot for the THIRD combo slot p_combo_c.)
+    "p_combo_c",
     # (a15_combined_histogram rotated into the combo slot in round 4 —
     # pure int columns, green since r1 — freeing slots for the round-4
     # flagship shapes below.)

@@ -1,11 +1,12 @@
 """Combo correctness queries: the driver's gate verifies only the
 first 50 registered queries, so the trivially-cheap projection-family
 queries would otherwise lose their per-round CORRECTNESS row to
-higher-risk operators. ``p_combo_a``/``p_combo_b`` (split by a stable
-md5 name hash since round 6) fold each member query's full result
-into (member, row-string) rows — two window slots buy an exact
-value-level check of all members every round, with no single row
-covering more than 45 queries.
+higher-risk operators. ``p_combo_a``/``p_combo_b``/``p_combo_c``
+(split by a deterministic runtime-balanced greedy partition since
+round 6) fold each member query's full result into (member,
+row-string) rows — three window slots buy an exact value-level check
+of all members every round, with no single row covering more than 45
+queries.
 
 Cross-engine stringification rules (the row strings must be
 byte-identical in Spark and DuckDB):
@@ -345,18 +346,27 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "dedup_incremental": [
         ("doc_id", "i"), ("dup_exact", "i"), ("dup_near", "i"),
     ],
+    # Round 6 (late rotation): a14 moved from the window to free the
+    # third combo slot — its avg is exactly 10.0 on the synthetic
+    # corpus (every customer has 10 orders), a lossless f4 cast.
+    "a14_branching_factor": [("avg_branching", "f4")],
+    # Round 6: uniform-PageRank top-20 rank order — ints/strings, the
+    # unseeded twin of the g8_ppr_topk window row.
+    "g8_pagerank_topk": [("rk", "i"), ("node", "s")],
 }
 
 _NULL = "∅"
 
-# Two combo slots (round 6, VERDICT r5 next-round #1): one 80-plus-
+# Three combo slots (round 6, VERDICT r5 next-round #1): one 80-plus-
 # member slot was both the single point of failure for most oracle
 # checks and the heaviest row in the driver gate. Members split by a
 # deterministic RUNTIME-balanced greedy partition: heaviest member
-# first into the lighter bin (ties and order fixed by the literal
+# first into the lightest bin (ties and order fixed by the literal
 # weights + name sort — no hashing, no RNG), so each slot re-checks
-# ~half the family in ~half the wall-clock and a regression halves
-# the diagnosis space.
+# ~a third of the family in ~a third of the wall-clock and a
+# regression cuts the diagnosis space to one slot's members. (Two
+# slots through mid-round-6; the third was added when both hit the
+# 45-member cap with new oracle-bearing members still arriving.)
 
 # Measured solo (Spark collect + DuckDB oracle) seconds at sf0.01 on
 # the round-6 host, one warm session. Only the ORDERING matters — a
@@ -365,6 +375,7 @@ _NULL = "∅"
 _WEIGHTS: dict[str, float] = {
     "a11_edge_pattern_count": 0.58,
     "a12_bucket_histogram": 0.54,
+    "a14_branching_factor": 0.7,
     "a15_combined_histogram": 10.01,
     "a1_conditional_count": 0.47,
     "a2_conditional_count2": 0.53,
@@ -388,6 +399,7 @@ _WEIGHTS: dict[str, float] = {
     "f2_entity_labels": 0.25,
     "f7_link_labels": 0.26,
     "g13_triangle_counts": 2.18,
+    "g8_pagerank_topk": 9.0,
     "g19_clustering_coeff": 2.64,
     "j1_adjacency_list": 0.52,
     "j2_inverse_adjacency": 0.84,
@@ -454,29 +466,25 @@ _WEIGHTS: dict[str, float] = {
 }
 
 
-def _split_members() -> tuple[dict, dict]:
+def _split_members(n_slots: int = 3) -> list[dict]:
     order = sorted(_MEMBERS, key=lambda n: (-_WEIGHTS.get(n, 0.5), n))
-    loads = [0.0, 0.0]
-    names: list[list[str]] = [[], []]
+    loads = [0.0] * n_slots
+    names: list[list[str]] = [[] for _ in range(n_slots)]
     for n in order:
-        i = 0 if loads[0] <= loads[1] else 1
-        # Runtime balance first, but never let a slot exceed the
-        # 45-member diagnosis cap while the other has room.
-        if len(names[i]) >= 45:
-            i = 1 - i
+        # Lightest bin with room under the 45-member diagnosis cap;
+        # runtime balance first, index order breaks load ties.
+        open_bins = [i for i in range(n_slots) if len(names[i]) < 45]
+        i = min(open_bins, key=lambda j: loads[j])
         names[i].append(n)
         loads[i] += _WEIGHTS.get(n, 0.5)
-    return (
-        {n: _MEMBERS[n] for n in sorted(names[0])},
-        {n: _MEMBERS[n] for n in sorted(names[1])},
-    )
+    return [{n: _MEMBERS[n] for n in sorted(ns)} for ns in names]
 
 
-_MEMBERS_A, _MEMBERS_B = _split_members()
+_MEMBERS_A, _MEMBERS_B, _MEMBERS_C = _split_members()
 
 # Import-time guard (the round-6 "done" criterion, kept enforced): no
 # single CORRECTNESS row may cover more than 45 queries.
-for _slot in (_MEMBERS_A, _MEMBERS_B):
+for _slot in (_MEMBERS_A, _MEMBERS_B, _MEMBERS_C):
     if len(_slot) > 45:
         raise RuntimeError(
             f"combo slot covers {len(_slot)} members (> 45): split further"
@@ -534,3 +542,8 @@ def p_combo_a(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("p_combo_b", oracle=_combo_oracle(_MEMBERS_B))
 def p_combo_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _combo_plan(spark, sf_dir, _MEMBERS_B)
+
+
+@register("p_combo_c", oracle=_combo_oracle(_MEMBERS_C))
+def p_combo_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _combo_plan(spark, sf_dir, _MEMBERS_C)

@@ -654,6 +654,68 @@ def g8_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pr_topk_oracle(iters: int, k: int) -> str:
+    """Unrolled UNIFORM PageRank oracle — the unseeded sibling of
+    _ppr_topk_oracle: rank0 = 1.0 everywhere (ranks sum to n), dangling
+    mass redistributed uniformly (dm / n), update written in
+    pagerank()'s exact operand order. The same robustness argument
+    applies: in-degree <= 1 keeps contrib sums single-term, so rank
+    tie classes are bit-equal within each engine and the rounded
+    top-k rank order is engine-exact."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src"
+        " AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outd AS MATERIALIZED (SELECT src AS node, count(*) AS od "
+        "FROM edges GROUP BY src)",
+        "pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS rank "
+        "FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"sum(r.rank / o.od) AS contrib "
+            f"FROM edges e JOIN pr{t-1} r ON r.node = e.src "
+            f"JOIN outd o ON o.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm "
+            f"FROM pr{t-1} r WHERE r.node NOT IN (SELECT node FROM outd))"
+        )
+        parts.append(
+            f"pr{t} AS MATERIALIZED (SELECT n.node, "
+            f"(1.0 - 0.85) + 0.85 * "
+            f"(coalesce(c.contrib, 0.0) + d.dm / nn.n) AS rank "
+            f"FROM nodes n LEFT JOIN c{t} c USING (node) "
+            f"CROSS JOIN d{t} d CROSS JOIN nn)"
+        )
+    final = (
+        f" SELECT rk, node FROM (SELECT CAST(row_number() OVER ("
+        f"ORDER BY round(rank, 9) DESC, node) AS INTEGER) AS rk, node "
+        f"FROM pr{iters}) WHERE rk <= {k}"
+    )
+    return ", ".join(parts) + final
+
+
+@register("g8_pagerank_topk", oracle=_pr_topk_oracle(iters=10, k=20))
+def g8_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 uniform-PageRank order as (rank, node) — the unseeded
+    G8 twin of g8_ppr_topk, closing the last promotable member of the
+    rows-only pagerank family with the same unrolled-oracle recipe
+    (g8_pagerank itself stays the rows-only full-float frame).
+    Value-checked through the combo slots."""
+    from panditya_spark.operators.graph import pagerank
+
+    ranks = pagerank(key_chain_edges(spark, sf_dir), iters=10)
+    w = Window.orderBy(F.desc(F.round(F.col("rank"), 9)), F.asc("node"))
+    return (
+        ranks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("rk").cast("int").alias("rk"), "node")
+    )
+
+
 # ------------------------------------------------------ G8 personalized (ext)
 @register("g8_personalized_pagerank")
 def g8_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
