@@ -491,12 +491,24 @@ def simhash_near_pairs(
     )
 
 
+def portable_gram_hash(gram: Column) -> Column:
+    """Engine-portable 64-bit gram hash: the first 15 hex digits of
+    md5 as a BIGINT (max 2^60 — never overflows, never negative).
+    Unlike xxhash64 this is replayable by any engine with md5
+    (DuckDB: CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) yields the
+    identical integer), which makes fingerprint STORES portable
+    across engines — and makes the winnowing selection itself
+    oracle-checkable."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str,
     id_col: str,
     k: int = 8,
     window: int = 4,
+    hash_expr=None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     MOSS algorithm): hash every character k-gram, then per sliding
@@ -519,6 +531,8 @@ def winnowing_fingerprints(
     """
     from pyspark.sql.window import Window as W
 
+    if hash_expr is None:
+        hash_expr = F.xxhash64  # fastest; portable_gram_hash for replay
     spread = _spread_small_input(df.select(F.col(id_col), F.col(text_col)))
     txt = F.col(text_col)
     n_grams = F.length(txt) - (k - 1)
@@ -529,7 +543,7 @@ def winnowing_fingerprints(
                 n_grams >= 1,
                 F.transform(
                     F.sequence(F.lit(1), n_grams),
-                    lambda i: F.xxhash64(txt.substr(i, F.lit(k))),
+                    lambda i: hash_expr(txt.substr(i, F.lit(k))),
                 ),
             ).otherwise(F.array().cast("array<long>"))
         ).alias("pos", "h"),
@@ -538,11 +552,16 @@ def winnowing_fingerprints(
     cnt = W.partitionBy("doc")
     return (
         grams.withColumn("n", F.count(F.lit(1)).over(cnt))
-        # windows that would run past the last k-gram are not windows
+        # The window minimum runs over the FULL gram sequence; only
+        # then are trailing starts dropped (a window that would run
+        # past the last k-gram is not a window). Filtering first would
+        # truncate the last window-1 frames and break the
+        # shared-substring guarantee in the tail (round-6 fix; both
+        # windows share one doc-id exchange either way).
+        .withColumn("m", F.min(F.struct("h", "pos")).over(win))
         .filter(F.col("pos") <= F.col("n") - window)
-        .select("doc", F.min(F.struct("h", "pos")).over(win).alias("m"))
-        .distinct()
         .select("doc", F.col("m.pos").alias("pos"), F.col("m.h").alias("fp"))
+        .distinct()
     )
 
 

@@ -353,6 +353,10 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # Round 6: uniform-PageRank top-20 rank order — ints/strings, the
     # unseeded twin of the g8_ppr_topk window row.
     "g8_pagerank_topk": [("rk", "i"), ("node", "s")],
+    # Round 6: portable-hash winnowing — exact integer fingerprints.
+    "fingerprint_winnowing_portable": [
+        ("doc", "i"), ("pos", "i"), ("fp", "i"),
+    ],
 }
 
 _NULL = "∅"
@@ -400,6 +404,7 @@ _WEIGHTS: dict[str, float] = {
     "f7_link_labels": 0.26,
     "g13_triangle_counts": 2.18,
     "g8_pagerank_topk": 9.0,
+    "fingerprint_winnowing_portable": 1.5,
     "g19_clustering_coeff": 2.64,
     "j1_adjacency_list": 0.52,
     "j2_inverse_adjacency": 0.84,

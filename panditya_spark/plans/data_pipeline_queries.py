@@ -480,6 +480,52 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- portable winnowing fingerprints
+@register(
+    "fingerprint_winnowing_portable",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id AS doc, i - 1 AS pos,
+             CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS i)
+      WHERE length(text) >= 8
+    ),
+    c AS (SELECT doc, count(*) AS n FROM g GROUP BY doc),
+    w AS (
+      SELECT g.doc, g.pos, c.n,
+             min(struct_pack(h := g.h, pos := g.pos)) OVER (
+               PARTITION BY g.doc ORDER BY g.pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      FROM g JOIN c USING (doc)
+    )
+    SELECT DISTINCT doc, CAST(m.pos AS BIGINT) AS pos, m.h AS fp
+    FROM w WHERE pos <= n - 4
+    """,
+)
+def fingerprint_winnowing_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing with the ENGINE-PORTABLE gram hash (first 15 md5 hex
+    digits as BIGINT — operators/dedup.portable_gram_hash): the exact
+    fingerprint SET, positions included, is value-checked against a
+    full DuckDB replay of the algorithm (k-gram hashing, the
+    window-4 struct minimum with leftmost ties, trailing-window
+    exclusion). This promotes the winnowing SELECTION itself from
+    invariant-pytested to oracle-checked — fingerprint_winnowing
+    stays the xxhash64 fast path (same plan, different hash; xxhash64
+    has no DuckDB twin). Portable hashes are also what make a
+    fingerprint STORE shareable across engines."""
+    from panditya_spark.operators.dedup import (
+        portable_gram_hash,
+        winnowing_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(
+        docs, "text", "doc_id", k=8, window=4, hash_expr=portable_gram_hash
+    ).select("doc", F.col("pos").cast("bigint").alias("pos"), "fp")
+
+
 # ------------------------------------------------- incremental snapshot dedup
 @register(
     "dedup_incremental",
