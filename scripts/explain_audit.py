@@ -685,6 +685,18 @@ CHECKS = [
         ],
     ),
     (
+        "fingerprint_winnowing_portable",
+        [
+            # Gram count + window minimum must ride ONE doc-id shuffle
+            # (two analytic windows, same partition key), and the md5
+            # gram hashing is pure column expressions.
+            ("both windows share one doc exchange",
+             ("count<=", "Exchange hashpartitioning(doc", 2)),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+            ("analytic windows use ROWS frames", r"RowFrame"),
+        ],
+    ),
+    (
         "dedup_incremental",
         [
             # Cross-corpus inverted-index join: every join is equi
