@@ -379,7 +379,7 @@ _NULL = "∅"
 _WEIGHTS: dict[str, float] = {
     "a11_edge_pattern_count": 0.58,
     "a12_bucket_histogram": 0.54,
-    "a14_branching_factor": 0.7,
+    "a14_branching_factor": 0.33,
     "a15_combined_histogram": 10.01,
     "a1_conditional_count": 0.47,
     "a2_conditional_count2": 0.53,
@@ -394,6 +394,7 @@ _WEIGHTS: dict[str, float] = {
     "a_rollup_day_type": 0.44,
     "a_unpivot_metrics": 0.3,
     "dedup_chunk_level": 0.92,
+    "dedup_incremental": 3.63,
     "dedup_cluster_canonical": 2.58,
     "dedup_exact": 0.42,
     "dedup_fingerprint": 0.4,
@@ -403,8 +404,8 @@ _WEIGHTS: dict[str, float] = {
     "f2_entity_labels": 0.25,
     "f7_link_labels": 0.26,
     "g13_triangle_counts": 2.18,
-    "g8_pagerank_topk": 9.0,
-    "fingerprint_winnowing_portable": 1.5,
+    "g8_pagerank_topk": 9.3,
+    "fingerprint_winnowing_portable": 2.0,
     "g19_clustering_coeff": 2.64,
     "j1_adjacency_list": 0.52,
     "j2_inverse_adjacency": 0.84,
@@ -438,7 +439,8 @@ _WEIGHTS: dict[str, float] = {
     "sample_importance": 0.85,
     "sample_mixture": 0.98,
     "sample_stratified": 0.31,
-    "sample_token_budget": 0.5,
+    "sample_token_budget": 1.0,
+    "s_variant_json": 1.17,
     "seq_packing": 0.32,
     "skew_key_profile": 0.4,
     "sql_top_customer_per_nation": 1.44,
