@@ -244,11 +244,21 @@ def token_budget_allocation(
         F.col(weight_col).cast("bigint").alias("w"),
         F.col(total_budget_col).cast("bigint").alias("budget"),
     )
-    tot_w = g.agg(F.sum("w").alias("w_total"))
+    tot_w = g.agg(F.sum("w").alias("w_total"), F.min("w").alias("w_min"))
+    # Degenerate weights must fail LOUDLY: w_total is the round-1
+    # divisor, and DIV by zero/NULL yields NULL, which Spark's
+    # null-skipping least() would silently turn into r1 = cap — every
+    # group allocated its full capacity. The guard lives INSIDE the
+    # divisor expression so column pruning can never drop it.
+    guarded_total = (
+        "CASE WHEN w_total > 0 AND w_min >= 0 THEN w_total "
+        "ELSE raise_error('token_budget_allocation: weights must be "
+        ">= 0 with a positive total') END"
+    )
     round1 = (
         g.crossJoin(F.broadcast(tot_w))
         .withColumn("cap", F.col("avail") * max_epochs)
-        .withColumn("r1", F.expr("least(cap, budget * w DIV w_total)"))
+        .withColumn("r1", F.expr(f"least(cap, budget * w DIV ({guarded_total}))"))
         .withColumn("capped", (F.col("r1") >= F.col("cap")).cast("int"))
     )
     leftovers = round1.agg(

@@ -97,6 +97,12 @@ def sign_sketch_udf(tables: list[list[list[float]]]):
 
     numpy/pandas must be module-level imports: pandas_udf resolves the
     pd.Series type hints via the function's module globals.
+
+    Contract (all np.stack-based UDFs in this module): vectors must be
+    NON-NULL and FIXED-WIDTH — np.stack raises on null/ragged entries
+    rather than propagating NULL like a column-expression cosine would.
+    Callers feeding possibly-dirty input filter `isNotNull()` first
+    (kmeans_assign does); width mismatches stay a loud task error.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -423,9 +429,17 @@ def kmeans_assign(
     """
     from pyspark.sql.functions import pandas_udf
 
-    cand = df.select(
-        F.col(id_col).alias("kid"), _dbl(F.col(vec_col)).alias("kvec")
-    ).cache()
+    # Non-null fixed-width vector contract: the Arrow UDFs below build
+    # a dense (rows, dim) matrix with np.stack, which raises on NULL or
+    # ragged entries (unlike the old column-expression cosine, which
+    # propagated NULL). Null vectors carry no geometry to cluster, so
+    # they are filtered here instead of crashing the task; ragged
+    # widths remain a loud error by design.
+    cand = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("kid"), _dbl(F.col(vec_col)).alias("kvec"))
+        .cache()
+    )
     cent = (
         cand.orderBy(F.xxhash64(F.col("kid").cast("string")))
         .limit(k)
@@ -458,13 +472,21 @@ def kmeans_assign(
             "kvec", "centvec"
         )
         new = assign(cent).localCheckpoint(eager=False)
-        # ONE action materializes the lazy checkpoint AND answers the
-        # fixpoint probe (the SSSP round_end_probe shape).
-        moved = not (
+        # ONE full-scan action materializes the lazy checkpoint AND
+        # answers the fixpoint probe (the SSSP round_end_probe shape:
+        # a max-aggregate, not isEmpty — isEmpty is a limit-1 probe
+        # that would short-circuit on the first moved row and leave
+        # the checkpoint partially materialized for the next job to
+        # recompute).
+        moved = bool(
             new.alias("n")
             .join(assigned.alias("o"), "kid")
-            .filter(F.col("n.list_id") != F.col("o.list_id"))
-            .isEmpty()
+            .agg(
+                F.max(
+                    (F.col("n.list_id") != F.col("o.list_id")).cast("int")
+                ).alias("m")
+            )
+            .collect()[0]["m"]
         )
         assigned = new
         if not moved:
@@ -497,6 +519,13 @@ def pairwise_cosine_udf():
     return pcos
 
 
+# Driver-centroid-matrix ceiling for semantic_dedup's k-means: 4096
+# centroids × 1k dims × 8 B ≈ 32 MB per UDF closure — the upper edge of
+# broadcast-artifact territory. Beyond this, assignment cost and
+# closure size both scale with k and the two-level scheme is required.
+SEMANTIC_DEDUP_MAX_K = 4096
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -522,7 +551,23 @@ def semantic_dedup(
     duplicates are never missed.
 
     Returns (id, cluster, is_dup) — is_dup = 1 when a smaller-id item
-    of the same cluster sits within the threshold."""
+    of the same cluster sits within the threshold.
+
+    k ceiling: kmeans_assign holds the k×d centroid matrix on the
+    driver and ships it in each assign-UDF closure (the PQ-codebook
+    bounded-model contract), and every Arrow batch pays an O(batch·k·d)
+    matmul — right for codebook-class k, wrong when a true-100 TB
+    "k ~ n/target_cluster_size" reaches 1e5–1e6. The guard below caps
+    n_clusters at SEMANTIC_DEDUP_MAX_K; past it the escape hatch is
+    two-level assignment (coarse-cluster with ~sqrt(k) centroids, then
+    refine within the coarse cell — each level back inside the cap),
+    which this operator intentionally does not silently fake."""
+    if n_clusters > SEMANTIC_DEDUP_MAX_K:
+        raise ValueError(
+            f"semantic_dedup: n_clusters={n_clusters} exceeds the "
+            f"driver-centroid-matrix contract (max {SEMANTIC_DEDUP_MAX_K}); "
+            "use a two-level assignment (coarse then refine) for larger k"
+        )
     assigned = kmeans_assign(df, id_col, vec_col, n_clusters, max_iter)
     v = df.select(
         F.col(id_col).alias("sid"), _dbl(F.col(vec_col)).alias("svec")

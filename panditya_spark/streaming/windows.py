@@ -26,6 +26,19 @@ from pyspark.sql.types import (
 )
 
 
+def _await_or_raise(q, timeout_sec: int) -> None:
+    """awaitTermination returns False on timeout with the query still
+    running; every caller here treats the result as a COMPLETE
+    availableNow run, so a timeout must fail loudly instead of
+    returning a partial snapshot/table."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{timeout_sec}s; result would be partial"
+        )
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -403,7 +416,7 @@ def run_stream_to_memory(
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            _await_or_raise(q, timeout_sec)
         finally:
             q.stop()
     finally:
@@ -494,7 +507,7 @@ def run_stream_to_parquet(
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            _await_or_raise(q, timeout_sec)
         finally:
             q.stop()
     finally:
@@ -581,7 +594,7 @@ def run_stream_upsert(
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            _await_or_raise(q, timeout_sec)
         finally:
             q.stop()
     finally:
@@ -836,7 +849,7 @@ def run_stream_ingest_neardedup(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     finally:
         q.stop()
     return state["df"].select("doc_id", "batch_seq")

@@ -1002,3 +1002,34 @@ def test_dedup_against_snapshot_snapshot_never_flagged(spark):
     rows = dedup_against_snapshot(inc, snap, "text", "doc_id").collect()
     assert [r["doc_id"] for r in rows] == [9]
     assert rows[0]["dup_exact"] == 1 and rows[0]["dup_near"] == 1
+
+
+def test_semantic_dedup_k_ceiling_guard(spark):
+    """n_clusters past the driver-centroid-matrix contract raises with
+    the two-level escape hatch named (VERDICT r6 'What's wrong' #2)."""
+    import pytest
+
+    from panditya_spark.operators.similarity import (
+        SEMANTIC_DEDUP_MAX_K,
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="two-level"):
+        semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=SEMANTIC_DEDUP_MAX_K + 1
+        )
+
+
+def test_kmeans_assign_filters_null_vectors(spark):
+    """NULL vectors carry no geometry: kmeans_assign drops them before
+    the np.stack UDF instead of crashing the task (ADVICE r6 #4)."""
+    from panditya_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None), (4, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_assign(df, "vec_id", "embedding", k=2)
+    ids = sorted(r["vec_id"] for r in out.collect())
+    assert ids == [1, 2, 4]

@@ -443,3 +443,25 @@ def test_token_budget_matches_python_mirror_property(spark):
         assert unalloc >= 0
 
     check()
+
+
+def test_token_budget_degenerate_weights_fail_loudly(spark):
+    """All-zero (and negative) weights must raise, not silently grant
+    every group its full capacity: DIV by the zero total yields NULL
+    and the null-skipping least(cap, NULL) would return cap."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from panditya_spark.operators.sampling import token_budget_allocation
+
+    for weights in [(0, 0), (1, -2)]:
+        g = spark.createDataFrame(
+            [("a", 10, weights[0], 100), ("b", 30, weights[1], 100)],
+            ["grp", "tokens", "w", "total_budget"],
+        )
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)) as e:
+            token_budget_allocation(
+                g, "grp", "tokens", "w", "total_budget"
+            ).collect()
+        assert "token_budget_allocation" in str(e.value)
