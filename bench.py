@@ -63,6 +63,9 @@ HEADLINE = [
     # official trend lines (VERDICT r5 next-round #8).
     "ann_pq_sq_topk",           # SQ codebook + single-join decimal ADC scan
     "dedup_semantic",           # k-means-bucketed SemDeDup pair pass
+    # Round 8: an iterative-graph extreme joins the official set so the
+    # heaviest fixpoint family has a trend line (VERDICT r6 #6 / r7 #8).
+    "g14_scc",                  # forward/backward reach SCC fixpoint
 ]
 
 
@@ -167,26 +170,53 @@ def main() -> int:
     def _materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    # Contention robustness (VERDICT r7 #1): the official r7 number
+    # doubled purely from host load — every untouched sub-second query
+    # regressed by the same 1.1-1.9x offset and the extremes re-ran at
+    # r6 parity on identical code. A single-pass bench cannot defend
+    # itself against a noisy window, so each query is now timed
+    # REPS times (default 2) and the MIN is reported: the minimum is
+    # the standard contention-robust estimator for a deterministic
+    # workload (any rep that dodges the noise recovers the true cost).
+    # Per-rep raw timings plus the host load average before/after are
+    # stamped into the JSON so a contaminated window is self-diagnosing
+    # instead of indistinguishable from a plan regression.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    load_before = os.getloadavg()
+
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        try:
-            _materialize(fn(spark, sf_dir))
-        except Exception as exc:  # noqa: BLE001 — per-query isolation
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(time.time() - t0, 3)
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                _materialize(fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — per-query isolation
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(
+                    f"bench query {name} failed: {errors[name]}", file=sys.stderr
+                )
+                break
+            samples.append(round(time.time() - t0, 3))
+        if samples:
+            raw[name] = samples
+            timings[name] = min(samples)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_after = os.getloadavg()
     out = {
         "metric": "headline query wall-clock, sum over query set",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": reps,
+        "raw_sec": raw,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
     }
     if errors:
         out["errors"] = errors

@@ -244,16 +244,26 @@ def token_budget_allocation(
         F.col(weight_col).cast("bigint").alias("w"),
         F.col(total_budget_col).cast("bigint").alias("budget"),
     )
-    tot_w = g.agg(F.sum("w").alias("w_total"), F.min("w").alias("w_min"))
+    tot_w = g.agg(
+        F.sum("w").alias("w_total"),
+        F.min("w").alias("w_min"),
+        # sum()/min() SKIP nulls, so a NULL weight (including a failed
+        # cast of a dirty string) would sail through the positivity
+        # check while its r1 = budget * NULL DIV w_total is NULL and
+        # null-skipping least(cap, NULL) grants the FULL capacity,
+        # driving the leftover pool (and sibling allocations) negative.
+        # Count the nulls explicitly so they hit the guard too.
+        (F.count(F.lit(1)) - F.count("w")).alias("w_nulls"),
+    )
     # Degenerate weights must fail LOUDLY: w_total is the round-1
     # divisor, and DIV by zero/NULL yields NULL, which Spark's
     # null-skipping least() would silently turn into r1 = cap — every
     # group allocated its full capacity. The guard lives INSIDE the
     # divisor expression so column pruning can never drop it.
     guarded_total = (
-        "CASE WHEN w_total > 0 AND w_min >= 0 THEN w_total "
+        "CASE WHEN w_total > 0 AND w_min >= 0 AND w_nulls = 0 THEN w_total "
         "ELSE raise_error('token_budget_allocation: weights must be "
-        ">= 0 with a positive total') END"
+        "non-NULL, >= 0, with a positive total') END"
     )
     round1 = (
         g.crossJoin(F.broadcast(tot_w))
@@ -272,8 +282,13 @@ def token_budget_allocation(
         .withColumn(
             "r2",
             F.expr(
+                # greatest(0, leftover): belt-and-braces — if any
+                # future degenerate input ever slips past the guard and
+                # drives the pool negative, round 2 must grant nothing
+                # rather than emit NEGATIVE allocations.
                 "CASE WHEN capped = 0 AND w_uncapped > 0 "
-                "THEN least(cap - r1, leftover * w DIV w_uncapped) "
+                "THEN least(cap - r1, greatest(CAST(0 AS BIGINT), leftover) "
+                "* w DIV w_uncapped) "
                 "ELSE CAST(0 AS BIGINT) END"
             ),
         )

@@ -449,6 +449,11 @@ def kmeans_assign(
 
     def assign(cents: DataFrame) -> DataFrame:
         rows = cents.orderBy("list_id").collect()
+        if not rows:
+            # All-NULL vector column (or empty input) would otherwise
+            # surface as np.stack's opaque "need at least one array to
+            # stack" from inside the driver collect path.
+            raise ValueError("kmeans_assign: no non-null vectors to cluster")
         C = np.stack([np.asarray(r["centvec"], dtype=np.float64) for r in rows])
         ids = np.array([r["list_id"] for r in rows], dtype=np.int64)
         Cn = np.linalg.norm(C, axis=1)
@@ -552,6 +557,13 @@ def semantic_dedup(
 
     Returns (id, cluster, is_dup) — is_dup = 1 when a smaller-id item
     of the same cluster sits within the threshold.
+
+    Null-vector contract (inherited from kmeans_assign's non-null
+    filter + the inner join back onto the assignment): rows whose
+    vector is NULL are DROPPED from the output — they carry no
+    geometry to compare, so output rows != input rows when the vector
+    column is nullable. Callers needing cardinality preservation
+    should left-join this result back onto their input.
 
     k ceiling: kmeans_assign holds the k×d centroid matrix on the
     driver and ships it in each assign-UDF closure (the PQ-codebook
