@@ -43,7 +43,10 @@ _WINDOW = [
     # sessionize micro-batch run below.)
     "stream_sessionize_microbatch",
     "g3_g4_annotate",
-    "stream_tumbling_hourly",
+    # (stream_tumbling_hourly rotated into the combo slot in round 8 —
+    # the batch twin of the REAL micro-batch run below, green since r1,
+    # same lossless casts as its combo sibling stream_sliding_daily —
+    # freeing a direct row for the round-8 promotions.)
     # (stream_sliding_daily rotated into the combo slot in round 4 to
     # free this slot for its REAL streaming run; same oracle SQL.)
     "stream_sliding_microbatch",
@@ -70,8 +73,11 @@ _WINDOW = [
     # (text_token_stats / text_langid rotated to combo in round 4;
     # tpch_q18_large_orders to combo in round 5 — scale-2 lossless
     # sums, green since r4 — freeing a slot for the k-core promotion.)
-    "g15_kcore",
-    "s_dpp_join",
+    # (g15_kcore and s_dpp_join rotated into the combo slots in round 8
+    # — pure int/string columns, green since round 5 (kcore) / round 4
+    # (DPP, whose plan SHAPE stays gated by explain_audit) — freeing
+    # direct rows for the two combo heavyweights promoted below,
+    # VERDICT r6 #5 / r7 #7.)
     # Serving / label core. (f1_f2/a5, then o1/p14_16/dedup_exact,
     # rotated into the combo slot mid-round-2 for the chunking/packing
     # and pivot/unpivot/SCD2 queries.)
@@ -145,6 +151,14 @@ _WINDOW = [
     "g16_hits_topk",
     "g8_ppr_topk",
     "dedup_semantic_dups",
+    # Round-8 promotions: the two combo heavyweights (18.2s/7.4s solo
+    # at sf0.01 in the judge's round-7 parity run — each dominated its
+    # slot) move to direct rows, and the distributed-Louvain pipeline
+    # gains its first value-level driver row via the planted-partition
+    # construction (VERDICT r6 #4/#5 / r7 #6/#7).
+    "a15_combined_histogram",
+    "g8_pagerank_topk",
+    "g9_louvain_planted",
 ]
 if len(_WINDOW) != 50:
     raise RuntimeError(f"_WINDOW must hold exactly 50 names, got {len(_WINDOW)}")

@@ -166,7 +166,9 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # window to free slots for the round-4 flagship shapes (file-sink
     # streaming run, Q18, DPP, CDC merge, bloom join), which now carry
     # their own driver rows instead of combo membership.
-    "a15_combined_histogram": [("size", "i"), ("n_components", "i")],
+    # (a15_combined_histogram and g8_pagerank_topk promoted OUT of the
+    # combo to their own window slots in round 8 — each had grown to
+    # dominate its slot's runtime, VERDICT r7 #7.)
     "text_token_stats": [
         ("source", "s"), ("n_docs", "i"), ("total_tokens", "i"),
     ],
@@ -350,12 +352,34 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # third combo slot — its avg is exactly 10.0 on the synthetic
     # corpus (every customer has 10 orders), a lossless f4 cast.
     "a14_branching_factor": [("avg_branching", "f4")],
-    # Round 6: uniform-PageRank top-20 rank order — ints/strings, the
-    # unseeded twin of the g8_ppr_topk window row.
-    "g8_pagerank_topk": [("rk", "i"), ("node", "s")],
     # Round 6: portable-hash winnowing — exact integer fingerprints.
     "fingerprint_winnowing_portable": [
         ("doc", "i"), ("pos", "i"), ("fp", "i"),
+    ],
+    # Round-8 rotation: three stable window queries (green since r1/r4/
+    # r5; pure int/string columns, or the same lossless timestamp/f4
+    # casts as their long-green combo siblings) moved here to free
+    # direct rows for the round-8 promotions.
+    "g15_kcore": [("node", "i"), ("degree", "i")],
+    "s_dpp_join": [("event_date", "s"), ("n_events", "i"), ("n_users", "i")],
+    "stream_tumbling_hourly": [
+        ("window_start", "s"), ("event_type", "s"), ("n_events", "i"),
+        ("total_value", "f4"),
+    ],
+    # Round 8: the oracle-promotion program (VERDICT r7 #3/#4) — the
+    # planted-clone / exactness-identity driver rows for the hash-
+    # seeded dedup/ANN family plus the sketch error-bound audit.
+    "dedup_minhash_clones": [("doc1", "i"), ("doc2", "i"), ("jaccard", "d")],
+    "dedup_simhash_clones": [("doc_id", "i"), ("found", "i"), ("hamming", "i")],
+    "ann_lsh_exact_recall": [
+        ("qid", "i"), ("neighbor_id", "i"), ("sim", "f4"), ("rank", "i"),
+    ],
+    "ann_ivf_full_probe": [
+        ("qid", "i"), ("neighbor_id", "i"), ("sim", "f4"), ("rank", "i"),
+    ],
+    "sketch_bounds": [
+        ("event_type", "s"), ("exact_users", "i"), ("n_events", "i"),
+        ("hll_ok", "i"), ("p50_ok", "i"), ("p95_ok", "i"),
     ],
 }
 
@@ -380,7 +404,6 @@ _WEIGHTS: dict[str, float] = {
     "a11_edge_pattern_count": 0.58,
     "a12_bucket_histogram": 0.54,
     "a14_branching_factor": 0.33,
-    "a15_combined_histogram": 10.01,
     "a1_conditional_count": 0.47,
     "a2_conditional_count2": 0.53,
     "a3_set_collect_sorted": 1.02,
@@ -404,8 +427,16 @@ _WEIGHTS: dict[str, float] = {
     "f2_entity_labels": 0.25,
     "f7_link_labels": 0.26,
     "g13_triangle_counts": 2.18,
-    "g8_pagerank_topk": 9.3,
     "fingerprint_winnowing_portable": 2.0,
+    # Round-8 members, measured solo at sf0.01 (same method).
+    "g15_kcore": 2.5,
+    "s_dpp_join": 1.0,
+    "stream_tumbling_hourly": 0.6,
+    "dedup_minhash_clones": 5.0,
+    "dedup_simhash_clones": 3.6,
+    "ann_lsh_exact_recall": 3.8,
+    "ann_ivf_full_probe": 3.7,
+    "sketch_bounds": 1.0,
     "g19_clustering_coeff": 2.64,
     "j1_adjacency_list": 0.52,
     "j2_inverse_adjacency": 0.84,

@@ -155,6 +155,85 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- sketch error-bound audit
+@register(
+    "sketch_bounds",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(1 AS INTEGER) AS hll_ok,
+           CAST(1 AS INTEGER) AS p50_ok,
+           CAST(1 AS INTEGER) AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level audit of the sketch_aggregates estimators (VERDICT
+    r6 #2 / r7 #4): sketch ESTIMATES are engine-specific so they can't
+    hash-match a DuckDB oracle, but their ERROR BOUNDS can — this query
+    surfaces each sketch next to the exact answer it approximates and
+    emits an integer within-envelope flag per sketch; the oracle pins
+    the exact aggregates AND all-ones flags, so the driver row goes red
+    the moment any sketch leaves its documented envelope.
+
+    Envelopes (generous multiples of the configured guarantees, so the
+    row pins catastrophic sketch breakage, not run-to-run noise):
+    - HLL++ (approx_count_distinct rsd=0.02): |est - exact| <= 0.10 *
+      exact — 5x the configured rsd (measured < 0.04 at sf0.01).
+    - KLL-style percentile_approx (accuracy=10000, i.e. rank eps
+      1e-4): the returned element's exact rank interval
+      [count(v < est), count(v <= est)] must intersect
+      n * (q ± 0.01) — 100x the configured rank error.
+
+    Scale shape: two grouped scans of events (one for the sketch+exact
+    aggregates — map-side-combinable sketch state — and one conditional
+    count against the broadcast per-type estimates) plus a broadcast
+    join on the handful of event types. The exact countDistinct exists
+    ONLY in this audit query; sketch_aggregates stays the 100 TB path.
+    """
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx(F.col("value"), [0.5, 0.95], 10000).alias("pq"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type", "exact_users", "approx_users", "n_events",
+        F.col("pq")[0].alias("p50_est"), F.col("pq")[1].alias("p95_est"),
+    )
+    ranks = (
+        e.join(F.broadcast(agg.select("event_type", "p50_est", "p95_est")),
+               "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") < F.col("p50_est")).cast("long")).alias("lt50"),
+            F.sum((F.col("value") <= F.col("p50_est")).cast("long")).alias("le50"),
+            F.sum((F.col("value") < F.col("p95_est")).cast("long")).alias("lt95"),
+            F.sum((F.col("value") <= F.col("p95_est")).cast("long")).alias("le95"),
+        )
+    )
+    def rank_ok(lt, le, q):
+        lo = (F.col("n_events") * (q - 0.01))
+        hi = (F.col("n_events") * (q + 0.01))
+        # exact-rank interval [lt, le] must intersect [lo, hi]
+        return ((F.col(lt) <= hi) & (F.col(le) >= lo)).cast("int")
+    return (
+        agg.join(ranks, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users")
+            ).cast("int").alias("hll_ok"),
+            rank_ok("lt50", "le50", 0.5).alias("p50_ok"),
+            rank_ok("lt95", "le95", 0.95).alias("p95_ok"),
+        )
+    )
+
+
 # ------------------------------------------------------- bucketed range join
 @register(
     "j_range_join",

@@ -478,6 +478,48 @@ def g9_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain(key_chain_edges(spark, sf_dir), max_levels=3, max_rounds=8)
 
 
+# ------------------------------------ G9: planted-partition value check
+@register(
+    "g9_louvain_planted",
+    oracle="""
+    WITH nodes AS (SELECT DISTINCT o_orderkey % 200 AS n FROM orders)
+    SELECT n AS node, CAST((n // 20) * 20 AS BIGINT) AS community
+    FROM nodes
+    """,
+)
+def g9_louvain_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver row for the distributed Louvain pipeline
+    (VERDICT r6 #4 / r7 #6 — the largest remaining rows-only surface):
+    a planted-partition graph derived deterministically from orders —
+    200 nodes (o_orderkey % 200), ten 20-clique blocks (190 intra-block
+    edges each) chained by single cut edges between block anchors —
+    has an unambiguous modularity optimum at the ten blocks: 190 intra
+    edges against 1 cut edge leaves no merge or split with positive
+    gain, so a correct Louvain MUST recover the blocks exactly, and
+    the min-member-id canonical labels make the output engine-exact:
+    community(n) = 20 * (n div 20). Gain arithmetic, the direction-
+    alternated move rounds, contraction, and label composition are
+    all on the hook — a wrong move or broken level composition
+    misassigns some node. Verified to recover the planted partition
+    exactly at sf0.01. g9_louvain (the key-chain corpus run) stays the
+    rows-only twin; planted-clique recovery and Q-beats-LPA remain
+    pytest-pinned (tests/test_graph.py)."""
+    from panditya_spark.operators.graph import louvain
+
+    orders = _t(spark, sf_dir, "orders")
+    nodes = orders.select((F.col("o_orderkey") % 200).alias("n")).distinct()
+    blk = nodes.withColumn("b", (F.col("n") / 20).cast("int"))
+    a = blk.select(F.col("n").alias("src"), F.col("b").alias("ba"))
+    b = blk.select(F.col("n").alias("dst"), F.col("b").alias("bb"))
+    cliques = a.join(
+        b, (F.col("ba") == F.col("bb")) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst")
+    cuts = nodes.filter((F.col("n") % 20 == 0) & (F.col("n") < 180)).select(
+        F.col("n").alias("src"), (F.col("n") + 20).alias("dst")
+    )
+    return louvain(cliques.unionByName(cuts), max_levels=3, max_rounds=8)
+
+
 # ---------------------------------------------------------------- A13
 @register("a13_community_sizes")
 def a13_community_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -740,6 +740,66 @@ CHECKS = [
             ("no cartesian product", ("absent", ["CartesianProduct"])),
         ],
     ),
+    # ---- round-8 additions: the oracle-promotion twins must keep the
+    # scale shapes of the production paths they pin.
+    (
+        "dedup_minhash_clones",
+        [
+            # Threshold-1.0 or not, the pipeline must stay banded: the
+            # candidate and verify stages are equi joins on
+            # (band, bucket) / (doc, shingle), never all-pairs, and
+            # signatures/banding are pure column expressions.
+            ("no cartesian/nested-loop join",
+             ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("signature/size aggregates partial", r"partial"),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
+        "dedup_simhash_clones",
+        [
+            # 64-bit vote/bit-assembly is pure column expressions; the
+            # pigeonhole candidate join is equi on (chunk idx, value).
+            ("no cartesian/nested-loop join",
+             ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("bit-vote aggregates partial", r"partial"),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
+        "ann_lsh_exact_recall",
+        [
+            # Full recall must come from the multiprobe BUCKET join
+            # (equi on table/bucket), not from degenerating into an
+            # all-pairs product; sketching is the one sanctioned
+            # Arrow-batched stage.
+            ("no cartesian/nested-loop join",
+             ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("per-query rank window present", r"row_number"),
+        ],
+    ),
+    (
+        "ann_ivf_full_probe",
+        [
+            # Probing all lists still rides the list_id equi join over
+            # the materialized inverted lists — never a cross join.
+            ("no cartesian/nested-loop join",
+             ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("inverted lists read from the materialized RDD",
+             r"ExistingRDD|LogicalRDD"),
+        ],
+    ),
+    (
+        "sketch_bounds",
+        [
+            # Sketch + exact aggregates combine map-side; the per-type
+            # estimates ride back on a broadcast; everything JVM-side.
+            ("sketch/exact aggregates partial", r"partial"),
+            ("estimates broadcast back to the rank scan", r"BroadcastExchange"),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
     (
         "s_quarantine_read",
         [

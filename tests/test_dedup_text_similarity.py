@@ -142,6 +142,70 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
 
 
+def test_ivf_full_probe_degrades_to_exact(spark):
+    """Partition-integrity identity (the ann_ivf_full_probe driver
+    row's contract): with nprobe = nlist every inverted list is
+    probed, so IVF must return EXACTLY the brute-force top-k — any
+    vector lost or duplicated across the list assignment, the
+    materialization boundary, or the probe join breaks equality."""
+    from panditya_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+         for i in range(60)],
+        ["id", "v"],
+    )
+    q = emb.filter("id < 4").select(
+        F.col("id").alias("qid"), F.col("v").alias("qvec")
+    )
+    c = emb.select(F.col("id").alias("cid"), F.col("v").alias("cvec"))
+    bf = sorted(map(tuple, brute_force_topk(q, c, k=5).collect()))
+    full = sorted(
+        map(tuple, ivf_topk(q, c, k=5, nlist=8, nprobe=8).collect())
+    )
+    assert full == bf
+
+
+def test_minhash_threshold_one_is_exact_identical_sets(spark):
+    """At threshold=1.0 the MinHash-LSH output is engine-exact (the
+    dedup_minhash_clones driver row's argument): Jaccard-1 pairs have
+    identical signatures so the candidate stage can never miss them,
+    and the exact verify keeps precisely the identical-shingle-set
+    pairs — planted clones surface, near-but-not-identical docs do
+    not."""
+    from panditya_spark.operators.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical clone -> must pair with 1
+            (3, base + " extra trailing words here"),  # near, not identical
+            (4, "completely different text with other tokens inside it"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in minhash_dedup_pairs(docs, "text", "doc_id", threshold=1.0).collect()
+    )
+    assert got == [(1, 2, 1.0)]
+
+
+def test_kmeans_assign_empty_input_raises_clearly(spark):
+    """All-NULL vectors (or an empty frame) must raise the documented
+    ValueError, not np.stack's opaque 'need at least one array'."""
+    import pytest
+
+    from panditya_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        kmeans_assign(df, "id", "v", k=2)
+
+
 def test_cosine_near_pairs_lsh_path(spark):
     """LSH mode: perfect recall on true near-duplicates (cos ≥ 0.99)
     and a plan with no cartesian product."""
