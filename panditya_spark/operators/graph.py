@@ -1704,18 +1704,32 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     k-core (spec extension, same family as g13/g15; the standard
     cohesive-subgraph ladder: component ⊇ core ⊇ truss).
 
-    INCREMENTAL support peeling: triangles are enumerated ONCE with
-    the same ordered-join plan as triangle_counts (each triangle once,
-    a < b < c) into a triangle→edge incidence table (3 rows per
-    triangle). Each peel round then touches only the CHANGED part of
-    the graph: edges below k-2 support are removed, the (small) set of
-    triangles containing a removed edge is located by one semi-join on
-    the incidence table, and the surviving edges of exactly those
-    triangles get their support decremented — never a full re-count.
-    At 100× scale this is the difference between O(rounds × triangles)
-    and O(triangles + Σ destroyed): late peel rounds remove a handful
-    of edges, so their cost is proportional to the handful, not the
-    graph (cf. the large-star note on connected components).
+    INCREMENTAL support peeling over a STATIC incidence table:
+    triangles are enumerated ONCE with the same ordered-join plan as
+    triangle_counts (each triangle once, a < b < c) into a
+    triangle→edge incidence table (3 rows per triangle), materialized
+    ONCE in two static copies — one hash-partitioned by edge (the
+    victim probe side), one by triangle key (the expansion side). The
+    per-round state is ONLY the per-edge support table (one row per
+    surviving edge — 5x smaller than the incidence table on this
+    graph): edges below k-2 support are removed, the triangles they
+    touch are located by one edge-keyed semi-join on the static
+    incidence, expanded to their 3 edge rows through the triangle-
+    keyed copy (shuffling only the hit set), filtered to triangles
+    still fully ALIVE (all 3 edges present in the round-start support
+    — the lazy equivalent of maintaining a shrinking incidence
+    table: a triangle destroyed earlier always has a removed edge, so
+    it can never pass), and the surviving edges of exactly those
+    triangles get their support decremented — never a full re-count,
+    and never a re-materialization of the incidence table. The
+    round-7 measurement that motivated this: re-checkpointing the
+    incidence table every round (the previous design) cost
+    O(rounds × triangles) in write volume — 123-236s at sf0.1
+    (5.65M incidence rows × ~15 rounds) with the one-time triangle
+    build contributing only ~9s; peel state is now O(rounds × edges).
+    Late peel rounds remove a handful of edges, so their cost is
+    proportional to the handful (cf. the large-star note on
+    connected components).
 
     k <= 2 short-circuits: every edge trivially has support >= k-2, so
     the 2-truss is the whole graph — ALL canonical edges are returned
@@ -1756,28 +1770,50 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
             )
         )
         return out
+    # Static incidence copies, checkpointed ONCE: the edge-keyed copy
+    # serves the victim probe, the triangle-keyed copy the expansion —
+    # each round shuffles only victim-sized / hit-sized frames against
+    # them, never the incidence table itself.
+    te_by_edge = te.repartition("ea", "eb").localCheckpoint(eager=True)
+    te_by_tri = te_by_edge.repartition("ta", "tb", "tc").localCheckpoint(
+        eager=True
+    )
+    # Initial support from the already-materialized copy — the triangle
+    # enumeration must run exactly once.
+    sup = te_by_edge.groupBy("ea", "eb").agg(F.count(F.lit(1)).alias("support"))
     state = _LoopState()
-    te, sup = state.round_end(te, sup)
+    (sup,) = state.round_end(sup)
     converged = False
     for _ in range(max_iter):
         victims = sup.filter(F.col("support") < k - 2).select("ea", "eb")
         if victims.count() == 0:
             converged = True
             break
-        # Triangles destroyed by this round's removals…
-        destroyed = (
-            te.join(victims, ["ea", "eb"], "semi")
+        # Triangles touched by this round's removals…
+        hit = (
+            te_by_edge.join(victims, ["ea", "eb"], "semi")
             .select("ta", "tb", "tc")
             .distinct()
         )
-        dest_edges = te.join(destroyed, ["ta", "tb", "tc"], "semi")
+        hit_rows = te_by_tri.join(hit, ["ta", "tb", "tc"], "semi")
+        # …restricted to triangles still fully alive at round start
+        # (all 3 edge rows present in sup): a triangle destroyed in an
+        # earlier round always contains an already-removed edge, so
+        # this filter is the lazy equivalent of the old shrinking te.
+        alive_rows = hit_rows.join(sup.select("ea", "eb"), ["ea", "eb"], "semi")
+        destroyed = (
+            alive_rows.groupBy("ta", "tb", "tc")
+            .agg(F.count(F.lit(1)).alias("n_alive"))
+            .filter(F.col("n_alive") == 3)
+            .select("ta", "tb", "tc")
+        )
         # …decrement only the SURVIVING edges of those triangles.
         dec = (
-            dest_edges.join(victims, ["ea", "eb"], "anti")
+            alive_rows.join(destroyed, ["ta", "tb", "tc"], "semi")
+            .join(victims, ["ea", "eb"], "anti")
             .groupBy("ea", "eb")
             .agg(F.count(F.lit(1)).alias("dec"))
         )
-        te_next = te.join(destroyed, ["ta", "tb", "tc"], "anti")
         sup_next = (
             sup.filter(F.col("support") >= k - 2)
             .join(dec, ["ea", "eb"], "left_outer")
@@ -1789,7 +1825,7 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
                 ).alias("support"),
             )
         )
-        te, sup = state.round_end(te_next, sup_next)
+        (sup,) = state.round_end(sup_next)
     if not converged:
         raise RuntimeError(
             f"ktruss: no fixpoint after {max_iter} peel rounds; "

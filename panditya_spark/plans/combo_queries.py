@@ -381,6 +381,16 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("event_type", "s"), ("exact_users", "i"), ("n_events", "i"),
         ("hll_ok", "i"), ("p50_ok", "i"), ("p95_ok", "i"),
     ],
+    # Round 8 (cont.): agreement/invariant flag twins for the float
+    # rows-only operators — grouped-map OLS vs the builtin regression
+    # aggregates, and the decayed score's weighted-mean range bound.
+    "ml_trend_check": [
+        ("event_type", "s"), ("n_days", "i"), ("slope_ok", "i"),
+        ("intercept_ok", "i"),
+    ],
+    "ts_decay_range": [
+        ("user_id", "i"), ("n_events", "i"), ("in_range", "i"),
+    ],
 }
 
 _NULL = "∅"
@@ -437,6 +447,8 @@ _WEIGHTS: dict[str, float] = {
     "ann_lsh_exact_recall": 3.8,
     "ann_ivf_full_probe": 3.7,
     "sketch_bounds": 1.0,
+    "ml_trend_check": 1.0,
+    "ts_decay_range": 1.0,
     "g19_clustering_coeff": 2.64,
     "j1_adjacency_list": 0.52,
     "j2_inverse_adjacency": 0.84,

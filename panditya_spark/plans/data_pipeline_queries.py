@@ -1957,6 +1957,57 @@ def ml_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ per-group trend fit, agreement twin
+@register(
+    "ml_trend_check",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(1 AS INTEGER) AS slope_ok,
+           CAST(1 AS INTEGER) AS intercept_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def ml_trend_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver row for the grouped-map OLS operator
+    (VERDICT r7 rows-only list — ml_group_trend's twin): the SAME
+    daily-volume frame is fitted twice in one plan — once through the
+    applyInPandas group_trend path under test, once through Spark's
+    builtin regr_slope/regr_intercept (an independent JVM
+    implementation of simple OLS) — and the surfaced integer flags
+    assert agreement within 1e-6 relative. The oracle pins the exact
+    per-type day counts AND all-ones flags, so a broken Arrow
+    group-map boundary, a wrong closed-form, or a dropped day turns
+    the row red. The float slope itself stays rows-only on
+    ml_group_trend (hand values + builtin agreement also pytest-
+    pinned at 1e-9)."""
+    from panditya_spark.operators.ml import group_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    fitted = group_trend(daily, ["event_type"], "day", "n_events")
+    builtin = daily.groupBy("event_type").agg(
+        F.regr_slope("n_events", "day").alias("b_slope"),
+        F.regr_intercept("n_events", "day").alias("b_intercept"),
+        F.countDistinct("day").alias("n_days"),
+    )
+
+    def close(a, b):
+        return (
+            F.abs(F.col(a) - F.col(b))
+            <= 1e-6 * F.greatest(F.lit(1.0), F.abs(F.col(b)))
+        ).cast("int")
+
+    return fitted.join(builtin, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        close("slope", "b_slope").alias("slope_ok"),
+        close("intercept", "b_intercept").alias("intercept_ok"),
+    )
+
+
 # ------------------------------------------------- end-to-end pipeline DAG
 @register(
     "pipeline_end_to_end",

@@ -104,6 +104,44 @@ def ts_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_decay_range",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(1 AS INTEGER) AS in_range
+    FROM events GROUP BY user_id
+    """,
+)
+def ts_decay_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver row for the time-decay operator (VERDICT r7
+    rows-only list — ts_time_decay's twin): a decayed score is a
+    POSITIVELY-weighted mean, so it must lie inside [min(value),
+    max(value)] for every key — the invariant a broken normalization
+    (a dropped Σw divisor, a sign flip in the exponent, an
+    overflowing weight) violates immediately. The query runs the real
+    operator and surfaces the per-user integer in-range flag next to
+    the exact event count; the oracle pins counts and all-ones flags.
+    The float score itself stays rows-only on ts_time_decay (exact
+    weighting pinned against a sequential Python mirror in
+    tests/test_timeseries.py)."""
+    from panditya_spark.operators.timeseries import time_decayed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    scored = time_decayed_agg(ev, "user_id", "ts", "value", 24.0)
+    bounds = ev.groupBy("user_id").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    return scored.join(bounds, "user_id").select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("decayed_score")
+        .between(F.col("vmin"), F.col("vmax"))
+        .cast("int")
+        .alias("in_range"),
+    )
+
+
+@register(
     "ts_rolling_zscore",
     oracle="""
     WITH scored AS (
