@@ -391,6 +391,13 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     "ts_decay_range": [
         ("user_id", "i"), ("n_events", "i"), ("in_range", "i"),
     ],
+    # Round 8 (cont.): the embedding histogram's exact integer bins.
+    "mm_image_embedding_counts": [
+        ("media_id", "s"), ("pos", "i"), ("cnt", "i"),
+    ],
+    # Round 8 (cont.): LPA on the planted blocks (the Louvain row's
+    # sibling — provable recovery from LPA's own tie-break rules).
+    "g9_lpa_planted": [("node", "i"), ("community", "i")],
 }
 
 _NULL = "∅"
@@ -406,115 +413,118 @@ _NULL = "∅"
 # slots through mid-round-6; the third was added when both hit the
 # 45-member cap with new oracle-bearing members still arriving.)
 
-# Measured solo (Spark collect + DuckDB oracle) seconds at sf0.01 on
-# the round-6 host, one warm session. Only the ORDERING matters — a
-# 2x drift leaves the split near-balanced; members not listed (new
-# rotations) default to 0.5 until re-measured.
+# Measured solo (Spark collect + DuckDB oracle) seconds at sf0.01,
+# round-8 host, one warm session (scripts/measure_combo_weights.py —
+# re-run it whenever members change; VERDICT r7 #7). Only the ORDERING
+# matters — a 2x drift leaves the split near-balanced. No member over
+# 5s solo except g9_lpa_planted's 5.1 (four fixed LPA rounds of loop
+# machinery — round-count-bound, not data-bound); the two heaviest
+# round-6 members (a15, pagerank) now hold direct window rows.
 _WEIGHTS: dict[str, float] = {
-    "a11_edge_pattern_count": 0.58,
-    "a12_bucket_histogram": 0.54,
-    "a14_branching_factor": 0.33,
-    "a1_conditional_count": 0.47,
-    "a2_conditional_count2": 0.53,
-    "a3_set_collect_sorted": 1.02,
-    "a4_count_distinct": 0.96,
-    "a5_formatted_freq_agg": 0.54,
-    "a6_truncated_ratio": 0.43,
-    "a7_having_filter": 0.35,
-    "a9_group_count": 0.34,
-    "a_cube_day_type": 0.32,
-    "a_pivot_daily": 0.36,
-    "a_rollup_day_type": 0.44,
-    "a_unpivot_metrics": 0.3,
-    "dedup_chunk_level": 0.92,
-    "dedup_incremental": 3.63,
-    "dedup_cluster_canonical": 2.58,
-    "dedup_exact": 0.42,
-    "dedup_fingerprint": 0.4,
-    "dq_constraint_report": 1.36,
-    "er_fuzzy_match": 1.18,
-    "f1_f2_entity_labels": 0.41,
-    "f2_entity_labels": 0.25,
-    "f7_link_labels": 0.26,
-    "g13_triangle_counts": 2.18,
-    "fingerprint_winnowing_portable": 2.0,
-    # Round-8 members, measured solo at sf0.01 (same method).
-    "g15_kcore": 2.5,
-    "s_dpp_join": 1.0,
-    "stream_tumbling_hourly": 0.6,
-    "dedup_minhash_clones": 5.0,
-    "dedup_simhash_clones": 3.6,
-    "ann_lsh_exact_recall": 3.8,
-    "ann_ivf_full_probe": 3.7,
-    "sketch_bounds": 1.0,
-    "ml_trend_check": 1.0,
-    "ts_decay_range": 1.0,
-    "g19_clustering_coeff": 2.64,
-    "j1_adjacency_list": 0.52,
-    "j2_inverse_adjacency": 0.84,
-    "j5_broadcast_join_agg": 0.39,
-    "j8_expand_to_authors": 0.36,
-    "j9_summary_counts": 0.86,
-    "j_bucketed_join": 1.02,
+    "a11_edge_pattern_count": 1.43,
+    "a12_bucket_histogram": 0.96,
+    "a14_branching_factor": 0.55,
+    "a1_conditional_count": 0.7,
+    "a2_conditional_count2": 0.4,
+    "a3_set_collect_sorted": 0.95,
+    "a4_count_distinct": 0.82,
+    "a5_formatted_freq_agg": 0.81,
+    "a6_truncated_ratio": 0.45,
+    "a7_having_filter": 0.3,
+    "a9_group_count": 0.23,
+    "a_cube_day_type": 0.65,
+    "a_pivot_daily": 0.65,
+    "a_rollup_day_type": 0.36,
+    "a_unpivot_metrics": 0.37,
+    "ann_ivf_full_probe": 4.9,
+    "ann_lsh_exact_recall": 1.61,
+    "dedup_chunk_level": 0.88,
+    "dedup_cluster_canonical": 4.32,
+    "dedup_exact": 0.31,
+    "dedup_fingerprint": 1.31,
+    "dedup_incremental": 2.67,
+    "dedup_minhash_clones": 3.02,
+    "dedup_simhash_clones": 3.26,
+    "dq_constraint_report": 1.59,
+    "er_fuzzy_match": 1.09,
+    "f1_f2_entity_labels": 0.35,
+    "f2_entity_labels": 0.15,
+    "f7_link_labels": 1.28,
+    "fingerprint_winnowing_portable": 1.81,
+    "g13_triangle_counts": 2.42,
+    "g15_kcore": 4.24,
+    "g19_clustering_coeff": 2.58,
+    "j1_adjacency_list": 0.29,
+    "j2_inverse_adjacency": 0.72,
+    "j5_broadcast_join_agg": 0.56,
+    "j8_expand_to_authors": 0.38,
+    "j9_summary_counts": 0.54,
+    "j_bucketed_join": 1.37,
     "j_null_safe_join": 0.35,
-    "j_range_join": 0.69,
-    "mm_frame_sample": 0.55,
-    "o1_collation_sort": 3.07,
-    "p10_13_rowskip_type_filter": 0.25,
-    "p14_16_map_ops": 0.3,
-    "p1_scan_project_filter": 4.2,
-    "p3_coalesce_fill": 0.27,
-    "p4_regex_clean": 0.26,
-    "p5_7_drop_rename_fill": 0.27,
-    "p8_split_explode": 0.4,
+    "j_range_join": 0.68,
+    "ml_trend_check": 0.8,
+    "mm_frame_sample": 0.23,
+    "o1_collation_sort": 0.7,
+    "p10_13_rowskip_type_filter": 0.17,
+    "p14_16_map_ops": 0.53,
+    "p1_scan_project_filter": 0.19,
+    "p3_coalesce_fill": 0.23,
+    "p4_regex_clean": 0.16,
+    "p5_7_drop_rename_fill": 0.15,
+    "p8_split_explode": 0.3,
     "p9_11_12_guard_validate_lookup": 0.28,
-    "pipeline_end_to_end": 1.88,
-    "pipeline_quality_gate": 1.86,
-    "s6_csv_roundtrip": 0.81,
-    "s7_entity_map_roundtrip": 1.63,
-    "s9_gexf_roundtrip": 1.27,
-    "s_orc_roundtrip": 0.76,
-    "s_partitioned_layout": 1.66,
-    "s_quarantine_read": 0.78,
-    "s_schema_evolution": 1.11,
-    "s_targeted_delete": 1.28,
-    "s_zorder_layout": 1.0,
-    "sample_importance": 0.85,
+    "pipeline_end_to_end": 2.23,
+    "pipeline_quality_gate": 1.53,
+    "s6_csv_roundtrip": 0.55,
+    "s7_entity_map_roundtrip": 0.6,
+    "s9_gexf_roundtrip": 0.67,
+    "s_dpp_join": 1.65,
+    "s_orc_roundtrip": 0.85,
+    "s_partitioned_layout": 1.12,
+    "s_quarantine_read": 0.85,
+    "s_schema_evolution": 0.53,
+    "s_targeted_delete": 1.36,
+    "s_variant_json": 0.75,
+    "s_zorder_layout": 1.06,
+    "sample_importance": 0.86,
     "sample_mixture": 0.98,
-    "sample_stratified": 0.31,
-    "sample_token_budget": 1.0,
-    "s_variant_json": 1.17,
-    "seq_packing": 0.32,
-    "skew_key_profile": 0.4,
-    "sql_top_customer_per_nation": 1.44,
-    "stream_record_high": 2.94,
-    "stream_sliding_daily": 1.13,
-    "stream_static_dim_join": 1.0,
-    "stream_upsert_sink": 2.88,
-    "t1_t2_union_dedupe": 0.6,
-    "t3_overlap_partition": 0.48,
-    "t4_unique_to_group": 0.5,
-    "text_chunking": 0.31,
-    "text_contamination": 0.56,
-    "text_heavy_hitters": 0.29,
+    "sample_stratified": 0.3,
+    "sample_token_budget": 1.22,
+    "seq_packing": 0.31,
+    "sketch_bounds": 1.08,
+    "skew_key_profile": 0.28,
+    "sql_top_customer_per_nation": 1.18,
+    "stream_record_high": 4.32,
+    "stream_sliding_daily": 0.8,
+    "stream_static_dim_join": 1.07,
+    "stream_tumbling_hourly": 0.35,
+    "stream_upsert_sink": 1.83,
+    "t1_t2_union_dedupe": 0.42,
+    "t3_overlap_partition": 0.64,
+    "t4_unique_to_group": 0.73,
+    "text_chunking": 0.3,
+    "text_contamination": 0.67,
+    "text_heavy_hitters": 0.33,
     "text_html_strip": 0.25,
-    "text_langid": 0.42,
-    "text_normalize": 0.25,
-    "text_pii_redact": 0.25,
-    "text_token_stats": 0.26,
-    "tpch_q16_supplier_counts": 0.9,
-    "tpch_q18_large_orders": 0.61,
-    "tpch_q22_dormant_balance": 0.88,
-    "tpch_q2_cheapest_supplier": 1.0,
-    "tpch_q4_order_priority": 0.43,
-    "tpch_q5_local_supplier": 0.69,
-    "tpch_q6_forecast": 0.51,
-    "ts_rolling_zscore": 0.51,
-    "w1_top_n": 0.43,
-    "w2_first_match_backfill": 0.72,
-    "w_ntile_cume_dist": 0.31,
+    "text_langid": 0.45,
+    "text_normalize": 0.42,
+    "text_pii_redact": 0.29,
+    "text_token_stats": 0.24,
+    "tpch_q16_supplier_counts": 0.68,
+    "tpch_q18_large_orders": 0.8,
+    "tpch_q22_dormant_balance": 0.57,
+    "tpch_q2_cheapest_supplier": 0.61,
+    "tpch_q4_order_priority": 0.45,
+    "tpch_q5_local_supplier": 0.89,
+    "tpch_q6_forecast": 0.28,
+    "ts_decay_range": 0.52,
+    "ts_rolling_zscore": 0.57,
+    "w1_top_n": 0.28,
+    "w2_first_match_backfill": 0.46,
+    "w_ntile_cume_dist": 0.38,
+    "mm_image_embedding_counts": 1.02,
+    "g9_lpa_planted": 5.1,
 }
-
 
 def _split_members(n_slots: int = 3) -> list[dict]:
     order = sorted(_MEMBERS, key=lambda n: (-_WEIGHTS.get(n, 0.5), n))

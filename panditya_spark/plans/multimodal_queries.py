@@ -141,6 +141,58 @@ def mm_image_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "embedding")
 
 
+# ------------------------------------- embedding histogram, integer twin
+@register(
+    "mm_image_embedding_counts",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS hv
+      FROM documents
+    ),
+    d AS (
+      SELECT media_id, 16 + hv % 49 AS w, 16 + (hv // 49) % 49 AS ht,
+             hv % 256 AS seed
+      FROM h
+    ),
+    u AS (
+      SELECT media_id, unnest(range(0, w*ht)) AS i, w, ht, seed FROM d
+    ),
+    c AS (
+      SELECT media_id, ((seed + 7*i) % 256) % 8 AS pos, count(*) AS cnt
+      FROM u GROUP BY 1, 2
+    ),
+    slots AS (
+      SELECT media_id, unnest(range(0, 8)) AS pos FROM d
+    )
+    SELECT s.media_id, CAST(s.pos AS INTEGER) AS pos,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+    FROM slots s LEFT JOIN c ON s.media_id = c.media_id AND s.pos = c.pos
+    """,
+)
+def mm_image_embedding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver row for the embedding path (VERDICT r7
+    rows-only list — mm_image_embedding's twin): the embedding is an
+    L1-normalized histogram of decoded-pixel residues (mod 8), so
+    multiplying each component back by the pixel count recovers the
+    EXACT integer bin counts (float32 keeps count/total to ~6e-8
+    relative — far inside the 0.5 rounding margin at <=65k pixels per
+    image). The oracle recomputes every bin from the deterministic
+    ramp ((seed + 7i) % 256), so the decode, the residue fold, the
+    normalization, and the array assembly are all value-checked bin
+    by bin; mm_image_embedding stays the float-array surface."""
+    feats = M.image_features(_media(spark, sf_dir, "image"))
+    return feats.select(
+        "media_id",
+        (F.col("width") * F.col("height")).alias("_npx"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "media_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("v") * F.col("_npx")).cast("bigint").alias("cnt"),
+    )
+
+
 # ---------------------------------------------------------------- real resize
 # Extension op: nearest-neighbor image resize — decode PNG, numpy
 # index-sample, re-encode PNG, then a SECOND real parse of the resized

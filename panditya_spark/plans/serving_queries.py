@@ -479,14 +479,32 @@ def g9_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------ G9: planted-partition value check
-@register(
-    "g9_louvain_planted",
-    oracle="""
+_PLANTED_ORACLE = """
     WITH nodes AS (SELECT DISTINCT o_orderkey % 200 AS n FROM orders)
     SELECT n AS node, CAST((n // 20) * 20 AS BIGINT) AS community
     FROM nodes
-    """,
-)
+    """
+
+
+def _planted_block_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic planted-partition graph from orders: 200 nodes
+    (o_orderkey % 200), ten 20-clique blocks (190 intra-block edges
+    each), single cut edges chaining consecutive block anchors."""
+    orders = _t(spark, sf_dir, "orders")
+    nodes = orders.select((F.col("o_orderkey") % 200).alias("n")).distinct()
+    blk = nodes.withColumn("b", (F.col("n") / 20).cast("int"))
+    a = blk.select(F.col("n").alias("src"), F.col("b").alias("ba"))
+    b = blk.select(F.col("n").alias("dst"), F.col("b").alias("bb"))
+    cliques = a.join(
+        b, (F.col("ba") == F.col("bb")) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst")
+    cuts = nodes.filter((F.col("n") % 20 == 0) & (F.col("n") < 180)).select(
+        F.col("n").alias("src"), (F.col("n") + 20).alias("dst")
+    )
+    return cliques.unionByName(cuts)
+
+
+@register("g9_louvain_planted", oracle=_PLANTED_ORACLE)
 def g9_louvain_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-level driver row for the distributed Louvain pipeline
     (VERDICT r6 #4 / r7 #6 — the largest remaining rows-only surface):
@@ -506,18 +524,30 @@ def g9_louvain_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned (tests/test_graph.py)."""
     from panditya_spark.operators.graph import louvain
 
-    orders = _t(spark, sf_dir, "orders")
-    nodes = orders.select((F.col("o_orderkey") % 200).alias("n")).distinct()
-    blk = nodes.withColumn("b", (F.col("n") / 20).cast("int"))
-    a = blk.select(F.col("n").alias("src"), F.col("b").alias("ba"))
-    b = blk.select(F.col("n").alias("dst"), F.col("b").alias("bb"))
-    cliques = a.join(
-        b, (F.col("ba") == F.col("bb")) & (F.col("src") < F.col("dst"))
-    ).select("src", "dst")
-    cuts = nodes.filter((F.col("n") % 20 == 0) & (F.col("n") < 180)).select(
-        F.col("n").alias("src"), (F.col("n") + 20).alias("dst")
+    return louvain(
+        _planted_block_graph(spark, sf_dir), max_levels=3, max_rounds=8
     )
-    return louvain(cliques.unionByName(cuts), max_levels=3, max_rounds=8)
+
+
+@register("g9_lpa_planted", oracle=_PLANTED_ORACLE)
+def g9_lpa_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver row for the label-propagation pipeline
+    (g9_label_propagation's twin; the same planted-partition argument
+    as g9_louvain_planted, with the recovery provable from LPA's own
+    rules): round 1, all labels distinct, so every clique member's
+    vote is a 20-way tie and the smallest-label tie-break elects the
+    block minimum; block anchors briefly adopt the PREVIOUS anchor's
+    label through the cut edge (it is their smallest neighbor) but are
+    pulled back by the 19-vote intra-block majority in round 2, and
+    the partition is stationary from round 3 — well inside max_iter=4.
+    Final labels are exactly the block minima, the same engine-exact
+    oracle as the Louvain row. Node-level output also subsumes the
+    a13 census machinery (a13_community_sizes is one groupBy over
+    these labels); the key-chain-corpus runs stay the rows-only
+    twins."""
+    from panditya_spark.operators.graph import label_propagation
+
+    return label_propagation(_planted_block_graph(spark, sf_dir), max_iter=4)
 
 
 # ---------------------------------------------------------------- A13
