@@ -51,10 +51,16 @@ def quality_feature_frame(docs: DataFrame, text_col: str, id_col: str) -> DataFr
     )
 
 
-def train_quality_classifier(features: DataFrame, label_col: str):
+def train_quality_classifier(
+    features: DataFrame, label_col: str, max_iter: int = 25
+):
     """Fit the logistic model. Deterministic for fixed input: LBFGS
     from a zero initial vector with no sampling or seed-dependent
-    step. Returns the fitted PipelineModel."""
+    step. Returns the fitted PipelineModel. ``max_iter`` trades fit
+    tightness for LBFGS aggregation rounds — the separation-flag
+    driver twin runs a shorter budget (the sign of the separation is
+    settled within a few iterations; only calibrated probabilities
+    need the full budget)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler, VectorAssembler
@@ -68,7 +74,7 @@ def train_quality_classifier(features: DataFrame, label_col: str):
             LogisticRegression(
                 featuresCol="features",
                 labelCol=label_col,
-                maxIter=25,
+                maxIter=max_iter,
                 regParam=0.01,
             ),
         ]

@@ -398,6 +398,12 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # Round 8 (cont.): LPA on the planted blocks (the Louvain row's
     # sibling — provable recovery from LPA's own tie-break rules).
     "g9_lpa_planted": [("node", "i"), ("community", "i")],
+    # Round 8 (cont.): exact bigram counts + smoothing-bound flags for
+    # the LM scorer, and the quality classifier's separation flag.
+    "text_lm_bounds": [
+        ("doc_id", "i"), ("n_bigrams", "i"), ("bits_ok", "i"),
+    ],
+    "ml_quality_separates": [("n_docs", "i"), ("separates", "i")],
 }
 
 _NULL = "∅"
@@ -418,8 +424,10 @@ _NULL = "∅"
 # re-run it whenever members change; VERDICT r7 #7). Only the ORDERING
 # matters — a 2x drift leaves the split near-balanced. No member over
 # 5s solo except g9_lpa_planted's 5.1 (four fixed LPA rounds of loop
-# machinery — round-count-bound, not data-bound); the two heaviest
-# round-6 members (a15, pagerank) now hold direct window rows.
+# machinery — round-count-bound, not data-bound) and
+# ml_quality_separates' ~7 cold (mostly one-time pyspark.ml init);
+# the two heaviest round-6 members (a15, pagerank) now hold direct
+# window rows.
 _WEIGHTS: dict[str, float] = {
     "a11_edge_pattern_count": 1.43,
     "a12_bucket_histogram": 0.96,
@@ -524,6 +532,10 @@ _WEIGHTS: dict[str, float] = {
     "w_ntile_cume_dist": 0.38,
     "mm_image_embedding_counts": 1.02,
     "g9_lpa_planted": 5.1,
+    "text_lm_bounds": 2.4,
+    # First-call cost: ~4s warm plus ~3s one-time pyspark.ml pipeline
+    # init that lands on whichever slot holds this member.
+    "ml_quality_separates": 7.0,
 }
 
 def _split_members(n_slots: int = 3) -> list[dict]:
