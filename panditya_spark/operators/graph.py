@@ -1307,8 +1307,20 @@ def strongly_connected_components(
 
     1. TRIM: nodes with zero in- or out-degree inside their active
        partition can't lie on a cycle — settle them as singleton SCCs.
-       Iterated, this peels entire DAG regions in O(longest path)
-       rounds, leaving only the cyclic cores for the expensive phase.
+       Iterated TO A FIXPOINT inside one outer round (an inner peel
+       over the shrinking active node/edge frames, kcore-style), this
+       strips entire DAG regions before a single full label-table
+       rewrite — the round-8 restructure: the previous one-layer-per-
+       outer-round trim re-materialized the full label state per
+       peeled layer, the O(rounds × state) shape the k-truss rewrite
+       removed. (Honest attribution from the round-8 profile: on the
+       sf0.1 key-chain graph the wall-clock is dominated by the
+       weak-CC prepass below — 11.7s of ~17s — so this restructure
+       mostly pays on graphs with MANY trim layers; here it removes
+       label-rewrite rounds without moving the headline number.)
+       Trim exhaustion is safe: any acyclic node the bounded peel
+       misses still resolves correctly through FW-BW (its F∩B is
+       itself).
     2. Weak-CC pre-partitioning: the existing connected_components
        pass splits the trimmed graph into independent partitions that
        FW-BW processes IN PARALLEL (one pivot per partition per
@@ -1380,16 +1392,70 @@ def strongly_connected_components(
             .filter(F.col("part") == F.col("p2"))
             .select("src", "dst")
         ).localCheckpoint(eager=True)
-        # TRIM: settle active nodes missing an in- or out-edge in the
-        # active subgraph as singleton SCCs.
-        has_out = ae.select(F.col("src").alias("node")).distinct()
-        has_in = ae.select(F.col("dst").alias("node")).distinct()
-        on_cycle_candidates = has_out.join(has_in, "node")
-        trimmed = active.join(on_cycle_candidates, "node", "left_anti")
-        if not trimmed.isEmpty():
-            (labels,) = state.round_end(
-                labels.alias("l")
-                .join(trimmed.select("node").alias("t"), "node", "left_outer")
+        # TRIM to a fixpoint: peel nodes missing an in- or out-edge
+        # from the ACTIVE subgraph repeatedly — only the shrinking
+        # (act, ae_cur) frames materialize per peel layer; the full
+        # label table is rewritten ONCE below, after the whole DAG
+        # region is stripped.
+        act, ae_cur, trimmed_all = active, ae, None
+        for _ in range(max_inner):
+            has_out = ae_cur.select(F.col("src").alias("node")).distinct()
+            has_in = ae_cur.select(F.col("dst").alias("node")).distinct()
+            on_cycle = has_out.join(has_in, "node").localCheckpoint(eager=True)
+            trimmed = act.join(on_cycle, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if trimmed.isEmpty():
+                break
+            trimmed_all = (
+                trimmed
+                if trimmed_all is None
+                else trimmed_all.unionByName(trimmed).localCheckpoint(eager=True)
+            )
+            act = act.join(on_cycle, "node", "semi").localCheckpoint(eager=True)
+            ae_cur = (
+                ae_cur.join(act.select(F.col("node").alias("src")), "src", "semi")
+                .join(act.select(F.col("node").alias("dst")), "dst", "semi")
+                .localCheckpoint(eager=True)
+            )
+        # FW-BW on the surviving cyclic cores (pivot per partition),
+        # same round as the trim settlement — no extra outer pass.
+        if act.isEmpty():
+            classified = None
+        else:
+            pivots = act.groupBy("part").agg(F.min("node").alias("node")).select("node", "part")
+            fwd = bfs_within(pivots, ae_cur, act)
+            bwd = bfs_within(
+                pivots,
+                ae_cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                act,
+            )
+            in_f = fwd.select("node", "part", F.lit(1).alias("inf"))
+            in_b = bwd.select("node", "part", F.lit(1).alias("inb"))
+            piv = pivots.select(F.col("part"), F.col("node").alias("pivot"))
+            classified = (
+                act.join(in_f, ["node", "part"], "left_outer")
+                .join(in_b, ["node", "part"], "left_outer")
+                .join(piv, "part")
+                .select(
+                    "node",
+                    F.when(F.col("inf").isNotNull() & F.col("inb").isNotNull(), F.col("pivot"))
+                    .otherwise(F.lit(None).cast("string"))
+                    .alias("new_scc"),
+                    F.when(F.col("inf").isNotNull() & F.col("inb").isNotNull(), F.col("part"))
+                    .when(F.col("inf").isNotNull(), F.concat(F.col("part"), F.lit("F")))
+                    .when(F.col("inb").isNotNull(), F.concat(F.col("part"), F.lit("B")))
+                    .otherwise(F.concat(F.col("part"), F.lit("R")))
+                    .alias("new_part"),
+                )
+            )
+        upd = labels
+        if trimmed_all is not None:
+            upd = (
+                upd.alias("l")
+                .join(
+                    trimmed_all.select("node").alias("t"), "node", "left_outer"
+                )
                 .select(
                     "node",
                     "part",
@@ -1401,40 +1467,13 @@ def strongly_connected_components(
                     .alias("scc"),
                 )
             )
-            continue
-        # FW-BW round: pivot per partition.
-        pivots = active.groupBy("part").agg(F.min("node").alias("node")).select("node", "part")
-        parts = active
-        fwd = bfs_within(pivots, ae, parts)
-        bwd = bfs_within(
-            pivots, ae.select(F.col("dst").alias("src"), F.col("src").alias("dst")), parts
-        )
-        in_f = fwd.select("node", "part", F.lit(1).alias("inf"))
-        in_b = bwd.select("node", "part", F.lit(1).alias("inb"))
-        piv = pivots.select(F.col("part"), F.col("node").alias("pivot"))
-        classified = (
-            active.join(in_f, ["node", "part"], "left_outer")
-            .join(in_b, ["node", "part"], "left_outer")
-            .join(piv, "part")
-            .select(
-                "node",
-                F.when(F.col("inf").isNotNull() & F.col("inb").isNotNull(), F.col("pivot"))
-                .otherwise(F.lit(None).cast("string"))
-                .alias("new_scc"),
-                F.when(F.col("inf").isNotNull() & F.col("inb").isNotNull(), F.col("part"))
-                .when(F.col("inf").isNotNull(), F.concat(F.col("part"), F.lit("F")))
-                .when(F.col("inb").isNotNull(), F.concat(F.col("part"), F.lit("B")))
-                .otherwise(F.concat(F.col("part"), F.lit("R")))
-                .alias("new_part"),
-            )
-        )
-        (labels,) = state.round_end(
-            labels.join(classified, "node", "left_outer").select(
+        if classified is not None:
+            upd = upd.join(classified, "node", "left_outer").select(
                 "node",
                 F.coalesce("new_part", "part").alias("part"),
                 F.coalesce("scc", "new_scc").alias("scc"),
             )
-        )
+        (labels,) = state.round_end(upd)
     out = labels.select("node", "scc")
     state.finish(labels)
     return out
