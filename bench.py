@@ -220,7 +220,9 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
-        out["skipped"] = sorted(errors)
+        # skipped = queries with NO successful rep at all; a query that
+        # timed at least once keeps its timing and surfaces the error.
+        out["skipped"] = sorted(n for n in errors if n not in timings)
     print(json.dumps(out))
     return 0
 
