@@ -1313,19 +1313,20 @@ def strongly_connected_components(
        rewrite — the round-8 restructure: the previous one-layer-per-
        outer-round trim re-materialized the full label state per
        peeled layer, the O(rounds × state) shape the k-truss rewrite
-       removed. (Honest attribution from the round-8 profile: on the
-       sf0.1 key-chain graph the wall-clock is dominated by the
-       weak-CC prepass below — 11.7s of ~17s — so this restructure
-       mostly pays on graphs with MANY trim layers; here it removes
-       label-rewrite rounds without moving the headline number.)
-       Trim exhaustion is safe: any acyclic node the bounded peel
-       misses still resolves correctly through FW-BW (its F∩B is
-       itself).
+       removed. A GLOBAL trim fixpoint additionally runs BEFORE the
+       weak-CC prepass (trim needs no partition structure — a node
+       missing an in- or out-edge is a singleton SCC wherever it
+       sits), because the round-8 profile showed weak CC dominating
+       the wall-clock (11.7s of ~17s at sf0.1) on the DAG-heavy
+       key-chain graph: peeling the acyclic bulk first leaves weak CC
+       and FW-BW only the cyclic cores. Trim exhaustion is safe: any
+       acyclic node the bounded peel misses still resolves correctly
+       through FW-BW (its F∩B is itself).
     2. Weak-CC pre-partitioning: the existing connected_components
-       pass splits the trimmed graph into independent partitions that
-       FW-BW processes IN PARALLEL (one pivot per partition per
-       round). Without it, k disjoint cores resolve one-at-a-time —
-       k sequential rounds instead of ~1.
+       pass splits the (pre-trimmed) graph into independent
+       partitions that FW-BW processes IN PARALLEL (one pivot per
+       partition per round). Without it, k disjoint cores resolve
+       one-at-a-time — k sequential rounds instead of ~1.
 
     Each round picks pivot = min active node per partition, computes
     the pivot's forward and backward reachable sets WITHIN the
@@ -1342,7 +1343,59 @@ def strongly_connected_components(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = _checkpoint(e)
 
-    # Weak-CC pre-partition: part0 = undirected component label.
+    # GLOBAL trim fixpoint first (needs no partition structure): peel
+    # nodes lacking an in- or out-edge until only cyclic cores remain,
+    # so the weak-CC prepass and FW-BW below run on the cores instead
+    # of the whole graph — on DAG-heavy inputs this removes most of
+    # the wall-clock (see the docstring's round-8 attribution).
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # ADAPTIVE: keep peeling only while a round strips a meaningful
+    # fraction of the active set. On DAG-heavy graphs the fixpoint
+    # empties the graph in a few rounds and weak CC becomes free; on
+    # cycle-heavy graphs (e.g. the back-edged key chain, where every
+    # nation closes a giant N→C→O→N SCC) round 1 already removes
+    # little, and continuing would pay per-round checkpoints for
+    # nothing — the partitioned in-loop trim handles the residue.
+    act_nodes, e_cur, pre_trimmed = all_nodes, e, None
+    n_act = None
+    for _ in range(max_inner):
+        has_out = e_cur.select(F.col("src").alias("node")).distinct()
+        has_in = e_cur.select(F.col("dst").alias("node")).distinct()
+        on_cycle = has_out.join(has_in, "node").localCheckpoint(eager=True)
+        n_on_cycle = on_cycle.count()
+        if n_act is None:
+            n_act = act_nodes.count()
+        if n_on_cycle == n_act:
+            break
+        trimmed = act_nodes.join(on_cycle, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        pre_trimmed = (
+            trimmed
+            if pre_trimmed is None
+            else pre_trimmed.unionByName(trimmed).localCheckpoint(eager=True)
+        )
+        # on_cycle ⊆ current endpoints ⊆ act_nodes, so it IS the
+        # surviving node set.
+        act_nodes = on_cycle
+        e_cur = (
+            e_cur.join(act_nodes.select(F.col("node").alias("src")), "src", "semi")
+            .join(act_nodes.select(F.col("node").alias("dst")), "dst", "semi")
+            .localCheckpoint(eager=True)
+        )
+        stripped_frac = (n_act - n_on_cycle) / max(n_act, 1)
+        n_act = n_on_cycle
+        if stripped_frac < 0.25:
+            break
+    e = e_cur
+
+    # Weak-CC pre-partition over the surviving cores: part0 =
+    # undirected component label.
     weak = connected_components(e)
     labels = weak.select(
         "node", F.col("component").alias("part"), F.lit(None).cast("string").alias("scc")
@@ -1475,6 +1528,10 @@ def strongly_connected_components(
             )
         (labels,) = state.round_end(upd)
     out = labels.select("node", "scc")
+    if pre_trimmed is not None:
+        out = out.unionByName(
+            pre_trimmed.select("node", F.col("node").alias("scc"))
+        )
     state.finish(labels)
     return out
 
