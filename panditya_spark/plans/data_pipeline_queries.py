@@ -2093,10 +2093,18 @@ def ml_trend_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def close(a, b):
+        # Single-day groups: regr_slope returns NULL (zero variance)
+        # while the closed-form OLS returns 0.0 — a convention
+        # difference, not a disagreement; there is no slope to compare.
         return (
-            F.abs(F.col(a) - F.col(b))
-            <= 1e-6 * F.greatest(F.lit(1.0), F.abs(F.col(b)))
-        ).cast("int")
+            F.when(F.col("n_days") == 1, F.lit(1))
+            .otherwise(
+                (
+                    F.abs(F.col(a) - F.col(b))
+                    <= 1e-6 * F.greatest(F.lit(1.0), F.abs(F.col(b)))
+                ).cast("int")
+            )
+        )
 
     return fitted.join(builtin, "event_type").select(
         "event_type",
