@@ -125,6 +125,10 @@ def main() -> int:
         # Warms the gate/chunk/partitioned-write codegen of the shard
         # build (measured 12.5s first call vs 2.9s warm at sf0.1).
         "pipeline_training_shards",
+        # Round 8: the SCC extreme row joins the set — its trim/FW-BW
+        # loop shapes pay first-call codegen like the other iterative
+        # operators (measured ~23s cold vs ~18s warm at sf0.1).
+        "g14_scc",
     ):
         try:
             QUERIES[warm_q](spark, smallest).count()
