@@ -189,6 +189,7 @@ def main() -> int:
     load_before = os.getloadavg()
 
     timings: dict[str, float] = {}
+    partial: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -207,7 +208,15 @@ def main() -> int:
             samples.append(round(time.time() - t0, 3))
         if samples:
             raw[name] = samples
-            timings[name] = min(samples)
+            if name in errors:
+                # Partially failed (succeeded on some rep, errored on
+                # another): keep the evidence but EXCLUDE it from the
+                # headline total — a sum that silently includes a query
+                # in a half-broken state isn't comparable to anything
+                # (ADVICE r8). Fully-green queries only in `queries`.
+                partial[name] = min(samples)
+            else:
+                timings[name] = min(samples)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_after = os.getloadavg()
@@ -218,15 +227,26 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
+        # Estimator note (ADVICE r8): r1-r7 numbers are one-shot
+        # single-pass; r8+ are min-of-`reps`. Cross-round comparisons
+        # before/after r8 compare a single draw against a minimum —
+        # directionally fine for a deterministic workload (min <= any
+        # one-shot draw under identical load) but not identical
+        # estimators; the COVERAGE.md ledger restates the r6 set
+        # min-of-3 for like-for-like trend lines.
+        "estimator": f"min_of_{reps}",
         "raw_sec": raw,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
     }
     if errors:
         out["errors"] = errors
-        # skipped = queries with NO successful rep at all; a query that
-        # timed at least once keeps its timing and surfaces the error.
-        out["skipped"] = sorted(n for n in errors if n not in timings)
+        # skipped = queries with NO successful rep at all; partial =
+        # queries that timed at least once but also errored — their
+        # min is reported here, OUTSIDE the summed headline metric.
+        out["skipped"] = sorted(n for n in errors if n not in partial)
+        if partial:
+            out["partial_sec"] = partial
     print(json.dumps(out))
     return 0
 

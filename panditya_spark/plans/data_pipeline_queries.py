@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from panditya_spark.operators import dedup as D
 from panditya_spark.operators import similarity as S
@@ -2085,6 +2086,19 @@ def ml_trend_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.unix_date(F.to_date("ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    # Center x per group BEFORE both fits (ADVICE r8): with raw
+    # x = unix_date (~20600) the intercept is an extrapolation to day
+    # 0 subject to catastrophic cancellation, so two CORRECT OLS
+    # implementations can disagree past 1e-6 relative on near-flat
+    # groups. Subtracting the per-group min day leaves the slope
+    # untouched and turns the intercept into the fitted value at the
+    # group's first day — same-magnitude quantities on both sides, so
+    # the 1e-6 agreement flag is no longer flaky.
+    daily = daily.withColumn(
+        "day",
+        F.col("day")
+        - F.min("day").over(Window.partitionBy("event_type")),
+    )
     fitted = group_trend(daily, ["event_type"], "day", "n_events")
     builtin = daily.groupBy("event_type").agg(
         F.regr_slope("n_events", "day").alias("b_slope"),

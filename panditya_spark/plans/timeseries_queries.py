@@ -131,11 +131,18 @@ def ts_decay_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.groupBy("user_id").agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
+    # Tiny relative epsilon on the bounds (ADVICE r8): distributed
+    # float summation can land an all-near-equal group's weighted mean
+    # a few ULPs outside [vmin, vmax]; the margin absorbs
+    # accumulation-order noise without weakening the invariant (a
+    # dropped divisor or a sign flip misses by orders of magnitude).
+    eps_lo = F.lit(1e-9) * F.greatest(F.lit(1.0), F.abs(F.col("vmin")))
+    eps_hi = F.lit(1e-9) * F.greatest(F.lit(1.0), F.abs(F.col("vmax")))
     return scored.join(bounds, "user_id").select(
         "user_id",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("decayed_score")
-        .between(F.col("vmin"), F.col("vmax"))
+        .between(F.col("vmin") - eps_lo, F.col("vmax") + eps_hi)
         .cast("int")
         .alias("in_range"),
     )
