@@ -218,6 +218,16 @@ def main() -> int:
             else:
                 timings[name] = min(samples)
 
+    # External cross-engine anchor (VERDICT r8 #7): time the DuckDB
+    # oracle for every SQL-expressible headline query on the SAME
+    # parquet at the SAME sf. No gate — a single-node columnar engine
+    # is the natural small-scale floor, and the ratio guards the bench
+    # trend against being self-referential. Runs AFTER the Spark
+    # timings so oracles that replay Spark-written side outputs (shard
+    # manifests, partitioned layouts) see them. Budget-capped so a
+    # pathological oracle can never stall the round's bench.
+    duckdb_sec = _time_duckdb_oracles(sf_dir, list(timings))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_after = os.getloadavg()
     out = {
@@ -235,20 +245,103 @@ def main() -> int:
         # estimators; the COVERAGE.md ledger restates the r6 set
         # min-of-3 for like-for-like trend lines.
         "estimator": f"min_of_{reps}",
-        "raw_sec": raw,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
     }
+    ok_duck = [v for v in duckdb_sec.values() if isinstance(v, float)]
+    if ok_duck:
+        out["duckdb_total_sec"] = round(sum(ok_duck), 3)
+        out["duckdb_n"] = len(ok_duck)
     if errors:
-        out["errors"] = errors
+        out["errors_n"] = len(errors)
         # skipped = queries with NO successful rep at all; partial =
         # queries that timed at least once but also errored — their
         # min is reported here, OUTSIDE the summed headline metric.
         out["skipped"] = sorted(n for n in errors if n not in partial)
         if partial:
             out["partial_sec"] = partial
-    print(json.dumps(out))
+    # Per-rep raw timings, full error strings, and the per-query
+    # DuckDB anchor go to the sidecar: the driver captures only the
+    # last 2000 chars of stdout, and rounds 8-9 proved a line carrying
+    # raw_sec overflows that window, leaving the official artifact
+    # unparsed (BENCH_r08/r09 "parsed": null). The stdout line stays
+    # under the window; the sidecar carries the evidence and is
+    # committed per-round as BENCH_r{N}_local.json.
+    detail = dict(out)
+    detail["raw_sec"] = raw
+    detail["duckdb_sec"] = duckdb_sec
+    if errors:
+        detail["errors"] = errors
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_detail_last.json"),
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:
+        print(f"detail sidecar write failed: {exc!r}", file=sys.stderr)
+    line = json.dumps(out)
+    if len(line) > 1900:  # hard guard: the driver window is 2000
+        slim = {k: out[k] for k in
+                ("metric", "value", "unit", "queries", "sf", "reps")}
+        line = json.dumps(slim)
+    print(line)
     return 0
+
+
+def _time_duckdb_oracles(
+    sf_dir: str, names: list[str], per_query_cap: float = 60.0,
+    total_budget: float = 300.0,
+) -> dict[str, object]:
+    """Wall-time each headline query's DuckDB oracle over the sf_dir
+    parquet. Returns {name: sec | "no_oracle" | "error:..." |
+    "interrupted" | "skipped:budget"}. Interrupt-guarded per query and
+    budget-capped overall so this anchor can never dominate the bench.
+    """
+    import threading
+
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    from panditya_spark.plans import ORACLES
+
+    tables = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings")
+    con = duckdb.connect()
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    out: dict[str, object] = {}
+    spent = 0.0
+    for name in names:
+        sql = ORACLES.get(name)
+        if sql is None:
+            out[name] = "no_oracle"
+            continue
+        if spent >= total_budget:
+            out[name] = "skipped:budget"
+            continue
+        timer = threading.Timer(per_query_cap, con.interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            out[name] = round(time.time() - t0, 3)
+        except duckdb.InterruptException:
+            out[name] = "interrupted"
+        except Exception as exc:  # noqa: BLE001 — anchor must not fail bench
+            out[name] = f"error:{type(exc).__name__}"[:80]
+        finally:
+            timer.cancel()
+        spent += time.time() - t0
+    con.close()
+    return out
 
 
 if __name__ == "__main__":

@@ -1302,205 +1302,278 @@ def strongly_connected_components(
     classic graph decomposition the suite lacked): (node, scc) where
     scc = the lexicographic min member id, deterministic.
 
-    Distributed FW-BW with the two standard accelerators that make its
-    round count practical:
+    Round-10 rewrite: reachability MIN-LABEL FW-BW (the label-pair
+    formulation of Fleischer-Hendrickson-Pinar divide-and-conquer, the
+    shape Hong et al.'s multi-pivot variants distribute). Per outer
+    round, every active node carries two labels propagated as a delta
+    iteration — lf = min node that reaches it (min flows FORWARD along
+    edges), lb = min node it reaches (min flows BACKWARD) — and:
 
-    1. TRIM: nodes with zero in- or out-degree inside their active
-       partition can't lie on a cycle — settle them as singleton SCCs.
-       Iterated TO A FIXPOINT inside one outer round (an inner peel
-       over the shrinking active node/edge frames, kcore-style), this
-       strips entire DAG regions before a single full label-table
-       rewrite — the round-8 restructure: the previous one-layer-per-
-       outer-round trim re-materialized the full label state per
-       peeled layer, the O(rounds × state) shape the k-truss rewrite
-       removed. A GLOBAL trim fixpoint additionally runs BEFORE the
-       weak-CC prepass (trim needs no partition structure — a node
-       missing an in- or out-edge is a singleton SCC wherever it
-       sits), because the round-8 profile showed weak CC dominating
-       the wall-clock (11.7s of ~17s at sf0.1) on the DAG-heavy
-       key-chain graph: peeling the acyclic bulk first leaves weak CC
-       and FW-BW only the cyclic cores. Trim exhaustion is safe: any
-       acyclic node the bounded peel misses still resolves correctly
-       through FW-BW (its F∩B is itself).
-    2. Weak-CC pre-partitioning: the existing connected_components
-       pass splits the (pre-trimmed) graph into independent
-       partitions that FW-BW processes IN PARALLEL (one pivot per
-       partition per round). Without it, k disjoint cores resolve
-       one-at-a-time — k sequential rounds instead of ~1.
+      lf(u) == lb(u) == x  ⇔  x reaches u AND u reaches x
+                           ⇔  u ∈ SCC(x), labeled by its min member
+                              (any smaller member y would force
+                              lf(u) <= y < x).
 
-    Each round picks pivot = min active node per partition, computes
-    the pivot's forward and backward reachable sets WITHIN the
-    partition (frontier BFS, inner loop), settles F∩B as the pivot's
-    SCC (pivot is the partition min and a member, hence the SCC min),
-    and splits the rest into F\\B / B\\F / neither — three sub-
-    partitions that provably contain no SCC straddling them. Rounds
-    needed ≈ SCC "layers" per weak component, not total SCC count.
+    Nodes with lf != lb keep (part, lf, lb) as their refined partition:
+    an SCC's members share identical reacher/reachable sets, hence
+    identical label pairs, so no SCC ever straddles two classes and the
+    recursion is exact. Every class settles its own min each round
+    (the class-min m has lf(m) = lb(m) = m within its class), so the
+    outer round count is the FW-BW layering depth, as before.
 
-    All loop state goes through _LoopState (plan cuts + stats-reset
+    Why this shape (round-8/9 verdict: the 18.5s bench row was 30% of
+    the headline total): the sf0.1 profile attributed the cost to TWO
+    phase families the labels subsume — the weak-CC pre-partition
+    (14.2s: its only job was letting one-pivot-per-partition BFS run in
+    parallel; min-label propagation is pivot-parallel BY CONSTRUCTION,
+    every class propagates simultaneously in one frame) and the two
+    sequential per-direction BFS loops (13.6s: 4 fwd + 3 bwd frontier
+    rounds, each a fixed-cost Spark job; here both directions ride ONE
+    union-tagged frame, so the loop runs max(d_f, d_b) rounds, not
+    d_f + d_b). Propagation rounds equal frontier-BFS rounds (a min
+    label crosses one edge per round), so the rewrite strictly removes
+    phases without adding rounds. Output is bit-identical (brute-force
+    transitive-closure pytests + the g14_scc structural oracle).
+
+    TRIM stays: nodes with zero in- or out-degree inside their active
+    partition can't lie on a cycle — settled as singleton SCCs by an
+    inner fixpoint peel (one degree-flag shuffle per layer, kcore-
+    style) before propagation, stripping DAG regions in bulk. The
+    round-8 global pre-trim phase is gone — with weak CC removed there
+    is nothing left for it to shield, and the outer-0 trim peel is the
+    same computation on the same whole-graph frame.
+
+    Delta iteration: only labels that IMPROVED last round propagate
+    (the standard Flink/GraphX incremental-iteration shape), so late
+    rounds touch frontier-sized frames, not the full node set. All
+    loop state goes through _LoopState (plan cuts + stats-reset
     parquet spills) like every other iterative operator here.
     """
     src, dst = edges.columns[0], edges.columns[1]
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = _checkpoint(e)
 
-    # GLOBAL trim fixpoint first (needs no partition structure): peel
-    # nodes lacking an in- or out-edge until only cyclic cores remain,
-    # so the weak-CC prepass and FW-BW below run on the cores instead
-    # of the whole graph — on DAG-heavy inputs this removes most of
-    # the wall-clock (see the docstring's round-8 attribution).
-    all_nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # One degree-flag pass doubles as the node census AND the outer-0
+    # trim's first layer (deg0 is exactly the flag frame that layer
+    # would recompute over the same union) — one shuffle job instead
+    # of a distinct-nodes job plus a flags job.
+    deg0 = (
+        e.select(F.col("src").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+        .unionByName(
+            e.select(F.col("dst").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+        )
+        .groupBy("node")
+        .agg(F.max("o").alias("o"), F.max("i").alias("i"))
         .localCheckpoint(eager=True)
     )
-    # ADAPTIVE: keep peeling only while a round strips a meaningful
-    # fraction of the active set. On DAG-heavy graphs the fixpoint
-    # empties the graph in a few rounds and weak CC becomes free; on
-    # cycle-heavy graphs (e.g. the back-edged key chain, where every
-    # nation closes a giant N→C→O→N SCC) round 1 already removes
-    # little, and continuing would pay per-round checkpoints for
-    # nothing — the partitioned in-loop trim handles the residue.
-    act_nodes, e_cur, pre_trimmed = all_nodes, e, None
-    n_act = None
-    for _ in range(max_inner):
-        has_out = e_cur.select(F.col("src").alias("node")).distinct()
-        has_in = e_cur.select(F.col("dst").alias("node")).distinct()
-        on_cycle = has_out.join(has_in, "node").localCheckpoint(eager=True)
-        n_on_cycle = on_cycle.count()
-        if n_act is None:
-            n_act = act_nodes.count()
-        if n_on_cycle == n_act:
-            break
-        trimmed = act_nodes.join(on_cycle, "node", "left_anti").localCheckpoint(
-            eager=True
-        )
-        pre_trimmed = (
-            trimmed
-            if pre_trimmed is None
-            else pre_trimmed.unionByName(trimmed).localCheckpoint(eager=True)
-        )
-        # on_cycle ⊆ current endpoints ⊆ act_nodes, so it IS the
-        # surviving node set.
-        act_nodes = on_cycle
-        e_cur = (
-            e_cur.join(act_nodes.select(F.col("node").alias("src")), "src", "semi")
-            .join(act_nodes.select(F.col("node").alias("dst")), "dst", "semi")
-            .localCheckpoint(eager=True)
-        )
-        stripped_frac = (n_act - n_on_cycle) / max(n_act, 1)
-        n_act = n_on_cycle
-        if stripped_frac < 0.25:
-            break
-    e = e_cur
-
-    # Weak-CC pre-partition over the surviving cores: part0 =
-    # undirected component label.
-    weak = connected_components(e)
-    labels = weak.select(
-        "node", F.col("component").alias("part"), F.lit(None).cast("string").alias("scc")
+    n_all = deg0.count()
+    labels = deg0.select(
+        "node", F.lit("0").alias("part"), F.lit(None).cast("string").alias("scc")
     )
-
     state = _LoopState()
     (labels,) = state.round_end(labels)
 
-    def bfs_within(seeds: DataFrame, edge_tbl: DataFrame, parts: DataFrame) -> DataFrame:
-        """Nodes reachable from seeds following edge_tbl, where every
-        traversed edge stays inside one partition (parts: node→part).
-        Returns (node, part) of reached set incl. seeds."""
-        pe = (
-            edge_tbl.join(parts.withColumnRenamed("node", "src"), "src")
-            .join(
-                parts.withColumnRenamed("node", "dst").withColumnRenamed("part", "part2"),
-                "dst",
-            )
-            .filter(F.col("part") == F.col("part2"))
-            .select("src", "dst", "part")
-        ).localCheckpoint(eager=True)
-        visited = seeds.localCheckpoint(eager=True)
-        frontier = visited
-        for _ in range(max_inner):
-            nxt = (
-                pe.join(frontier.withColumnRenamed("node", "src"), ["src", "part"])
-                .select(F.col("dst").alias("node"), "part")
-                .distinct()
-                .join(visited, ["node", "part"], "left_anti")
-            ).localCheckpoint(eager=True)
-            if nxt.isEmpty():
-                break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt
-        return visited
-
-    for _ in range(max_outer):
+    for outer in range(max_outer):
+        # Ad-hoc checkpoints of this outer round (trim layers, the ae
+        # frame, the final label frame): released as soon as round_end
+        # has materialized the label table that subsumes them, so reps
+        # of the operator in one session don't accumulate block-manager
+        # state (superseded PROPAGATION labels are released even
+        # sooner, inside the loop).
+        scratch: list[DataFrame] = [deg0] if outer == 0 else []
         active = labels.filter(F.col("scc").isNull()).select("node", "part")
         if active.isEmpty():
             break
-        ae = (
-            e.join(active.withColumnRenamed("node", "src"), "src")
-            .join(
-                active.select(F.col("node").alias("dst"), F.col("part").alias("p2")),
-                "dst",
-            )
-            .filter(F.col("part") == F.col("p2"))
-            .select("src", "dst")
-        ).localCheckpoint(eager=True)
+        if outer == 0:
+            # Single part, every node active: the part-internal join
+            # below would be an identity rewrite of e.
+            ae = e
+        else:
+            ae = (
+                e.join(active.withColumnRenamed("node", "src"), "src")
+                .join(
+                    active.select(
+                        F.col("node").alias("dst"), F.col("part").alias("p2")
+                    ),
+                    "dst",
+                )
+                .filter(F.col("part") == F.col("p2"))
+                .select("src", "dst")
+            ).localCheckpoint(eager=True)
+            scratch.append(ae)
         # TRIM to a fixpoint: peel nodes missing an in- or out-edge
         # from the ACTIVE subgraph repeatedly — only the shrinking
         # (act, ae_cur) frames materialize per peel layer; the full
         # label table is rewritten ONCE below, after the whole DAG
-        # region is stripped.
+        # region is stripped. ONE degree-flag shuffle per layer (the
+        # former has_out/has_in distinct+join pair was three), and the
+        # trimmed COUNT comes free from the on_cycle/act counts
+        # (on_cycle ⊆ ae_cur endpoints ⊆ act), so a no-trim layer
+        # breaks without materializing an anti-join. When a layer
+        # strips a tiny fraction, act/ae_cur are rewritten via
+        # broadcast ANTI-joins against the small trimmed frame (not
+        # semi-joins against the large survivor set) and the peel
+        # stops — on cycle-heavy graphs one near-empty layer would
+        # otherwise pay full-frame rewrites per straggler (the round-8
+        # adaptive-gate rationale); stragglers the gate leaves behind
+        # settle through later outer rounds' singleton classes.
         act, ae_cur, trimmed_all = active, ae, None
+        n_act = None
+        first_layer = True
         for _ in range(max_inner):
-            has_out = ae_cur.select(F.col("src").alias("node")).distinct()
-            has_in = ae_cur.select(F.col("dst").alias("node")).distinct()
-            on_cycle = has_out.join(has_in, "node").localCheckpoint(eager=True)
+            if outer == 0 and first_layer:
+                # deg0 above IS this layer's flag frame.
+                on_cycle = deg0.filter(
+                    (F.col("o") == 1) & (F.col("i") == 1)
+                ).select("node")
+                n_act = n_all
+            else:
+                on_cycle = (
+                    ae_cur.select(
+                        F.col("src").alias("node"),
+                        F.lit(1).alias("o"),
+                        F.lit(0).alias("i"),
+                    )
+                    .unionByName(
+                        ae_cur.select(
+                            F.col("dst").alias("node"),
+                            F.lit(0).alias("o"),
+                            F.lit(1).alias("i"),
+                        )
+                    )
+                    .groupBy("node")
+                    .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+                    .filter((F.col("o") == 1) & (F.col("i") == 1))
+                    .select("node")
+                    .localCheckpoint(eager=True)
+                )
+                scratch.append(on_cycle)
+            first_layer = False
+            if n_act is None:
+                n_act = act.count()
+            n_on = on_cycle.count()
+            if n_on == n_act:
+                break
             trimmed = act.join(on_cycle, "node", "left_anti").localCheckpoint(
                 eager=True
             )
-            if trimmed.isEmpty():
-                break
+            scratch.append(trimmed)
             trimmed_all = (
                 trimmed
                 if trimmed_all is None
                 else trimmed_all.unionByName(trimmed).localCheckpoint(eager=True)
             )
+            scratch.append(trimmed_all)
+            small_trim = (n_act - n_on) < max(64, 0.02 * n_act)
+            if small_trim:
+                # Tiny strip: rewrite act/ae_cur as LAZY broadcast
+                # anti-joins against the small trimmed frame — they
+                # materialize for free inside the lab-init checkpoint
+                # and the prop scans below; eager per-frame rewrites
+                # would cost two full materializations to drop a
+                # handful of rows.
+                t_src = trimmed.select(F.col("node").alias("src"))
+                t_dst = trimmed.select(F.col("node").alias("dst"))
+                act = act.join(F.broadcast(trimmed), "node", "left_anti")
+                ae_cur = ae_cur.join(F.broadcast(t_src), "src", "left_anti").join(
+                    F.broadcast(t_dst), "dst", "left_anti"
+                )
+                n_act = n_on
+                break
             act = act.join(on_cycle, "node", "semi").localCheckpoint(eager=True)
+            scratch.append(act)
             ae_cur = (
                 ae_cur.join(act.select(F.col("node").alias("src")), "src", "semi")
                 .join(act.select(F.col("node").alias("dst")), "dst", "semi")
                 .localCheckpoint(eager=True)
             )
-        # FW-BW on the surviving cyclic cores (pivot per partition),
-        # same round as the trim settlement — no extra outer pass.
-        if act.isEmpty():
-            classified = None
+            scratch.append(ae_cur)
+            n_act = n_on
+        if n_act == 0:
+            wide = None
         else:
-            pivots = act.groupBy("part").agg(F.min("node").alias("node")).select("node", "part")
-            fwd = bfs_within(pivots, ae_cur, act)
-            bwd = bfs_within(
-                pivots,
-                ae_cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-                act,
-            )
-            in_f = fwd.select("node", "part", F.lit(1).alias("inf"))
-            in_b = bwd.select("node", "part", F.lit(1).alias("inb"))
-            piv = pivots.select(F.col("part"), F.col("node").alias("pivot"))
-            classified = (
-                act.join(in_f, ["node", "part"], "left_outer")
-                .join(in_b, ["node", "part"], "left_outer")
-                .join(piv, "part")
-                .select(
-                    "node",
-                    F.when(F.col("inf").isNotNull() & F.col("inb").isNotNull(), F.col("pivot"))
-                    .otherwise(F.lit(None).cast("string"))
-                    .alias("new_scc"),
-                    F.when(F.col("inf").isNotNull() & F.col("inb").isNotNull(), F.col("part"))
-                    .when(F.col("inf").isNotNull(), F.concat(F.col("part"), F.lit("F")))
-                    .when(F.col("inb").isNotNull(), F.concat(F.col("part"), F.lit("B")))
-                    .otherwise(F.concat(F.col("part"), F.lit("R")))
-                    .alias("new_part"),
+            # Fused bidirectional min-label propagation: dir 'f' rows
+            # carry lf along src→dst, dir 'b' rows carry lb along the
+            # reversed edges — one frame, one loop, every partition and
+            # both directions at once. The part column stays OUT of the
+            # propagation state (edges are part-internal, so node
+            # determines part) and is re-attached once at settle time;
+            # each round is a single materialization — candidate mins
+            # fold into the label frame with a change flag, and the
+            # next frontier/fixpoint probe are free filters over the
+            # checkpointed result.
+            prop = ae_cur.select(
+                F.col("src").alias("u"), F.col("dst").alias("v"),
+                F.lit("f").alias("dir"),
+            ).unionByName(
+                ae_cur.select(
+                    F.col("dst").alias("u"), F.col("src").alias("v"),
+                    F.lit("b").alias("dir"),
                 )
+            )
+            lab = (
+                act.select(
+                    "node", F.lit("f").alias("dir"), F.col("node").alias("val"),
+                    F.lit(True).alias("chg"),
+                )
+                .unionByName(
+                    act.select(
+                        "node", F.lit("b").alias("dir"),
+                        F.col("node").alias("val"), F.lit(True).alias("chg"),
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
+            for _ in range(max_inner):
+                prev_lab = lab
+                # One shuffle per round: candidate labels (edge-join
+                # against the changed frontier) UNION the current label
+                # rows fold through a single (node, dir) min-aggregate;
+                # the old value rides along as min-over-old-rows, so
+                # the change flag needs no second join. Exactly one old
+                # row per (node, dir) exists, so _old is never null.
+                cand = prop.join(
+                    lab.filter("chg").select(
+                        F.col("node").alias("u"), "dir", "val"
+                    ),
+                    ["u", "dir"],
+                ).select(
+                    F.col("v").alias("node"), "dir", "val",
+                    F.lit(False).alias("is_old"),
+                )
+                lab = (
+                    lab.select("node", "dir", "val", F.lit(True).alias("is_old"))
+                    .unionByName(cand)
+                    .groupBy("node", "dir")
+                    .agg(
+                        F.min("val").alias("val"),
+                        F.min(F.when(F.col("is_old"), F.col("val"))).alias(
+                            "_old"
+                        ),
+                    )
+                    .select(
+                        "node", "dir", "val",
+                        (F.col("val") < F.col("_old")).alias("chg"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                _release(prev_lab)
+                if lab.filter("chg").isEmpty():
+                    break
+            scratch.append(lab)
+            pairs = lab.groupBy("node").agg(
+                F.min(F.when(F.col("dir") == "f", F.col("val"))).alias("lf"),
+                F.min(F.when(F.col("dir") == "b", F.col("val"))).alias("lb"),
+            )
+            if outer == 0:
+                # part is the constant "0" — no need to join act back.
+                pairs = pairs.withColumn("part", F.lit("0"))
+            else:
+                pairs = pairs.join(act, "node")
+            wide = pairs.select(
+                "node",
+                F.when(F.col("lf") == F.col("lb"), F.col("lf")).alias("new_scc"),
+                F.concat_ws("|", "part", "lf", "lb").alias("new_part"),
             )
         upd = labels
         if trimmed_all is not None:
@@ -1520,19 +1593,18 @@ def strongly_connected_components(
                     .alias("scc"),
                 )
             )
-        if classified is not None:
-            upd = upd.join(classified, "node", "left_outer").select(
+        if wide is not None:
+            upd = upd.join(wide, "node", "left_outer").select(
                 "node",
                 F.coalesce("new_part", "part").alias("part"),
                 F.coalesce("scc", "new_scc").alias("scc"),
             )
         (labels,) = state.round_end(upd)
+        for c in scratch:
+            _release(c)
     out = labels.select("node", "scc")
-    if pre_trimmed is not None:
-        out = out.unionByName(
-            pre_trimmed.select("node", F.col("node").alias("scc"))
-        )
     state.finish(labels)
+    _release(e)
     return out
 
 

@@ -18,6 +18,38 @@ from pyspark.sql import functions as F
 from panditya_spark.functions.labels import date_info, edge_relationship
 from panditya_spark.operators.graph import khop_bfs
 
+# Serving-boundary row cap (VERDICT r8 #4): every response path here
+# collects the final frame into the driver — correct reference parity
+# (the jsonify boundary, SURVEY §3.1), but at 100× a hub-seeded 3-hop
+# subgraph can pull millions of rows into driver memory. The cap turns
+# that from an OOM into a clear client-side error. Probed with
+# limit(cap+1) so the engine never computes more than cap+1 rows of an
+# over-cap result (TakeOrderedAndProject-class early exit, not a full
+# materialize-then-count).
+import os as _os
+
+SERVING_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_SERVING_MAX_ROWS", "100000"))
+
+
+class ServingCapExceeded(ValueError):
+    """A serving response would exceed SERVING_MAX_ROWS collected rows."""
+
+
+def _bounded_collect(df: DataFrame, what: str, cap: int | None = None) -> list:
+    """collect() guarded by the serving row cap: fetch cap+1 rows via
+    limit() and raise loudly when the extra row shows up. An at-cap
+    result serves normally; the error names the surface and the cap so
+    the client can narrow the request (fewer hops, tighter exclude)."""
+    cap = SERVING_MAX_ROWS if cap is None else cap
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ServingCapExceeded(
+            f"{what} too large: more than {cap} rows at the serving "
+            "boundary (raise SPARK_GRAFT_SERVING_MAX_ROWS or narrow the "
+            "request)"
+        )
+    return rows
+
 
 def validate_subgraph_inputs(authors, works, hops, exclude_list):
     """flask_app.py:163-170 — same messages, same order."""
@@ -103,10 +135,11 @@ def subgraph_response(
         sub_links = etext_links.join(
             nodes.withColumnRenamed("node", "work_id"), "work_id", "left_semi"
         )
-        grouped = (
-            sub_links.groupBy("work_id", "collection", "subtype")
-            .agg(F.array_sort(F.collect_set("url")).alias("urls"))
-            .collect()
+        grouped = _bounded_collect(
+            sub_links.groupBy("work_id", "collection", "subtype").agg(
+                F.array_sort(F.collect_set("url")).alias("urls")
+            ),
+            "subgraph e-text annotation",
         )
         for r in grouped:
             links_by_work.setdefault(r.work_id, {}).setdefault(r.collection, {})[
@@ -118,7 +151,7 @@ def subgraph_response(
                     colls[cname] = next(iter(subtypes.values()))
 
     filtered_nodes = []
-    for r in annotated.collect():
+    for r in _bounded_collect(annotated, "subgraph node set"):
         filtered_nodes.append(
             {
                 "id": r.node,
@@ -138,15 +171,15 @@ def subgraph_response(
 
     src_t = entities.select(F.col("id").alias("src"), F.col("type").alias("src_type"))
     dst_t = entities.select(F.col("id").alias("dst"), F.col("type").alias("dst_type"))
-    typed_edges = (
+    typed_edges = _bounded_collect(
         sub_edges.join(F.broadcast(src_t), "src")
         .join(F.broadcast(dst_t), "dst")
         .select(
             "src",
             "dst",
             edge_relationship(F.col("src_type"), F.col("dst_type")).alias("rel"),
-        )
-        .collect()
+        ),
+        "subgraph edge set",
     )
     filtered_edges = [
         {"source": e.src, "target": e.dst, "relationship": e.rel} for e in typed_edges
@@ -168,10 +201,11 @@ def _nested_links(links: DataFrame) -> dict:
     list), single-subtype collections flattened to the bare list — the
     ETEXT_LINKS value shape (transform.py:246-270). Aggregation in
     Spark, dict fold at the collect boundary."""
-    grouped = (
-        links.groupBy("work_id", "collection", "subtype")
-        .agg(F.array_sort(F.collect_set("url")).alias("urls"))
-        .collect()
+    grouped = _bounded_collect(
+        links.groupBy("work_id", "collection", "subtype").agg(
+            F.array_sort(F.collect_set("url")).alias("urls")
+        ),
+        "e-text link mapping",
     )
     mapping: dict = {}
     for r in grouped:
@@ -305,12 +339,12 @@ def visualize_collection_params(
     if "error" in works_data and isinstance(works_data.get("error"), str):
         return works_data
     works = list(works_data.keys())
-    author_rows = (
+    author_rows = _bounded_collect(
         entities.filter(F.col("id").isin(works))
         .select(F.explode_outer("author_ids").alias("aid"))
         .filter(F.col("aid").isNotNull())
-        .distinct()
-        .collect()
+        .distinct(),
+        "visualize author set",
     )
     return {
         "works": works,
@@ -329,10 +363,11 @@ def entity_labels_response(entities: DataFrame, ids: list[str]) -> dict:
 
     if any(not re.fullmatch(r"[\d,]*", i) for i in ids):
         return {"error": "invalid id format"}
-    rows = (
-        entities.filter(F.col("id").isin(ids))
-        .select("id", F.col("name").alias("label"))
-        .collect()
+    rows = _bounded_collect(
+        entities.filter(F.col("id").isin(ids)).select(
+            "id", F.col("name").alias("label")
+        ),
+        "entity label set",
     )
     return {"labels": {r.id: r.label for r in rows}}
 
@@ -357,7 +392,7 @@ def dropdown_options(entities: DataFrame) -> dict:
         "type",
         dropdown_label(F.col("name"), F.col("id"), dates, F.col("aka")).alias("label"),
     ).orderBy(collate(F.col("label")))
-    rows = labeled.collect()
+    rows = _bounded_collect(labeled, "dropdown option set")
     out = {"all": [], "authors": [], "works": []}
     for r in rows:
         opt = {"id": r.id, "label": r.label}

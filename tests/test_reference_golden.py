@@ -194,6 +194,23 @@ def test_subgraph_response_validation_and_exclusion(spark, etl):
     assert nodes["97243"]["is_excluded"] is True
 
 
+def test_subgraph_serving_cap(spark, etl, monkeypatch):
+    """Serving-boundary row cap (VERDICT r8 #4): an over-cap subgraph
+    raises ServingCapExceeded via the limit(cap+1) probe — the engine
+    never materializes the full over-cap result — while an exactly
+    at-cap subgraph serves normally."""
+    import panditya_spark.serving as serving
+
+    entities, edges = etl
+    n_nodes = 1 + len(KALIDASA_1HOP_WORKS)
+    monkeypatch.setattr(serving, "SERVING_MAX_ROWS", n_nodes - 1)
+    with pytest.raises(serving.ServingCapExceeded, match="subgraph node set"):
+        serving.subgraph_response(entities, edges, None, ["40377"], [], 1)
+    monkeypatch.setattr(serving, "SERVING_MAX_ROWS", n_nodes)
+    resp = serving.subgraph_response(entities, edges, None, ["40377"], [], 1)
+    assert len(resp["graph"]["nodes"]) == n_nodes
+
+
 def test_dropdown_options_collated(spark, etl):
     from panditya_spark.functions.collation import sort_key_py
     from panditya_spark.serving import dropdown_options
