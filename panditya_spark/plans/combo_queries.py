@@ -404,6 +404,10 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "i"), ("n_bigrams", "i"), ("bits_ok", "i"),
     ],
     "ml_quality_separates": [("n_docs", "i"), ("separates", "i")],
+    # Round 10: the two-level k-means exactness identity (coarse_k=1
+    # degenerates to single-level; any init/tie-break/rounding drift
+    # in the per-cell refine flips a flag).
+    "kmeans_two_level_identity": [("vec_id", "i"), ("same", "i")],
 }
 
 _NULL = "∅"
@@ -445,6 +449,7 @@ _WEIGHTS: dict[str, float] = {
     "a_rollup_day_type": 0.36,
     "a_unpivot_metrics": 0.37,
     "ann_ivf_full_probe": 4.9,
+    "kmeans_two_level_identity": 4.57,
     "ann_lsh_exact_recall": 1.61,
     "dedup_chunk_level": 0.88,
     "dedup_cluster_canonical": 4.32,

@@ -480,6 +480,46 @@ def ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(queries, cands, k=10, nlist=16, nprobe=16)
 
 
+# ------------------------- two-level k-means exactness identity (r10)
+@register(
+    "kmeans_two_level_identity",
+    oracle="""
+    SELECT vec_id, CAST(1 AS INTEGER) AS same
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def kmeans_two_level_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver row for kmeans_assign_two_level (VERDICT r8
+    #2, the ann_ivf_full_probe mold): with coarse_k = 1 the coarse
+    level is the trivial single cell and the refine level degenerates
+    to plain Lloyd over the whole input, so the two-level assignment
+    MUST equal kmeans_assign exactly — the per-cell local refine
+    mirrors the distributed path step for step (same xxhash64 init
+    order, lexicographic initial list ids, round-6 cosine, first-max
+    argmax, exact mean updates, fixpoint semantics), and any drift in
+    init, tie-break, rounding, or the cell shuffle surfaces as a
+    `same = 0` row. The k > cap capability itself (planted exact-
+    duplicate recovery at k = 5000 through both levels) is pinned by
+    pytest — centroid geometry at large k is float-kmeans and
+    deliberately not SQL-oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # max_iter=2 keeps the driver row cheap (each Lloyd round is ~10
+    # fixed-cost Spark jobs on this 500-row table); the identity is
+    # iteration-count-invariant — both paths run the same rounds — and
+    # the converged regime stays covered by the pytest twin.
+    a = S.kmeans_assign(emb, "vec_id", "embedding", 64, max_iter=2)
+    b = S.kmeans_assign_two_level(
+        emb, "vec_id", "embedding", 64, coarse_k=1, max_iter=2
+    )
+    return (
+        a.withColumnRenamed("cluster", "c1")
+        .join(b.withColumnRenamed("cluster", "c2"), "vec_id")
+        .select(
+            "vec_id", (F.col("c1") == F.col("c2")).cast("int").alias("same")
+        )
+    )
+
+
 # ------------------------------------------------------ HTML extraction
 # The documents table is plain text, so the query wraps each doc in a
 # deterministic HTML shell (boilerplate head with style+script blocks —

@@ -727,6 +727,100 @@ def test_kmeans_recovers_planted(spark):
     assert len({next(iter(v)) for v in mapping.values()}) == 3
 
 
+def test_kmeans_two_level_identity_coarse1(spark):
+    """coarse_k=1 degenerates the two-level assignment to plain Lloyd
+    over one cell — output must equal kmeans_assign EXACTLY (same
+    hash-ordered init, lexicographic list ids, round-6 sims, first-max
+    ties, mean updates). The registry row kmeans_two_level_identity
+    re-checks this on the embeddings table every round; this pins it
+    on constructed geometry."""
+    import random
+
+    from panditya_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_assign_two_level,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    single = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, "vec_id", "embedding", k=7).collect()
+    }
+    two = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign_two_level(
+            df, "vec_id", "embedding", k=7, coarse_k=1
+        ).collect()
+    }
+    assert two == single
+
+
+def test_kmeans_two_level_past_cap_recovers_exact_duplicates(spark):
+    """The escape hatch at work: k=5000 > SEMANTIC_DEDUP_MAX_K runs
+    through coarse+refine (71×71 levels, both inside the cap) and
+    keeps the invariant that matters for SemDeDup — identical vectors
+    land in the same final cluster (same coarse argmax, same local
+    refine) — while per-level over-cap parameters still raise."""
+    import random
+
+    import pytest
+
+    from panditya_spark.operators.similarity import (
+        SEMANTIC_DEDUP_MAX_K,
+        kmeans_assign_two_level,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        vec = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((2 * i, vec))
+        rows.append((2 * i + 1, list(vec)))  # exact duplicate
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign_two_level(
+            df, "vec_id", "embedding", k=5000, max_iter=2
+        ).collect()
+    }
+    assert len(got) == 600
+    assert all(1 <= c <= 5000 for c in got.values())
+    for i in range(300):
+        assert got[2 * i] == got[2 * i + 1], i
+    with pytest.raises(ValueError, match="exceed the per-level cap"):
+        kmeans_assign_two_level(
+            df, "vec_id", "embedding",
+            k=SEMANTIC_DEDUP_MAX_K**2 + 1,
+        )
+
+
+def test_semantic_dedup_past_cap_auto_two_level(spark):
+    """n_clusters past the cap no longer raises (the r8 escape hatch
+    is implemented): semantic_dedup switches to two-level assignment
+    and exact duplicates are still flagged."""
+    from panditya_spark.operators.similarity import semantic_dedup
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),     # exact dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),     # exact dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=4100, threshold=0.97
+        ).collect()
+    }
+    assert got[2] == 1 and got[4] == 1
+    assert got[1] == 0 and got[3] == 0 and got[5] == 0 and got[6] == 0
+
+
 # ------------------------------------------- substring-span coverage
 def test_substring_coverage_hand_values(spark):
     """Interval-union arithmetic against hand-computed spans: doc a
@@ -1069,8 +1163,11 @@ def test_dedup_against_snapshot_snapshot_never_flagged(spark):
 
 
 def test_semantic_dedup_k_ceiling_guard(spark):
-    """n_clusters past the driver-centroid-matrix contract raises with
-    the two-level escape hatch named (VERDICT r6 'What's wrong' #2)."""
+    """The driver-centroid-matrix contract survives the round-10
+    escape hatch: n_clusters past the single-level cap routes through
+    two-level assignment (covered functionally by
+    test_semantic_dedup_past_cap_auto_two_level), and only a k beyond
+    what BOTH levels can hold still raises — with the cap named."""
     import pytest
 
     from panditya_spark.operators.similarity import (
@@ -1079,9 +1176,13 @@ def test_semantic_dedup_k_ceiling_guard(spark):
     )
 
     df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
-    with pytest.raises(ValueError, match="two-level"):
+    out = semantic_dedup(
+        df, "vec_id", "embedding", n_clusters=SEMANTIC_DEDUP_MAX_K + 1
+    ).collect()
+    assert [(r["vec_id"], r["is_dup"]) for r in out] == [(1, 0)]
+    with pytest.raises(ValueError, match="per-level cap"):
         semantic_dedup(
-            df, "vec_id", "embedding", n_clusters=SEMANTIC_DEDUP_MAX_K + 1
+            df, "vec_id", "embedding", n_clusters=SEMANTIC_DEDUP_MAX_K**2 + 1
         )
 
 
