@@ -408,6 +408,10 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # degenerates to single-level; any init/tie-break/rounding drift
     # in the per-cell refine flips a flag).
     "kmeans_two_level_identity": [("vec_id", "i"), ("same", "i")],
+    # Round 10: the streaming near-dedup ingest, promoted from
+    # rows-only — its deterministic 3-batch survivor chain is replayed
+    # by an unrolled dedup_incremental oracle (VERDICT r8 #5).
+    "stream_ingest_neardedup": [("doc_id", "i"), ("batch_seq", "i")],
 }
 
 _NULL = "∅"
@@ -450,6 +454,7 @@ _WEIGHTS: dict[str, float] = {
     "a_unpivot_metrics": 0.37,
     "ann_ivf_full_probe": 4.9,
     "kmeans_two_level_identity": 4.57,
+    "stream_ingest_neardedup": 24.4,
     "ann_lsh_exact_recall": 1.61,
     "dedup_chunk_level": 0.88,
     "dedup_cluster_canonical": 4.32,

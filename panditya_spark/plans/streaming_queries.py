@@ -686,7 +686,124 @@ def stream_record_high(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------- streaming near-dedup ingest
-@register("stream_ingest_neardedup")
+def _shingle_cte(name: str, src: str) -> str:
+    """Distinct 3-word shingles of (doc_id, text) relation `src` — the
+    dedup_incremental oracle's shingle shape, factored for the
+    unrolled replay below."""
+    return f"""{name} AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM {src})
+            WHERE len(w) >= 3))"""
+
+
+def _neardedup_replay_oracle(
+    n_batches: int = 3, threshold: float = 0.5, cap: int = 100
+) -> str:
+    """Exact SQL replay of the streaming near-dedup ingestion
+    (VERDICT r8 #5): the 3-batch arrival order is deterministic
+    (doc_id % n_batches, mtime-sequenced, maxFilesPerTrigger=1), so
+    the greedy batch-ordered survivor chain unrolls into n_batches
+    rounds of the dedup_incremental oracle composed over the
+    accumulating snapshot — within-batch exact keeper (min doc_id per
+    md5), within-batch capped-shingle Jaccard drop of the larger id,
+    then exact+near flags against the snapshot, clean rows appending
+    with their batch_seq."""
+    parts = []
+    for b in range(n_batches):
+        parts.append(
+            f"bt{b} AS MATERIALIZED (SELECT doc_id, text FROM documents "
+            f"WHERE doc_id % {n_batches} = {b})"
+        )
+        parts.append(f"""e{b} AS MATERIALIZED (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM bt{b}) WHERE rn = 1)""")
+        parts.append(_shingle_cte(f"g{b}", f"e{b}"))
+        parts.append(
+            f"h{b} AS MATERIALIZED (SELECT s FROM g{b} GROUP BY s "
+            f"HAVING count(*) > {cap})"
+        )
+        parts.append(
+            f"c{b} AS MATERIALIZED (SELECT * FROM g{b} "
+            f"WHERE s NOT IN (SELECT s FROM h{b}))"
+        )
+        parts.append(
+            f"z{b} AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM c{b} "
+            f"GROUP BY doc_id)"
+        )
+        parts.append(f"""p{b} AS MATERIALIZED (
+          SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+          FROM c{b} x JOIN c{b} y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)""")
+        parts.append(f"""dr{b} AS MATERIALIZED (
+          SELECT DISTINCT p{b}.d2 AS doc_id FROM p{b}
+          JOIN z{b} x ON x.doc_id = p{b}.d1
+          JOIN z{b} y ON y.doc_id = p{b}.d2
+          WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= {threshold})""")
+        parts.append(
+            f"w{b} AS MATERIALIZED (SELECT doc_id, text FROM e{b} "
+            f"WHERE doc_id NOT IN (SELECT doc_id FROM dr{b}))"
+        )
+        if b == 0:
+            parts.append(
+                "s1 AS MATERIALIZED (SELECT doc_id, text, 1 AS batch_seq FROM w0)"
+            )
+        else:
+            parts.append(_shingle_cte(f"gi{b}", f"w{b}"))
+            parts.append(_shingle_cte(f"gs{b}", f"s{b}"))
+            parts.append(f"""hh{b} AS MATERIALIZED (
+              SELECT s FROM (SELECT s FROM gi{b}
+                             UNION ALL SELECT s FROM gs{b})
+              GROUP BY s HAVING count(*) > {cap})""")
+            parts.append(
+                f"ci{b} AS MATERIALIZED (SELECT * FROM gi{b} "
+                f"WHERE s NOT IN (SELECT s FROM hh{b}))"
+            )
+            parts.append(
+                f"cs{b} AS MATERIALIZED (SELECT doc_id AS sdoc, s FROM gs{b} "
+                f"WHERE s NOT IN (SELECT s FROM hh{b}))"
+            )
+            parts.append(
+                f"ni{b} AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ci{b} "
+                f"GROUP BY doc_id)"
+            )
+            parts.append(
+                f"ns{b} AS MATERIALIZED (SELECT sdoc, count(*) AS n FROM cs{b} "
+                f"GROUP BY sdoc)"
+            )
+            parts.append(f"""cm{b} AS MATERIALIZED (
+              SELECT ci{b}.doc_id, cs{b}.sdoc, count(*) AS c
+              FROM ci{b} JOIN cs{b} ON ci{b}.s = cs{b}.s
+              GROUP BY 1, 2)""")
+            parts.append(f"""nr{b} AS MATERIALIZED (
+              SELECT DISTINCT cm{b}.doc_id FROM cm{b}
+              JOIN ni{b} ON ni{b}.doc_id = cm{b}.doc_id
+              JOIN ns{b} ON ns{b}.sdoc = cm{b}.sdoc
+              WHERE CAST(c AS DOUBLE) / (ni{b}.n + ns{b}.n - c)
+                    >= {threshold})""")
+            parts.append(f"""ex{b} AS MATERIALIZED (
+              SELECT doc_id FROM w{b}
+              WHERE md5(text) IN (SELECT md5(text) FROM s{b}))""")
+            parts.append(f"""cl{b} AS MATERIALIZED (
+              SELECT doc_id, text FROM w{b}
+              WHERE doc_id NOT IN (SELECT doc_id FROM nr{b})
+                AND doc_id NOT IN (SELECT doc_id FROM ex{b}))""")
+            parts.append(f"""s{b + 1} AS MATERIALIZED (
+              SELECT * FROM s{b} UNION ALL
+              SELECT doc_id, text, {b + 1} AS batch_seq FROM cl{b})""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT doc_id, CAST(batch_seq AS INTEGER) AS batch_seq "
+        f"FROM s{n_batches}"
+    )
+
+
+@register("stream_ingest_neardedup", oracle=_neardedup_replay_oracle())
 def stream_ingest_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-refresh ingestion loop as a REAL availableNow
     micro-batch run (streaming/windows.run_stream_ingest_neardedup):
@@ -694,9 +811,14 @@ def stream_ingest_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     against itself (exact + near) and then against the accumulated
     survivor snapshot before appending — streaming composition of the
     same operators dedup_incremental value-checks in batch mode.
-    Rows-only (the batch-ordered greedy is order-dependent); the
-    replay semantics are pinned against a sequential Python mirror in
-    tests/test_streaming.py::test_stream_ingest_neardedup_matches_replay.
+    Promoted from rows-only in round 10 (VERDICT r8 #5): the arrival
+    order is deterministic, so the greedy survivor chain is exactly
+    SQL-replayable — the oracle unrolls three rounds of the
+    dedup_incremental oracle over the accumulating snapshot, making
+    the streaming machinery itself (micro-batch boundaries, snapshot
+    state threading, per-batch seq stamps) value-checked every round.
+    The sequential Python mirror stays as the pytest
+    (tests/test_streaming.py::test_stream_ingest_neardedup_matches_replay).
     """
     from panditya_spark.streaming.windows import run_stream_ingest_neardedup
 
