@@ -311,7 +311,15 @@ def s_quarantine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- partitioned parquet layout
-_PARTITIONED_WRITTEN: set[str] = set()
+# suffix -> latest written layout path. Forced writes go to a FRESH
+# versioned directory instead of overwriting in place: a lazy plan
+# built earlier in the same session (e.g. the DPP join sharing a combo
+# slot with the round-trip) holds the old directory's file listing,
+# and an in-place overwrite turns its execution into
+# FAILED_READ_FILE.FILE_NOT_EXIST — the same overwrite-while-referenced
+# hazard snapshot-versioned table formats exist to prevent at scale.
+_PARTITIONED_LATEST: dict[str, str] = {}
+_PARTITIONED_SEQ = [0]
 
 
 def _partitioned_events(
@@ -321,19 +329,23 @@ def _partitioned_events(
     Hive-partitioned parquet layout keyed by event_date; return its
     path. Shared by the layout round-trip (which forces a fresh write —
     the write IS what it tests) and the DPP join (which only needs the
-    layout to exist)."""
+    layout to exist). Forced rewrites land in a new versioned dir
+    (see _PARTITIONED_LATEST above); older versions stay readable for
+    plans that already listed them and die with the session tmpdir."""
     suffix = _sf_suffix(sf_dir)
-    out = _sink_dir(f"part_events_{suffix}")
-    if force or out not in _PARTITIONED_WRITTEN:
-        (
-            _t(spark, sf_dir, "events")
-            .withColumn("event_date", F.col("ts").cast("date"))
-            .coalesce(4)  # bound small-file count: 4 files/partition max
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(out)
-        )
-        _PARTITIONED_WRITTEN.add(out)
+    if not force and suffix in _PARTITIONED_LATEST:
+        return _PARTITIONED_LATEST[suffix]
+    _PARTITIONED_SEQ[0] += 1
+    out = _sink_dir(f"part_events_{suffix}_v{_PARTITIONED_SEQ[0]}")
+    (
+        _t(spark, sf_dir, "events")
+        .withColumn("event_date", F.col("ts").cast("date"))
+        .coalesce(4)  # bound small-file count: 4 files/partition max
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    _PARTITIONED_LATEST[suffix] = out
     return out
 
 
