@@ -1790,48 +1790,72 @@ def hits(
         .distinct()
         .cache()
     )
-    def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
-        full = nodes.join(raw, "node", "left_outer").select(
-            "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
-        )
+    # Round-10 restructure (the 54.5s sf0.1 g16 profile): the loop
+    # now runs on SPARSE score vectors — the per-half-round zero-fill
+    # join against the node universe is mathematically inert inside
+    # the loop (absent rows contribute nothing to the e-join sums and
+    # zeros add nothing to the L2 norm), so it happens ONCE at the
+    # output. Each half-round is a single Spark job: the contribution
+    # frame is a LAZY localCheckpoint materialized by its own norm
+    # aggregate (the _LoopState.round_end_probe shape — the aggregate
+    # touches every partition, so the checkpoint is fully pinned), and
+    # the norm comes back as a driver scalar (a Python float IS a
+    # double; no crossJoin/broadcast machinery). Superseded vectors
+    # are released one generation behind; every 8th round spills to
+    # parquet to reset carried plan statistics (the _checkpoint
+    # docstring's BigInt-growth hazard).
+    scratch: list[DataFrame] = []
+
+    def _half(contrib: DataFrame, out_col: str) -> DataFrame:
+        full = contrib.localCheckpoint(eager=False)
         nrm = full.agg(
-            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
+            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n")
+        ).first()[0]
+        scratch.append(full)
+        score = (
+            (F.col("raw") / F.lit(float(nrm))) if nrm and nrm > 0 else F.lit(0.0)
         )
-        return full.crossJoin(F.broadcast(nrm)).select(
-            "node",
-            F.when(F.col("nrm") > 0, F.col("raw") / F.col("nrm"))
-            .otherwise(F.lit(0.0))
-            .alias(out_col),
-        )
+        return full.select("node", score.alias(out_col))
 
     def _authority_of(hubs: DataFrame) -> DataFrame:
-        return _normalized(
+        return _half(
             e.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("raw")),
             "authority",
         )
 
-    state = _LoopState()
-    h = _checkpoint(nodes.withColumn("hub", F.lit(1.0)))
-    for _ in range(iters):
-        # Authority is a LAZY plan over the materialized hubs — it is
-        # consumed exactly once per round (the hub update), so only the
-        # hub vector pays a per-round materialization (half the
-        # checkpoint cost of materializing both vectors).
+    h = nodes.withColumn("hub", F.lit(1.0))
+    prev_scratch: list[DataFrame] = []
+    for i in range(iters):
         a = _authority_of(h)
-        h_contrib = (
+        h = _half(
             e.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("authority").alias("raw"))
+            .agg(F.sum("authority").alias("raw")),
+            "hub",
         )
-        (h,) = state.round_end(_normalized(h_contrib, "hub"))
+        if (i + 1) % 8 == 0:
+            spilled = _checkpoint(h)
+            scratch.append(spilled)
+            h = spilled
+        for c in prev_scratch:
+            _release(c)
+        prev_scratch, scratch = scratch, []
+    a_fin = _authority_of(h)
     out = _checkpoint(
-        h.join(_authority_of(h), "node").select("node", "hub", "authority")
+        nodes.join(h, "node", "left_outer")
+        .join(a_fin, "node", "left_outer")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
     )
+    for c in prev_scratch + scratch:
+        _release(c)
     e.unpersist()
     nodes.unpersist()
-    state.finish()
     return out
 
 
