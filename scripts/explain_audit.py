@@ -198,6 +198,84 @@ def _build_session_window_batch(spark, sf_dir):
     )
 
 
+def _build_scc_propagation_round(spark, sf_dir):
+    """One fused bidirectional min-label SCC propagation round as a
+    LAZY plan (the round-10 rewrite materializes per round, so the
+    registered query can't be explained without running it):
+    union-tagged edges join the changed frontier, then ONE
+    (node, dir) min-fold over candidates + current label rows."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.plans.graph_queries import key_chain_edges
+
+    e = key_chain_edges(spark, sf_dir).select("src", "dst").distinct()
+    prop = e.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.lit("f").alias("dir")
+    ).unionByName(
+        e.select(
+            F.col("dst").alias("u"), F.col("src").alias("v"),
+            F.lit("b").alias("dir"),
+        )
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lab = nodes.select(
+        "node", F.lit("f").alias("dir"), F.col("node").alias("val"),
+        F.lit(True).alias("chg"),
+    ).unionByName(
+        nodes.select(
+            "node", F.lit("b").alias("dir"), F.col("node").alias("val"),
+            F.lit(True).alias("chg"),
+        )
+    )
+    cand = prop.join(
+        lab.filter("chg").select(F.col("node").alias("u"), "dir", "val"),
+        ["u", "dir"],
+    ).select(
+        F.col("v").alias("node"), "dir", "val", F.lit(False).alias("is_old")
+    )
+    return (
+        lab.select("node", "dir", "val", F.lit(True).alias("is_old"))
+        .unionByName(cand)
+        .groupBy("node", "dir")
+        .agg(
+            F.min("val").alias("val"),
+            F.min(F.when(F.col("is_old"), F.col("val"))).alias("_old"),
+        )
+        .select("node", "dir", "val", (F.col("val") < F.col("_old")).alias("chg"))
+    )
+
+
+def _build_two_level_refine(spark, sf_dir):
+    """The two-level k-means refine stage shape: ONE shuffle by the
+    coarse cell into a grouped-map pandas refine (a stand-in coarse
+    assignment keeps the gate load-independent, the semantic-dedup
+    gate's technique — the join geometry matches kmeans_assign's
+    output exactly)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from panditya_spark.plans.data_pipeline_queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.col("vec_id").alias("kid"),
+        F.col("embedding").alias("kvec"),
+        F.xxhash64(F.col("vec_id").cast("string")).alias("xxh"),
+        (F.col("vec_id") % 8).alias("coarse"),
+    )
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vec_id": pdf["kid"], "cluster": 1})
+
+    return cells.groupBy("coarse").applyInPandas(
+        refine, "vec_id bigint, cluster long"
+    )
+
+
 def _build_ktruss_round(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -643,6 +721,27 @@ CHECKS = [
             ("relaxation min-aggregate is partial (map-side combine)", r"partial"),
             ("dist merge is a single FullOuter equi join", r"FullOuter"),
             ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+        ],
+    ),
+    # ---- round-10 additions: the rewritten SCC propagation round and
+    # the two-level k-means refine stage.
+    (
+        ("g14_scc/propagation_round", _build_scc_propagation_round),
+        [
+            ("label fold is a partial min aggregate (map-side combine)", r"partial"),
+            ("frontier rides an equi join (no cartesian/nested-loop)",
+             ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("no Python eval in the propagation round",
+             ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
+        ("kmeans_two_level/refine_stage", _build_two_level_refine),
+        [
+            ("refine runs as grouped-map pandas (one cell shuffle)",
+             r"FlatMapGroupsInPandas"),
+            ("no cartesian/nested-loop join",
+             ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
         ],
     ),
     (
