@@ -471,6 +471,8 @@ def kmeans_assign(
 
         return cand.select("kid", "kvec", best_list("kvec").alias("list_id"))
 
+    from panditya_spark.operators.graph import _release
+
     assigned = assign(cent).localCheckpoint(eager=True)
     for _ in range(max_iter):
         cent = _avg_vectors(assigned, "list_id", "kvec").withColumnRenamed(
@@ -493,6 +495,12 @@ def kmeans_assign(
             )
             .collect()[0]["m"]
         )
+        # The moved-probe above consumed the old assignment for the
+        # last time (the centroid collect and the probe join are the
+        # only readers); release its pinned blocks so repeated
+        # invocations in one session don't accumulate block-manager
+        # state (the round-10 SCC/HITS discipline).
+        _release(assigned)
         assigned = new
         if not moved:
             break
