@@ -1524,6 +1524,7 @@ def strongly_connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
+            converged = False
             for _ in range(max_inner):
                 prev_lab = lab
                 # One shuffle per round: candidate labels (edge-join
@@ -1559,8 +1560,25 @@ def strongly_connected_components(
                 )
                 _release(prev_lab)
                 if lab.filter("chg").isEmpty():
+                    converged = True
                     break
             scratch.append(lab)
+            if not converged:
+                # A truncated propagation would SILENTLY mislabel: an
+                # unconverged lf/lb pair can split one SCC across two
+                # (lf, lb) classes, and later rounds never reunite a
+                # split. Raising is the house contract for bounded
+                # loops whose truncation changes answers (the
+                # streaming-timeout / SEMANTIC_DEDUP_MAX_K precedent).
+                # The bound is a DIAMETER cap, not a size cap: a min
+                # label crosses one edge per round, so only a directed
+                # path longer than max_inner trips this.
+                raise ValueError(
+                    "strongly_connected_components: min-label "
+                    f"propagation did not converge within max_inner="
+                    f"{max_inner} rounds; the graph has a directed "
+                    "path longer than the bound — raise max_inner"
+                )
             pairs = lab.groupBy("node").agg(
                 F.min(F.when(F.col("dir") == "f", F.col("val"))).alias("lf"),
                 F.min(F.when(F.col("dir") == "b", F.col("val"))).alias("lb"),
@@ -1602,6 +1620,16 @@ def strongly_connected_components(
         (labels,) = state.round_end(upd)
         for c in scratch:
             _release(c)
+    else:
+        # max_outer exhausted without the active set draining: any
+        # remaining scc=NULL row would silently corrupt the output
+        # (same loud-bound contract as the propagation loop above).
+        if not labels.filter(F.col("scc").isNull()).isEmpty():
+            raise ValueError(
+                "strongly_connected_components: FW-BW recursion did "
+                f"not settle every node within max_outer={max_outer} "
+                "rounds — raise max_outer"
+            )
     out = labels.select("node", "scc")
     state.finish(labels)
     _release(e)

@@ -366,6 +366,27 @@ def test_scc_two_cores_linked(spark):
                    "p": "p", "q": "p"}
 
 
+def test_scc_long_cycle_converges_or_raises(spark):
+    """The propagation bound is a DIAMETER cap with a loud contract:
+    a 50-node directed cycle (one SCC, min-label needs 49 rounds)
+    must raise at max_inner=40 instead of silently splitting the SCC,
+    and resolve exactly when the bound covers the diameter."""
+    import pytest
+
+    from panditya_spark.operators.graph import strongly_connected_components
+
+    n = 50
+    edges = [(f"c{i:02d}", f"c{(i + 1) % n:02d}") for i in range(n)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(ValueError, match="did not converge"):
+        strongly_connected_components(df, max_inner=40).collect()
+    got = {
+        r["node"]: r["scc"]
+        for r in strongly_connected_components(df, max_inner=60).collect()
+    }
+    assert got == {f"c{i:02d}": "c00" for i in range(n)}
+
+
 def test_scc_matches_bruteforce_random(spark):
     """Deterministic pseudo-random digraphs vs a transitive-closure
     reference — catches split/classification bugs structure tests
