@@ -1420,7 +1420,7 @@ def strongly_connected_components(
         act, ae_cur, trimmed_all = active, ae, None
         n_act = None
         first_layer = True
-        for _ in range(max_inner):
+        for layer in range(max_inner):
             if outer == 0 and first_layer:
                 # deg0 above IS this layer's flag frame.
                 on_cycle = deg0.filter(
@@ -1489,6 +1489,17 @@ def strongly_connected_components(
             )
             scratch.append(ae_cur)
             n_act = n_on
+            if (layer + 1) % 8 == 0:
+                # Same parquet spill cadence as the propagation loop:
+                # a deep DAG peel chains localCheckpoints whose carried
+                # stats compound per layer.
+                act = _checkpoint(act)
+                ae_cur = _checkpoint(ae_cur)
+                scratch.append(act)
+                scratch.append(ae_cur)
+                if trimmed_all is not None:
+                    trimmed_all = _checkpoint(trimmed_all)
+                    scratch.append(trimmed_all)
         if n_act == 0:
             wide = None
         else:
@@ -1525,8 +1536,9 @@ def strongly_connected_components(
                 .localCheckpoint(eager=True)
             )
             converged = False
-            for _ in range(max_inner):
+            for rnd in range(max_inner):
                 prev_lab = lab
+                frontier = lab.filter("chg")
                 # One shuffle per round: candidate labels (edge-join
                 # against the changed frontier) UNION the current label
                 # rows fold through a single (node, dir) min-aggregate;
@@ -1534,14 +1546,29 @@ def strongly_connected_components(
                 # the change flag needs no second join. Exactly one old
                 # row per (node, dir) exists, so _old is never null.
                 cand = prop.join(
-                    lab.filter("chg").select(
-                        F.col("node").alias("u"), "dir", "val"
-                    ),
+                    frontier.select(F.col("node").alias("u"), "dir", "val"),
                     ["u", "dir"],
                 ).select(
                     F.col("v").alias("node"), "dir", "val",
                     F.lit(False).alias("is_old"),
                 )
+                # NOTE on why there is NO pointer-jumping leg here
+                # (round-10 finding, measured on a 50-node directed
+                # cycle): L(v) <- L(L(v)) doubling — which makes the
+                # undirected CC loop O(log diameter) — does NOT
+                # transfer to directed reachability labels. lb(u) is
+                # "some node u reaches", and lb(lb(u)) is merely
+                # another reachable node that can carry LESS
+                # information (on a monotone-id cycle each node's
+                # min-reachable pointer is its immediate successor,
+                # whose own pointer is one step further and LARGER),
+                # so both a delta-gated and a full self-join jump leg
+                # left the propagation tail at one hop per round while
+                # paying an extra O(V) join. True doubling needs
+                # transitive-closure edge squaring — the quadratic
+                # blowup distributed SCC avoids by design. Rounds are
+                # therefore a DIAMETER bound, with the loud raise
+                # below instead of silent truncation.
                 lab = (
                     lab.select("node", "dir", "val", F.lit(True).alias("is_old"))
                     .unionByName(cand)
@@ -1559,6 +1586,20 @@ def strongly_connected_components(
                     .localCheckpoint(eager=True)
                 )
                 _release(prev_lab)
+                if (rnd + 1) % 8 == 0:
+                    # Parquet spill cadence (the _LoopState discipline,
+                    # inlined): localCheckpoint plans CARRY the
+                    # optimized plan's Statistics, and each round's
+                    # join/union products compound them — the carried
+                    # BigInt doubles in bit-length per round, and past
+                    # ~15 rounds the driver's stats arithmetic itself
+                    # stalls the loop (observed on the 50-cycle deep-
+                    # diameter test; invisible on shallow graphs that
+                    # converge in 5). A parquet scan resets to true
+                    # file-size stats.
+                    spilled = _checkpoint(lab)
+                    _release(lab)
+                    lab = spilled
                 if lab.filter("chg").isEmpty():
                     converged = True
                     break

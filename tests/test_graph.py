@@ -368,9 +368,14 @@ def test_scc_two_cores_linked(spark):
 
 def test_scc_long_cycle_converges_or_raises(spark):
     """The propagation bound is a DIAMETER cap with a loud contract:
-    a 50-node directed cycle (one SCC, min-label needs 49 rounds)
-    must raise at max_inner=40 instead of silently splitting the SCC,
-    and resolve exactly when the bound covers the diameter."""
+    a 50-node directed cycle (one SCC; the min label needs one round
+    per hop, and pointer jumping provably cannot accelerate directed
+    reachability labels — see the operator's in-loop NOTE) must raise
+    at max_inner=40 instead of silently splitting the SCC, and resolve
+    exactly when the bound covers the diameter. The >=8-round path
+    also exercises the in-loop parquet spill cadence (without it the
+    carried localCheckpoint statistics compound and stall the driver
+    after ~15 rounds — the _checkpoint docstring hazard)."""
     import pytest
 
     from panditya_spark.operators.graph import strongly_connected_components
