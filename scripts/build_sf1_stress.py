@@ -29,6 +29,7 @@ COPIES = 10
 STRIDE = {
     "custkey": 10**7, "orderkey": 10**9, "partkey": 10**7,
     "suppkey": 10**6, "nationkey": 25, "regionkey": 5,
+    "dockey": 10**7, "veckey": 10**7,
 }
 # table -> {column: key kind}
 KEYS = {
@@ -42,6 +43,15 @@ KEYS = {
         "l_orderkey": "orderkey", "l_partkey": "partkey",
         "l_suppkey": "suppkey",
     },
+    # The dedup/ANN decade: texts get a per-copy shard token appended
+    # (verbatim clones would make every doc a 10-way exact-dup family
+    # — legitimate but degenerate; one trailing token turns copies into
+    # NEAR-duplicates, the regime the shingle/LSH machinery is built
+    # for, while keeping everything deterministic). Embeddings stay
+    # verbatim — identical vectors are exactly the always-co-cluster /
+    # exact-top-k contract ANN and SemDeDup must honor at volume.
+    "documents": {"doc_id": "dockey"},
+    "embeddings": {"vec_id": "veckey"},
 }
 
 
@@ -56,6 +66,10 @@ def main() -> int:
             sh = src
             for col, kind in keycols.items():
                 sh = sh.withColumn(col, F.col(col) + F.lit(c * STRIDE[kind]))
+            if table == "documents" and c > 0:
+                sh = sh.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" shard{c}"))
+                )
             shards.append(sh)
         out = shards[0]
         for sh in shards[1:]:
