@@ -1448,16 +1448,25 @@ def strongly_connected_components(
                     .localCheckpoint(eager=True)
                 )
                 scratch.append(on_cycle)
+            via_deg0 = outer == 0 and first_layer
             first_layer = False
             if n_act is None:
                 n_act = act.count()
             n_on = on_cycle.count()
             if n_on == n_act:
                 break
-            trimmed = act.join(on_cycle, "node", "left_anti").localCheckpoint(
-                eager=True
-            )
-            scratch.append(trimmed)
+            if via_deg0:
+                # deg0 already holds this layer's answer: the trimmed
+                # set is its flag complement — a lazy filter over the
+                # checkpointed census, not an O(V) anti-join job.
+                trimmed = deg0.filter(
+                    ~((F.col("o") == 1) & (F.col("i") == 1))
+                ).select("node")
+            else:
+                trimmed = act.join(
+                    on_cycle, "node", "left_anti"
+                ).localCheckpoint(eager=True)
+                scratch.append(trimmed)
             trimmed_all = (
                 trimmed
                 if trimmed_all is None
