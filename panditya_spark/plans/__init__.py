@@ -60,7 +60,12 @@ _WINDOW = [
     "g1_khop_bfs",
     "g5_connected_components",
     "g10_longest_chain",
-    "g2_g11_full_undirected",
+    # (g2_g11_full_undirected rotated into the combo slots in round 11
+    # — pure string edge-list columns, green since round 1 — freeing
+    # the direct row for the FOURTH combo slot p_combo_d: the 3-slot
+    # family sat at 107/135 members with round-11 queries arriving,
+    # VERDICT r10 #6.)
+    "p_combo_d",
     "g12_density",
     "a10_degree_stats",
     # Data-pipeline core.

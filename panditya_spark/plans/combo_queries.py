@@ -2,11 +2,12 @@
 first 50 registered queries, so the trivially-cheap projection-family
 queries would otherwise lose their per-round CORRECTNESS row to
 higher-risk operators. ``p_combo_a``/``p_combo_b``/``p_combo_c``
-(split by a deterministic runtime-balanced greedy partition since
-round 6) fold each member query's full result into (member,
-row-string) rows — three window slots buy an exact value-level check
-of all members every round, with no single row covering more than 45
-queries.
+/``p_combo_d`` (split by a deterministic runtime-balanced greedy
+partition since round 6; the fourth slot dealt in round 11 when the
+three-slot family hit 107 members against a 135 cap — VERDICT r10 #6)
+fold each member query's full result into (member, row-string) rows —
+four window slots buy an exact value-level check of all members every
+round, with no single row covering more than 45 queries.
 
 Cross-engine stringification rules (the row strings must be
 byte-identical in Spark and DuckDB):
@@ -412,6 +413,12 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # rows-only — its deterministic 3-batch survivor chain is replayed
     # by an unrolled dedup_incremental oracle (VERDICT r8 #5).
     "stream_ingest_neardedup": [("doc_id", "i"), ("batch_seq", "i")],
+    # Round 11: the full undirected edge list rotated out of the
+    # window (green since round 1, pure string columns; its ~33k
+    # sf0.01 rows were the round-3 reason to keep it direct, but the
+    # fourth slot's headroom absorbs that now) to free the direct row
+    # for p_combo_d itself (VERDICT r10 #6).
+    "g2_g11_full_undirected": [("a", "s"), ("b", "s")],
 }
 
 _NULL = "∅"
@@ -470,6 +477,7 @@ _WEIGHTS: dict[str, float] = {
     "g13_triangle_counts": 2.76,
     "g15_kcore": 4.79,
     "g19_clustering_coeff": 2.9,
+    "g2_g11_full_undirected": 2.4,
     "g9_lpa_planted": 4.54,
     "j1_adjacency_list": 0.34,
     "j2_inverse_adjacency": 0.7,
@@ -546,7 +554,7 @@ _WEIGHTS: dict[str, float] = {
     "w_ntile_cume_dist": 0.36,
 }
 
-def _split_members(n_slots: int = 3) -> list[dict]:
+def _split_members(n_slots: int = 4) -> list[dict]:
     order = sorted(_MEMBERS, key=lambda n: (-_WEIGHTS.get(n, 0.5), n))
     loads = [0.0] * n_slots
     names: list[list[str]] = [[] for _ in range(n_slots)]
@@ -560,11 +568,11 @@ def _split_members(n_slots: int = 3) -> list[dict]:
     return [{n: _MEMBERS[n] for n in sorted(ns)} for ns in names]
 
 
-_MEMBERS_A, _MEMBERS_B, _MEMBERS_C = _split_members()
+_MEMBERS_A, _MEMBERS_B, _MEMBERS_C, _MEMBERS_D = _split_members()
 
 # Import-time guard (the round-6 "done" criterion, kept enforced): no
 # single CORRECTNESS row may cover more than 45 queries.
-for _slot in (_MEMBERS_A, _MEMBERS_B, _MEMBERS_C):
+for _slot in (_MEMBERS_A, _MEMBERS_B, _MEMBERS_C, _MEMBERS_D):
     if len(_slot) > 45:
         raise RuntimeError(
             f"combo slot covers {len(_slot)} members (> 45): split further"
@@ -627,3 +635,8 @@ def p_combo_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("p_combo_c", oracle=_combo_oracle(_MEMBERS_C))
 def p_combo_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _combo_plan(spark, sf_dir, _MEMBERS_C)
+
+
+@register("p_combo_d", oracle=_combo_oracle(_MEMBERS_D))
+def p_combo_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _combo_plan(spark, sf_dir, _MEMBERS_D)
