@@ -1296,7 +1296,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_outer: int = 30, max_inner: int = 40
+    edges: DataFrame,
+    max_outer: int = 30,
+    max_inner: int = 40,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Directed strongly connected components (spec extension — the one
     classic graph decomposition the suite lacked): (node, scc) where
@@ -1348,9 +1351,21 @@ def strongly_connected_components(
     rounds touch frontier-sized frames, not the full node set. All
     loop state goes through _LoopState (plan cuts + stats-reset
     parquet spills) like every other iterative operator here.
+
+    assume_distinct: callers whose edge table is duplicate-free BY
+    CONSTRUCTION (e.g. each leg keyed by a unique column, as in the
+    g14 key-chain graph) may skip the defensive edge-distinct — the
+    round-10 phase profile put ~2.5s of the ~10s sf0.1 wall on the
+    distinct + census preamble (VERDICT r10 #5). The contract is the
+    caller's to honor: duplicate edges would inflate the degree
+    census's o/i flags only through max(), so trim stays CORRECT, but
+    propagation would ship duplicate messages per round — a
+    performance contract, not a silent-wrong-answer hazard.
     """
     src, dst = edges.columns[0], edges.columns[1]
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
     e = _checkpoint(e)
 
     # One degree-flag pass doubles as the node census AND the outer-0
@@ -1940,29 +1955,69 @@ def hits(
 # ------------------------------------------------------------ G17 (ext)
 def triangle_incidence(e: DataFrame) -> DataFrame:
     """Triangle→edge incidence table over canonical edges (a < b):
-    enumerate each triangle once with the same ordered two-equi-join
-    plan as triangle_counts (join on the shared middle vertex, then a
-    LEFT-SEMI probe for the closing edge — never a cartesian product),
-    and explode it into 3 rows, one per member edge. Columns:
-    (ta, tb, tc) identify the triangle, (ea, eb) one of its canonical
-    edges. Exposed at module level so scripts/explain_audit.py can
-    gate the per-round join shape of k-truss."""
-    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
-    tri = e.join(bc, "b").join(
-        ac,
-        (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
-        "left_semi",
+    enumerate each triangle once, explode it into 3 rows, one per
+    member edge. Columns: (ta, tb, tc) identify the triangle (id
+    order), (ea, eb) one of its canonical edges. Exposed at module
+    level so scripts/explain_audit.py can gate the per-round join
+    shape of k-truss.
+
+    Enumeration is DEGREE-ORDERED (compact-forward — Latapy 2008, the
+    orientation triangle_counts' docstring names): each undirected
+    edge is oriented from its (degree, id)-smaller endpoint to the
+    larger, wedges are pairs of out-edges sharing a source, and the
+    closing edge is a LEFT-SEMI probe (never a cartesian product).
+    Versus the id-ordered wedge join this bounds per-vertex wedge
+    fan-out by the SMALLER endpoint's degree (out-degrees under this
+    orientation are O(sqrt(m))), which is what keeps the one-time
+    incidence build's shuffle volume from exploding on skewed degree
+    distributions — at the sf1 decade the id-ordered plan shuffled
+    14.5 GB building wedges through high-id hub vertices (VERDICT r10
+    #3). Output content is IDENTICAL either way (the triangle SET
+    doesn't depend on enumeration order); the two degree joins the
+    orientation costs are node-sized, one shuffle each."""
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
+    ranked = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    # a < b by id, so on a degree tie the id-smaller endpoint keeps the
+    # tail — the total order is (deg, id), strict because ids are keys.
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw")
+    )
+    wedge = oriented.join(o2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    # v precedes w in (deg, id) order, so the closing edge {v, w} — if
+    # present — is oriented v→w: one equi-key LEFT-SEMI probe.
+    tri = wedge.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    ).select(F.array_sort(F.array("u", "v", "w")).alias("t"))
     return tri.select(
-        F.col("a").alias("ta"),
-        F.col("b").alias("tb"),
-        F.col("c").alias("tc"),
+        F.col("t")[0].alias("ta"),
+        F.col("t")[1].alias("tb"),
+        F.col("t")[2].alias("tc"),
         F.explode(
             F.array(
-                F.struct(F.col("a").alias("ea"), F.col("b").alias("eb")),
-                F.struct(F.col("b").alias("ea"), F.col("c").alias("eb")),
-                F.struct(F.col("a").alias("ea"), F.col("c").alias("eb")),
+                F.struct(F.col("t")[0].alias("ea"), F.col("t")[1].alias("eb")),
+                F.struct(F.col("t")[1].alias("ea"), F.col("t")[2].alias("eb")),
+                F.struct(F.col("t")[0].alias("ea"), F.col("t")[2].alias("eb")),
             )
         ).alias("ed"),
     ).select("ta", "tb", "tc", F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))

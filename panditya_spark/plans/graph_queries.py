@@ -315,7 +315,13 @@ def g14_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the back-edged key chain. Algorithm semantics are pinned by the
     brute-force transitive-closure tests (tests/test_graph.py); this
     query value-checks the full 16k-node decomposition against the
-    structural oracle every round."""
+    structural oracle every round.
+
+    assume_distinct is honest here, not a bench dodge: each union leg
+    is keyed by a UNIQUE column of its source table (N→C by c_custkey,
+    C→O and O→N by o_orderkey) and the three legs' node-type prefixes
+    differ, so the edge table is duplicate-free by construction and
+    the operator's defensive distinct would be an identity shuffle."""
     from panditya_spark.operators.graph import strongly_connected_components
 
     c = _t(spark, sf_dir, "customer")
@@ -324,7 +330,9 @@ def g14_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("src"),
         F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
     )
-    return strongly_connected_components(key_chain_edges(spark, sf_dir).union(back))
+    return strongly_connected_components(
+        key_chain_edges(spark, sf_dir).union(back), assume_distinct=True
+    )
 
 
 # ---------------------------------------------------------------- G15 (ext)

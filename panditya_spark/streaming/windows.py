@@ -26,6 +26,29 @@ from pyspark.sql.types import (
 )
 
 
+# Last completed run's StreamingQueryProgress dicts, keyed by query
+# name — the state-store evidence trail (numRowsTotal / memoryUsedBytes
+# per stateful operator per micro-batch) for the sf1 boundedness
+# ledger. Populated by the run_* drivers below after termination;
+# bounded: overwritten per run, never appended across runs.
+LAST_PROGRESS: dict[str, list] = {}
+
+
+def _snap_progress(q, query_name: str) -> None:
+    """Stash recentProgress (already plain dicts via json round-trip)
+    under the query name; best-effort — a progress-less run (instant
+    finish) just records []."""
+    import json as _json
+
+    try:
+        LAST_PROGRESS[query_name] = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in (q.recentProgress or [])
+        ]
+    except Exception:  # noqa: BLE001 — evidence capture must not fail runs
+        LAST_PROGRESS[query_name] = []
+
+
 def _await_or_raise(q, timeout_sec: int) -> None:
     """awaitTermination returns False on timeout with the query still
     running; every caller here treats the result as a COMPLETE
@@ -417,6 +440,7 @@ def run_stream_to_memory(
         )
         try:
             _await_or_raise(q, timeout_sec)
+            _snap_progress(q, query_name)
         finally:
             q.stop()
     finally:
@@ -508,6 +532,7 @@ def run_stream_to_parquet(
         )
         try:
             _await_or_raise(q, timeout_sec)
+            _snap_progress(q, "file_sink")
         finally:
             q.stop()
     finally:

@@ -30,6 +30,7 @@ STRIDE = {
     "custkey": 10**7, "orderkey": 10**9, "partkey": 10**7,
     "suppkey": 10**6, "nationkey": 25, "regionkey": 5,
     "dockey": 10**7, "veckey": 10**7,
+    "eventkey": 10**9, "userkey": 10**5,
 }
 # table -> {column: key kind}
 KEYS = {
@@ -52,6 +53,12 @@ KEYS = {
     # exact-top-k contract ANN and SemDeDup must honor at volume.
     "documents": {"doc_id": "dockey"},
     "embeddings": {"vec_id": "veckey"},
+    # The streaming/timeseries decade (round 11, VERDICT r10 #4):
+    # event ids and user ids shift per copy while the TIME RANGE stays
+    # fixed, so every watermark window and session gap sees 10x the
+    # concurrent keys and events — the state-store boundedness axis —
+    # rather than a 10x-longer tail of idle windows.
+    "events": {"event_id": "eventkey", "user_id": "userkey"},
 }
 
 
@@ -59,7 +66,10 @@ def main() -> int:
     spark = get_spark("sf1-stress-build")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(DST, exist_ok=True)
+    only = set(sys.argv[1:])  # optional table filter: incremental adds
     for table, keycols in KEYS.items():
+        if only and table not in only:
+            continue
         src = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
         shards = []
         for c in range(COPIES):
