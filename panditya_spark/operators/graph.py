@@ -2030,9 +2030,12 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     cohesive-subgraph ladder: component ⊇ core ⊇ truss).
 
     INCREMENTAL support peeling over a STATIC incidence table:
-    triangles are enumerated ONCE with the same ordered-join plan as
-    triangle_counts (each triangle once, a < b < c) into a
-    triangle→edge incidence table (3 rows per triangle), materialized
+    triangles are enumerated ONCE by triangle_incidence's degree-ordered
+    (compact-forward) build — see its docstring: wedges fan out from the
+    lower-degree endpoint under a (degree, id) total order, closed by a
+    LEFT SEMI join; each triangle still appears exactly once as
+    (a, b, c) with a < b < c — into a triangle→edge incidence table
+    (3 rows per triangle), materialized
     ONCE in two static copies — one hash-partitioned by edge (the
     victim probe side), one by triangle key (the expansion side). The
     per-round state is ONLY the per-edge support table (one row per

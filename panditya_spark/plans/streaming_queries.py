@@ -495,6 +495,7 @@ def stream_file_sink_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts_append_stream(read_sessionize_stream(spark, sf_dir)),
         out,
         ckpt,
+        query_name="stream_file_sink_hourly",
     )
     # Sentinel windows carry NULL event_type (the sentinel rows hold
     # only ts+user_id); drop them on read-back — see

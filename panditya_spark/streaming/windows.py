@@ -506,6 +506,7 @@ def run_stream_to_parquet(
     checkpoint_dir: str,
     timeout_sec: int = 180,
     shuffle_partitions: int = 8,
+    query_name: str | None = None,
 ) -> None:
     """Drive a streaming query to completion into a PARQUET file sink
     with a checkpoint — the durable, exactly-once output path (memory
@@ -515,7 +516,16 @@ def run_stream_to_parquet(
     new files and appends zero new rows (pinned by
     tests/test_streaming.py::test_file_sink_rerun_is_idempotent).
     File sinks only support append mode, so aggregations must be
-    watermark-finalized (emit-on-close), not complete-mode."""
+    watermark-finalized (emit-on-close), not complete-mode.
+
+    ``query_name`` keys the LAST_PROGRESS evidence snapshot (ADVICE
+    r11: a hardcoded key would let two parquet-sink queries silently
+    overwrite each other's progress); defaults to the out_dir basename
+    so distinct sinks get distinct keys without every caller caring."""
+    import os as _os
+
+    if query_name is None:
+        query_name = _os.path.basename(out_dir.rstrip("/")) or "file_sink"
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     # Same conf dance as run_stream_to_memory: state-store count is
@@ -532,7 +542,7 @@ def run_stream_to_parquet(
         )
         try:
             _await_or_raise(q, timeout_sec)
-            _snap_progress(q, "file_sink")
+            _snap_progress(q, query_name)
         finally:
             q.stop()
     finally:

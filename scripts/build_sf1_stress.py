@@ -63,10 +63,17 @@ KEYS = {
 
 
 def main() -> int:
+    only = set(sys.argv[1:])  # optional table filter: incremental adds
+    unknown = only - set(KEYS)
+    if unknown:  # ADVICE r11: a typo must fail, not no-op "successfully"
+        print(
+            f"unknown table(s) {sorted(unknown)}; valid: {sorted(KEYS)}",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("sf1-stress-build")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(DST, exist_ok=True)
-    only = set(sys.argv[1:])  # optional table filter: incremental adds
     for table, keycols in KEYS.items():
         if only and table not in only:
             continue
