@@ -1,17 +1,31 @@
-"""sf1 iterative-graph stress ledger (VERDICT r8 #3): run the
-iterative-graph family once warm at sf0.1 and once at the synthesized
-sf1 decade (scripts/build_sf1_stress.py), recording wall-clock, the
-job count (the round-count proxy: one Spark job per materialized loop
-round/probe), and shuffle read/write volume per query from the UI
-REST API. Results append incrementally to .stress/ledger_sf1.json so
-a long tail operator can't lose the earlier rows.
+"""sf1 stress ledger (VERDICT r8 #3, extended r12 to the full bench
+headline set per VERDICT r11 #1): run queries once warm at sf0.1 and
+once at the synthesized sf1 decade (scripts/build_sf1_stress.py),
+recording wall-clock, the job count (the round-count proxy: one Spark
+job per materialized loop round/probe), and shuffle read/write volume
+per query from the UI REST API. Results append incrementally to
+.stress/ledger_sf1.json so a long tail operator can't lose the earlier
+rows.
 
-Usage: python scripts/stress_sf1_ledger.py [query ...]
+Provenance discipline (VERDICT r11 #6): every row carries the HEAD
+commit that produced it plus reps/estimator, and a row is only ever
+overwritten together with its provenance — a stale row is now
+self-identifying instead of silently contradicting newer measurements.
+
+Streaming rows additionally capture the state-store boundedness
+evidence (VERDICT r11 #3): peak numRowsTotal / memoryUsedBytes across
+micro-batches from the LAST_PROGRESS snapshots windows.py records.
+
+Usage:
+  python scripts/stress_sf1_ledger.py [query ...]   # default: graph set
+  python scripts/stress_sf1_ledger.py --headline    # bench.py HEADLINE set
+Env: STRESS_REPS (default 1) -> min-of-N per tier.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 import urllib.request
@@ -32,6 +46,21 @@ ORDER = [
     "g15_kcore",
     "g17_ktruss",
 ]
+
+# Rows that exist only in this ledger (not registry queries): the
+# distributed-Brandes mode g7's auto gate would not pick at these edge
+# counts (key-chain edges stay under the 2M broadcast cap even at sf1),
+# measured explicitly because distributed-sampled IS the 100 TB mode.
+def _g7_distributed(spark, sf_dir):
+    from panditya_spark.operators.graph import betweenness_centrality
+    from panditya_spark.plans.graph_queries import key_chain_edges
+
+    return betweenness_centrality(
+        key_chain_edges(spark, sf_dir), mode="distributed", sample_sources=64
+    )
+
+
+EXTRA = {"g7_betweenness_distributed": _g7_distributed}
 
 
 def _rest(path: str):
@@ -54,6 +83,47 @@ def _metrics_snapshot():
         return {"shuffle_write": 0, "shuffle_read": 0, "n_jobs": 0}
 
 
+def _state_store_peak() -> dict | None:
+    """Peak state-store footprint across every micro-batch progress
+    snapshot the last streaming run recorded (windows.LAST_PROGRESS) —
+    the boundedness evidence: state rows should track concurrent keys,
+    not total input volume."""
+    from panditya_spark.streaming import windows
+
+    rows_peak = mem_peak = n_batches = 0
+    for progresses in windows.LAST_PROGRESS.values():
+        n_batches = max(n_batches, len(progresses))
+        for p in progresses:
+            for op in p.get("stateOperators") or []:
+                rows_peak = max(rows_peak, op.get("numRowsTotal") or 0)
+                mem_peak = max(mem_peak, op.get("memoryUsedBytes") or 0)
+    if not (rows_peak or mem_peak):
+        return None
+    return {
+        "state_rows_peak": rows_peak,
+        "state_mem_mb_peak": round(mem_peak / 2**20, 1),
+        "n_batches": n_batches,
+    }
+
+
+def _prep(spark, sf_dir: str) -> None:
+    """Input-layout preparation bench.py also does (not engine warmup):
+    the date-partitioned events layout s_dpp_join probes and the
+    3-way time-split streaming input stream_record_high replays."""
+    try:
+        from panditya_spark.plans.sink_queries import _partitioned_events
+
+        _partitioned_events(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"layout prep failed ({sf_dir}): {exc!r}", file=sys.stderr)
+    try:
+        from panditya_spark.plans.streaming_queries import _upsert_stream_input
+
+        _upsert_stream_input(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"stream-input prep failed ({sf_dir}): {exc!r}", file=sys.stderr)
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -72,8 +142,36 @@ def main() -> int:
     ensure_session_defaults(spark)
     spark.sparkContext.setLogLevel("ERROR")
     from panditya_spark.plans import QUERIES
+    from panditya_spark.streaming import windows
 
-    names = sys.argv[1:] or ORDER
+    args = sys.argv[1:]
+    if args == ["--headline"]:
+        sys.path.insert(0, ROOT)
+        from bench import HEADLINE
+
+        names = list(HEADLINE)
+    else:
+        names = args or ORDER
+    unknown = [n for n in names if n not in QUERIES and n not in EXTRA]
+    if unknown:
+        print(f"unknown query name(s): {unknown}", file=sys.stderr)
+        return 2
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", ROOT, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "-C", ROOT, "status", "--porcelain", "--untracked-files=no"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip())
+        if dirty:
+            commit += "+dirty"
+    except Exception:  # noqa: BLE001 — provenance is best-effort outside git
+        commit = "unknown"
+    reps = max(1, int(os.environ.get("STRESS_REPS", "1")))
+
     ledger = {}
     if os.path.exists(OUT):
         ledger = json.load(open(OUT))
@@ -81,21 +179,32 @@ def main() -> int:
     def mat(df):
         df.write.format("noop").mode("overwrite").save()
 
+    needs_prep = any(
+        n.startswith(("stream_", "s_dpp", "s_partitioned")) for n in names
+    )
+    if needs_prep:
+        _prep(spark, SF01)
+        _prep(spark, SF1)
+
     for name in names:
-        fn = QUERIES[name]
-        row = {}
+        fn = QUERIES.get(name) or EXTRA[name]
+        row = {"commit": commit, "reps": reps, "estimator": f"min_of_{reps}"}
         # warm at the smallest tier, then time sf0.1 in-session for the
         # like-for-like decade ratio.
         try:
             mat(fn(spark, "/root/testdata/sf0.001"))
-            t0 = time.time()
-            mat(fn(spark, SF01))
-            row["sf01_sec"] = round(time.time() - t0, 1)
+            row["sf01_sec"] = round(
+                min(_timed(mat, fn, spark, SF01) for _ in range(reps)), 1
+            )
+            # Shuffle/job metrics bracket ONLY the first sf1 rep so the
+            # recorded volume is per-run, not reps x; extra reps refine
+            # the wall-clock minimum only.
             before = _metrics_snapshot()
-            t0 = time.time()
-            mat(fn(spark, SF1))
-            row["sf1_sec"] = round(time.time() - t0, 1)
+            windows.LAST_PROGRESS.clear()
+            sf1_samples = [_timed(mat, fn, spark, SF1)]
             after = _metrics_snapshot()
+            sf1_samples += [_timed(mat, fn, spark, SF1) for _ in range(reps - 1)]
+            row["sf1_sec"] = round(min(sf1_samples), 1)
             row["sf1_jobs"] = after["n_jobs"] - before["n_jobs"]
             row["sf1_shuffle_write_mb"] = round(
                 (after["shuffle_write"] - before["shuffle_write"]) / 2**20, 1
@@ -104,12 +213,25 @@ def main() -> int:
                 (after["shuffle_read"] - before["shuffle_read"]) / 2**20, 1
             )
             row["ratio"] = round(row["sf1_sec"] / max(row["sf01_sec"], 0.1), 1)
+            if name.startswith("stream_"):
+                peak = _state_store_peak()
+                if peak:
+                    row.update(peak)
         except Exception as exc:  # noqa: BLE001 — keep the partial ledger
             row["error"] = f"{type(exc).__name__}: {exc}"[:300]
+        # Bound the cross-row neighborhood effect the r10 shared-session
+        # run hit (cached sf1 shingle tables GC-pressuring later rows).
+        spark.catalog.clearCache()
         ledger[name] = row
         json.dump(ledger, open(OUT, "w"), indent=1)
         print(name, row, flush=True)
     return 0
+
+
+def _timed(mat, fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    mat(fn(spark, sf_dir))
+    return time.time() - t0
 
 
 if __name__ == "__main__":
