@@ -81,14 +81,22 @@ def read_events_stream(
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    # The file-stream source requires a DIRECTORY; point it at sf_dir
-    # with a glob filter so only the events file matches.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(raw_schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if os.path.isdir(path):
+        # DIRECTORY table (the normal layout for any Spark-written
+        # table at scale): stream the directory itself — each part
+        # file becomes (up to) one micro-batch. A name glob would
+        # silently match ZERO part files here, turning the stream into
+        # an empty source (found the hard way on the sf1 stress build:
+        # a 1.6s "run" over 1M rows).
+        stream = reader.parquet(path)
+    else:
+        # Single-FILE table (the driver testdata layout): the file
+        # source requires a directory, so point it at sf_dir with a
+        # glob filter selecting exactly the events file.
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return normalize_event_ts(stream)
 
 
@@ -319,7 +327,22 @@ def build_sessionize_stream_input(spark: SparkSession, sf_dir: str) -> str:
 
     d = tempfile.mkdtemp(prefix="panditya-sessionize-in-")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
-    shutil.copy(src, os.path.join(d, "00_events.parquet"))
+    if os.path.isdir(src):
+        # Directory table (the normal Spark-written layout): stage each
+        # part file under an ordered 00_* prefix so every part sorts —
+        # and therefore mtime-orders, below — before the sentinels.
+        parts = sorted(
+            f for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for i, f in enumerate(parts):
+            shutil.copy(
+                os.path.join(src, f), os.path.join(d, f"00_events_{i:04d}.parquet")
+            )
+        schema_file = os.path.join(src, parts[0])
+    else:
+        shutil.copy(src, os.path.join(d, "00_events.parquet"))
+        schema_file = src
     hi = (
         normalize_event_ts(spark.read.parquet(src))
         .agg(F.max("ts").alias("hi"))
@@ -328,7 +351,7 @@ def build_sessionize_stream_input(spark: SparkSession, sf_dir: str) -> str:
     # Build each sentinel row against the RAW file's arrow schema so a
     # driver re-materialization with new columns keeps working: every
     # non-(ts, user_id) field is null.
-    raw = pq.read_schema(src)
+    raw = pq.read_schema(schema_file)
     for i, (uid, days) in enumerate(zip(SENTINEL_USERS, (10, 20)), start=1):
         ts = hi + datetime.timedelta(days=days)
         arrays = []

@@ -91,6 +91,11 @@ def main() -> int:
         out = shards[0]
         for sh in shards[1:]:
             out = out.unionByName(sh)
+        if table == "events":
+            # The streaming readers treat each part file as (up to) one
+            # micro-batch; 8 parts gives a multi-batch decade run
+            # without 32 near-empty triggers.
+            out = out.coalesce(8)
         path = os.path.join(DST, f"{table}.parquet")
         out.write.mode("overwrite").parquet(path)
         print(f"{table}: {spark.read.parquet(path).count()} rows", flush=True)

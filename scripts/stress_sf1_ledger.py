@@ -137,6 +137,11 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "true")
+        # Long multi-row sessions roll past the default 1000-stage UI
+        # retention, making late shuffle deltas NEGATIVE (observed on
+        # the first 35-row headline run: dedup_semantic at -57.5 MB).
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
         .getOrCreate()
     )
     ensure_session_defaults(spark)

@@ -389,3 +389,49 @@ def test_stream_ingest_neardedup_matches_replay(spark, tmp_path):
         ).collect()
     }
     assert got == expected, (sorted(got), sorted(expected))
+
+
+def test_stream_readers_handle_directory_table_layout(spark, tmp_path):
+    """Directory-layout events table (the normal Spark-written layout,
+    e.g. the sf1 stress build): the file-stream source must read the
+    part files — the old name-glob approach matched ZERO of them and
+    silently produced an empty stream — and the sessionize input
+    builder must stage every part before the sentinel files."""
+    from panditya_spark.plans.streaming_queries import tumbling_hourly
+    from panditya_spark.sources.loaders import load_table
+    from panditya_spark.streaming.windows import (
+        build_sessionize_stream_input,
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_counts_stream,
+    )
+
+    sf_dir = str(tmp_path)
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .repartition(3)
+        .write.parquet(f"{sf_dir}/events.parquet")
+    )
+
+    got = run_stream_to_memory(
+        tumbling_counts_stream(
+            read_events_stream(spark, sf_dir, max_files_per_trigger=1),
+            watermark="0 seconds",
+        ),
+        "t_tumbling_dir_layout",
+        mode="complete",
+    )
+    expected = tumbling_hourly(load_table(spark, SF_DIR, "events"))
+    assert rows(got) == rows(expected)
+
+    import os
+
+    d = build_sessionize_stream_input(spark, sf_dir)
+    staged = sorted(os.listdir(d))
+    parts = [f for f in staged if f.startswith("00_events_")]
+    sentinels = [f for f in staged if "sentinel" in f]
+    assert len(parts) == 3 and len(sentinels) == 2
+    # mtime order: every real part strictly before every sentinel.
+    assert max(os.path.getmtime(os.path.join(d, f)) for f in parts) < min(
+        os.path.getmtime(os.path.join(d, f)) for f in sentinels
+    )
