@@ -328,18 +328,37 @@ def build_sessionize_stream_input(spark: SparkSession, sf_dir: str) -> str:
     d = tempfile.mkdtemp(prefix="panditya-sessionize-in-")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     if os.path.isdir(src):
-        # Directory table (the normal Spark-written layout): stage each
-        # part file under an ordered 00_* prefix so every part sorts —
-        # and therefore mtime-orders, below — before the sentinels.
-        parts = sorted(
-            f for f in os.listdir(src)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        # Directory table (the normal Spark-written layout): re-split
+        # the events into contiguous EVENT-TIME quartile ranges, one
+        # staged file per range, instead of copying part files
+        # verbatim. Part files interleave time arbitrarily, so a
+        # verbatim batch 1 carries the global max timestamp and its
+        # watermark marks nearly every later batch's events late
+        # (observed: 664 of 946 sessions survived a 3-part copy). A
+        # replayed event log arrives roughly in event-time order; the
+        # range split reproduces that regime, and each staged file
+        # still becomes one real micro-batch.
+        ev = normalize_event_ts(spark.read.parquet(src))
+        us = F.unix_micros(F.col("ts"))
+        cuts = ev.select(us.alias("_us")).approxQuantile(
+            "_us", [0.25, 0.5, 0.75], 0.001
         )
-        for i, f in enumerate(parts):
-            shutil.copy(
-                os.path.join(src, f), os.path.join(d, f"00_events_{i:04d}.parquet")
+        bounds = [None, *sorted(set(cuts)), None]
+        for i, (lo, hi_b) in enumerate(zip(bounds[:-1], bounds[1:])):
+            part = ev
+            if lo is not None:
+                part = part.filter(us >= int(lo))
+            if hi_b is not None:
+                part = part.filter(us < int(hi_b))
+            tmp_i = os.path.join(d, f"_w{i}")
+            part.repartition(1).write.mode("overwrite").parquet(tmp_i)
+            (pf,) = [f for f in os.listdir(tmp_i) if f.endswith(".parquet")]
+            shutil.move(
+                os.path.join(tmp_i, pf),
+                os.path.join(d, f"00_events_{i:04d}.parquet"),
             )
-        schema_file = os.path.join(src, parts[0])
+            shutil.rmtree(tmp_i)
+        schema_file = os.path.join(d, "00_events_0000.parquet")
     else:
         shutil.copy(src, os.path.join(d, "00_events.parquet"))
         schema_file = src
@@ -352,6 +371,26 @@ def build_sessionize_stream_input(spark: SparkSession, sf_dir: str) -> str:
     # driver re-materialization with new columns keeps working: every
     # non-(ts, user_id) field is null.
     raw = pq.read_schema(schema_file)
+    # The sentinel's PHYSICAL ts type must match how SPARK reads the
+    # real rows, and pyarrow's schema is ambiguous there: both INT96
+    # (which Spark reads as TIMESTAMP) and TIMESTAMP(NANOS) int64
+    # (which Spark reads as LONG under nanosAsLong) surface as
+    # timestamp[ns]. Writing a ns-annotated sentinel against INT96
+    # parts made the stream schema (timestamp) reject the sentinel
+    # file (long). Spark's own view of the STAGED file disambiguates:
+    # when Spark sees a timestamp, write the sentinel as micros-UTC
+    # (arrives as TIMESTAMP everywhere); when Spark sees long, keep ns.
+    from pyspark.sql.types import LongType
+
+    ts_idx = raw.get_field_index("ts")
+    if (
+        pa.types.is_timestamp(raw.field(ts_idx).type)
+        and raw.field(ts_idx).type.unit == "ns"
+        and not isinstance(
+            spark.read.parquet(schema_file).schema["ts"].dataType, LongType
+        )
+    ):
+        raw = raw.set(ts_idx, pa.field("ts", pa.timestamp("us", tz="UTC")))
     for i, (uid, days) in enumerate(zip(SENTINEL_USERS, (10, 20)), start=1):
         ts = hi + datetime.timedelta(days=days)
         arrays = []
@@ -382,7 +421,10 @@ def read_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_defaults(spark)
     d = build_sessionize_stream_input(spark, sf_dir)
-    schema = spark.read.parquet(os.path.join(d, "00_events.parquet")).schema
+    # Glob: the staged real-events prefix is 00_events.parquet for a
+    # single-file source table, 00_events_NNNN.parquet per part for a
+    # directory table.
+    schema = spark.read.parquet(os.path.join(d, "00_events*.parquet")).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -430,8 +430,45 @@ def test_stream_readers_handle_directory_table_layout(spark, tmp_path):
     staged = sorted(os.listdir(d))
     parts = [f for f in staged if f.startswith("00_events_")]
     sentinels = [f for f in staged if "sentinel" in f]
-    assert len(parts) == 3 and len(sentinels) == 2
+    # Directory sources are re-split into event-time quartile ranges
+    # (4 staged files), NOT copied part-for-part: verbatim copies
+    # interleave time, and batch 1's watermark would drop later
+    # batches' events as late.
+    assert len(parts) == 4 and len(sentinels) == 2
     # mtime order: every real part strictly before every sentinel.
     assert max(os.path.getmtime(os.path.join(d, f)) for f in parts) < min(
         os.path.getmtime(os.path.join(d, f)) for f in sentinels
     )
+    # Staged files are event-time ordered and disjoint: max ts of each
+    # range stays below min ts of the next.
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in parts:
+        t = pq.read_table(os.path.join(d, f), columns=["ts"])["ts"]
+        mm = pc.min_max(t).as_py()
+        ranges.append((mm["min"], mm["max"]))
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+    # And the full sentinel-closed stateful sessionizer over the
+    # directory layout must equal the batch twin (the schema read in
+    # read_sessionize_stream must glob the per-part staged names).
+    from pyspark.sql import functions as F
+
+    from panditya_spark.plans import QUERIES
+    from panditya_spark.sources.loaders import normalize_event_ts
+    from panditya_spark.streaming.windows import sessionize_batch
+
+    got_sessions = QUERIES["stream_sessionize_microbatch"](spark, sf_dir)
+    expected_sessions = sessionize_batch(
+        normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet")),
+        gap_minutes=30,
+    ).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+    assert rows(got_sessions) == rows(expected_sessions)
