@@ -435,124 +435,127 @@ _NULL = "∅"
 # 45-member cap with new oracle-bearing members still arriving.)
 
 # Measured solo (Spark collect + DuckDB oracle) seconds at sf0.01,
-# round-10 host, one warm session (scripts/measure_combo_weights.py —
-# re-run it whenever members change; VERDICT r7 #7). Only the ORDERING
-# matters — a 2x drift leaves the split near-balanced. No member over
-# 5s solo except g9_lpa_planted's 5.1 (four fixed LPA rounds of loop
-# machinery — round-count-bound, not data-bound) and
-# ml_quality_separates' ~7 cold (mostly one-time pyspark.ml init);
-# the two heaviest round-6 members (a15, pagerank) now hold direct
-# window rows.
+# round-12 host, one warm session (scripts/measure_combo_weights.py —
+# re-run it whenever members change; VERDICT r7 #7, refreshed for the
+# 4-slot deal per VERDICT r11 #8: all 108 members measured, including
+# g2_g11_full_undirected whose prior 2.4 entry was an estimate —
+# actual 0.82). Only the ORDERING matters — a 2x drift leaves the
+# split near-balanced (post-refresh slot loads: 37.3/37.3/37.4/37.4).
+# Members over 5s solo: stream_ingest_neardedup 16.5 (three real
+# micro-batch replays — batch-count-bound), ann_ivf_full_probe 7.5,
+# g15_kcore 5.4, ml_quality_separates 5.3 (one-time pyspark.ml init),
+# g9_lpa_planted 5.2 (four fixed LPA rounds — round-count-bound).
 _WEIGHTS: dict[str, float] = {
-    "a11_edge_pattern_count": 1.88,
-    "a12_bucket_histogram": 1.14,
-    "a14_branching_factor": 0.67,
-    "a1_conditional_count": 0.94,
-    "a2_conditional_count2": 0.55,
-    "a3_set_collect_sorted": 1.0,
-    "a4_count_distinct": 0.94,
-    "a5_formatted_freq_agg": 0.89,
-    "a6_truncated_ratio": 0.51,
-    "a7_having_filter": 0.33,
-    "a9_group_count": 0.34,
-    "a_cube_day_type": 0.84,
-    "a_pivot_daily": 0.75,
-    "a_rollup_day_type": 0.45,
-    "a_unpivot_metrics": 0.54,
-    "ann_ivf_full_probe": 7.31,
-    "ann_lsh_exact_recall": 3.37,
-    "dedup_chunk_level": 1.59,
-    "dedup_cluster_canonical": 6.35,
-    "dedup_exact": 0.3,
-    "dedup_fingerprint": 1.71,
-    "dedup_incremental": 3.53,
-    "dedup_minhash_clones": 4.36,
-    "dedup_simhash_clones": 4.14,
-    "dq_constraint_report": 1.62,
-    "er_fuzzy_match": 1.52,
-    "f1_f2_entity_labels": 0.48,
-    "f2_entity_labels": 0.19,
-    "f7_link_labels": 0.62,
-    "fingerprint_winnowing_portable": 2.23,
-    "g13_triangle_counts": 2.76,
-    "g15_kcore": 4.79,
-    "g19_clustering_coeff": 2.9,
-    "g2_g11_full_undirected": 2.4,
-    "g9_lpa_planted": 4.54,
-    "j1_adjacency_list": 0.34,
-    "j2_inverse_adjacency": 0.7,
-    "j5_broadcast_join_agg": 0.83,
+    "a11_edge_pattern_count": 2.11,
+    "a12_bucket_histogram": 1.56,
+    "a14_branching_factor": 0.81,
+    "a1_conditional_count": 1.17,
+    "a2_conditional_count2": 0.66,
+    "a3_set_collect_sorted": 1.21,
+    "a4_count_distinct": 1.05,
+    "a5_formatted_freq_agg": 1.09,
+    "a6_truncated_ratio": 0.6,
+    "a7_having_filter": 0.4,
+    "a9_group_count": 0.33,
+    "a_cube_day_type": 0.83,
+    "a_pivot_daily": 0.88,
+    "a_rollup_day_type": 0.48,
+    "a_unpivot_metrics": 0.47,
+    "ann_ivf_full_probe": 7.46,
+    "ann_lsh_exact_recall": 1.83,
+    "dedup_chunk_level": 0.99,
+    "dedup_cluster_canonical": 4.78,
+    "dedup_exact": 0.36,
+    "dedup_fingerprint": 1.59,
+    "dedup_incremental": 3.2,
+    "dedup_minhash_clones": 3.94,
+    "dedup_simhash_clones": 4.03,
+    "dq_constraint_report": 1.85,
+    "er_fuzzy_match": 1.6,
+    "f1_f2_entity_labels": 0.45,
+    "f2_entity_labels": 0.22,
+    "f7_link_labels": 0.58,
+    "fingerprint_winnowing_portable": 2.13,
+    "g13_triangle_counts": 3.06,
+    "g15_kcore": 5.38,
+    "g19_clustering_coeff": 2.95,
+    "g2_g11_full_undirected": 0.82,
+    "g9_lpa_planted": 5.16,
+    "j1_adjacency_list": 0.37,
+    "j2_inverse_adjacency": 0.78,
+    "j5_broadcast_join_agg": 0.75,
     "j8_expand_to_authors": 0.5,
-    "j9_summary_counts": 0.63,
-    "j_bucketed_join": 1.48,
-    "j_null_safe_join": 0.37,
-    "j_range_join": 0.65,
-    "kmeans_two_level_identity": 3.61,
-    "ml_quality_separates": 4.88,
-    "ml_trend_check": 0.97,
-    "mm_frame_sample": 0.3,
-    "mm_image_embedding_counts": 0.8,
-    "o1_collation_sort": 0.68,
+    "j9_summary_counts": 0.68,
+    "j_bucketed_join": 1.66,
+    "j_null_safe_join": 0.45,
+    "j_range_join": 0.81,
+    "kmeans_two_level_identity": 4.16,
+    "ml_quality_separates": 5.3,
+    "ml_trend_check": 1.08,
+    "mm_frame_sample": 0.36,
+    "mm_image_embedding_counts": 0.84,
+    "o1_collation_sort": 0.73,
     "p10_13_rowskip_type_filter": 0.17,
     "p14_16_map_ops": 0.56,
-    "p1_scan_project_filter": 0.19,
-    "p3_coalesce_fill": 0.15,
-    "p4_regex_clean": 0.16,
-    "p5_7_drop_rename_fill": 0.17,
-    "p8_split_explode": 0.27,
-    "p9_11_12_guard_validate_lookup": 0.28,
-    "pipeline_end_to_end": 1.79,
-    "pipeline_quality_gate": 1.25,
-    "s6_csv_roundtrip": 0.63,
-    "s7_entity_map_roundtrip": 0.5,
-    "s9_gexf_roundtrip": 0.64,
-    "s_dpp_join": 2.07,
-    "s_orc_roundtrip": 1.17,
+    "p1_scan_project_filter": 0.24,
+    "p3_coalesce_fill": 0.17,
+    "p4_regex_clean": 0.17,
+    "p5_7_drop_rename_fill": 0.19,
+    "p8_split_explode": 0.31,
+    "p9_11_12_guard_validate_lookup": 0.31,
+    "pipeline_end_to_end": 2.13,
+    "pipeline_quality_gate": 1.67,
+    "s6_csv_roundtrip": 0.7,
+    "s7_entity_map_roundtrip": 0.64,
+    "s9_gexf_roundtrip": 0.73,
+    "s_dpp_join": 2.14,
+    "s_orc_roundtrip": 1.02,
     "s_partitioned_layout": 1.35,
-    "s_quarantine_read": 1.15,
+    "s_quarantine_read": 0.92,
     "s_schema_evolution": 0.61,
-    "s_targeted_delete": 1.64,
-    "s_variant_json": 0.9,
-    "s_zorder_layout": 1.11,
-    "sample_importance": 0.99,
-    "sample_mixture": 1.07,
-    "sample_stratified": 0.37,
-    "sample_token_budget": 1.44,
-    "seq_packing": 0.4,
-    "sketch_bounds": 1.21,
-    "skew_key_profile": 0.36,
-    "sql_top_customer_per_nation": 1.45,
-    "stream_ingest_neardedup": 18.9,
-    "stream_record_high": 5.64,
-    "stream_sliding_daily": 1.47,
-    "stream_static_dim_join": 2.66,
-    "stream_tumbling_hourly": 0.86,
-    "stream_upsert_sink": 3.79,
-    "t1_t2_union_dedupe": 0.56,
-    "t3_overlap_partition": 0.78,
-    "t4_unique_to_group": 0.94,
-    "text_chunking": 0.34,
-    "text_contamination": 0.94,
-    "text_heavy_hitters": 0.39,
-    "text_html_strip": 0.36,
-    "text_langid": 0.63,
-    "text_lm_bounds": 2.28,
-    "text_normalize": 0.45,
-    "text_pii_redact": 0.29,
+    "s_targeted_delete": 1.72,
+    "s_variant_json": 0.82,
+    "s_zorder_layout": 1.13,
+    "sample_importance": 0.92,
+    "sample_mixture": 0.89,
+    "sample_stratified": 0.33,
+    "sample_token_budget": 1.31,
+    "seq_packing": 0.33,
+    "sketch_bounds": 1.07,
+    "skew_key_profile": 0.27,
+    "sql_top_customer_per_nation": 1.3,
+    "stream_ingest_neardedup": 16.49,
+    "stream_record_high": 4.12,
+    "stream_sliding_daily": 0.77,
+    "stream_static_dim_join": 1.35,
+    "stream_tumbling_hourly": 0.38,
+    "stream_upsert_sink": 1.74,
+    "t1_t2_union_dedupe": 0.55,
+    "t3_overlap_partition": 0.75,
+    "t4_unique_to_group": 1.03,
+    "text_chunking": 0.39,
+    "text_contamination": 0.9,
+    "text_heavy_hitters": 0.48,
+    "text_html_strip": 0.29,
+    "text_langid": 0.54,
+    "text_lm_bounds": 2.03,
+    "text_normalize": 0.51,
+    "text_pii_redact": 0.41,
     "text_token_stats": 0.3,
-    "tpch_q16_supplier_counts": 0.74,
-    "tpch_q18_large_orders": 0.86,
-    "tpch_q22_dormant_balance": 0.67,
-    "tpch_q2_cheapest_supplier": 0.61,
-    "tpch_q4_order_priority": 0.5,
-    "tpch_q5_local_supplier": 0.95,
-    "tpch_q6_forecast": 0.3,
-    "ts_decay_range": 0.66,
-    "ts_rolling_zscore": 0.63,
+    "tpch_q16_supplier_counts": 0.8,
+    "tpch_q18_large_orders": 0.89,
+    "tpch_q22_dormant_balance": 0.73,
+    "tpch_q2_cheapest_supplier": 0.82,
+    "tpch_q4_order_priority": 0.53,
+    "tpch_q5_local_supplier": 1.13,
+    "tpch_q6_forecast": 0.32,
+    "ts_decay_range": 0.65,
+    "ts_rolling_zscore": 0.72,
     "w1_top_n": 0.34,
-    "w2_first_match_backfill": 0.45,
-    "w_ntile_cume_dist": 0.36,
+    "w2_first_match_backfill": 0.44,
+    "w_ntile_cume_dist": 0.41,
 }
+
 
 def _split_members(n_slots: int = 4) -> list[dict]:
     order = sorted(_MEMBERS, key=lambda n: (-_WEIGHTS.get(n, 0.5), n))
