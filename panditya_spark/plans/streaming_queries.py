@@ -59,6 +59,16 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MICROBATCH_SEQ = [0]
 
 
+def _state_parts(sf_dir: str) -> int:
+    """Volume-sized state-store count for the stateful micro-batch
+    queries (see streaming/windows.state_store_partitions): 8 at the
+    local test/driver tiers, growing ~1 per MB of source parquet up to
+    32 — the stateful-stage parallelism knob at the stress decade."""
+    from panditya_spark.streaming.windows import state_store_partitions
+
+    return state_store_partitions(sf_dir)
+
+
 @register(
     "stream_tumbling_microbatch",
     oracle="""
@@ -89,6 +99,7 @@ def stream_tumbling_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         f"stream_tumbling_microbatch_{_MICROBATCH_SEQ[0]}",
         mode="complete",
+        shuffle_partitions=_state_parts(sf_dir),
     )
 
 
@@ -135,6 +146,7 @@ def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         f"stream_static_dim_join_{_MICROBATCH_SEQ[0]}",
         mode="complete",
+        shuffle_partitions=_state_parts(sf_dir),
     )
 
 
@@ -162,6 +174,7 @@ def stream_dedup_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         f"stream_dedup_microbatch_{_MICROBATCH_SEQ[0]}",
         mode="append",
+        shuffle_partitions=_state_parts(sf_dir),
     )
     return survivors.dropDuplicates(["user_id", "event_type"])
 
@@ -228,6 +241,7 @@ def stream_sliding_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         f"stream_sliding_microbatch_{_MICROBATCH_SEQ[0]}",
         mode="complete",
+        shuffle_partitions=_state_parts(sf_dir),
     )
 
 
@@ -319,6 +333,7 @@ def stream_sessionize_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize(stream, gap_minutes=30),
         f"stream_sessionize_microbatch_{_MICROBATCH_SEQ[0]}",
         mode="append",
+        shuffle_partitions=_state_parts(sf_dir),
     )
     return out.filter(~F.col("user_id").isin([str(u) for u in SENTINEL_USERS]))
 
@@ -394,6 +409,7 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         f"stream_session_window_native_{_MICROBATCH_SEQ[0]}",
         mode="append",
+        shuffle_partitions=_state_parts(sf_dir),
     )
     return out.filter(
         ~F.col("user_id").isin([str(u) for u in SENTINEL_USERS])
@@ -434,6 +450,7 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         attribution_join_stream(read_events_stream(spark, sf_dir)),
         f"stream_attribution_join_{_MICROBATCH_SEQ[0]}",
         mode="append",
+        shuffle_partitions=_state_parts(sf_dir),
     )
 
 
@@ -683,6 +700,7 @@ def stream_record_high(spark: SparkSession, sf_dir: str) -> DataFrame:
         record_highs(stream.select("user_id", "ts", "event_id", "value")),
         f"stream_record_high_{_MICROBATCH_SEQ[0]}",
         mode="append",
+        shuffle_partitions=_state_parts(sf_dir),
     )
 
 
