@@ -472,3 +472,29 @@ def test_stream_readers_handle_directory_table_layout(spark, tmp_path):
         "session_end",
     )
     assert rows(got_sessions) == rows(expected_sessions)
+
+
+def test_state_store_partitions_sizing(tmp_path):
+    """Pure sizing contract: default floor at the local tiers, ~1
+    partition per MB of source parquet, capped at 32; both file and
+    directory layouts measured."""
+    import os
+
+    from panditya_spark.streaming.windows import state_store_partitions
+
+    # No events table at all -> floor.
+    assert state_store_partitions(str(tmp_path)) == 8
+    # Single small file -> floor.
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"x" * (2 << 20))
+    assert state_store_partitions(str(tmp_path)) == 8
+    # Directory layout summing past the floor -> ~1/MB.
+    os.remove(f)
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    for i in range(17):
+        (d / f"part-{i}.parquet").write_bytes(b"x" * (1 << 20))
+    assert state_store_partitions(str(tmp_path)) == 17
+    # Huge -> capped.
+    (d / "big.parquet").write_bytes(b"x" * (64 << 20))
+    assert state_store_partitions(str(tmp_path)) == 32
