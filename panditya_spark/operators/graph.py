@@ -1953,11 +1953,11 @@ def hits(
 
 
 # ------------------------------------------------------------ G17 (ext)
-def triangle_incidence(e: DataFrame) -> DataFrame:
+def triangle_incidence(e: DataFrame, broadcast_close: bool = False) -> DataFrame:
     """Triangle→edge incidence table over canonical edges (a < b):
     enumerate each triangle once, explode it into 3 rows, one per
-    member edge. Columns: (ta, tb, tc) identify the triangle (id
-    order), (ea, eb) one of its canonical edges. Exposed at module
+    member edge. Columns: ``tri`` (a compact per-run triangle id —
+    see below), (ea, eb) one of its canonical edges. Exposed at module
     level so scripts/explain_audit.py can gate the per-round join
     shape of k-truss.
 
@@ -1970,11 +1970,28 @@ def triangle_incidence(e: DataFrame) -> DataFrame:
     fan-out by the SMALLER endpoint's degree (out-degrees under this
     orientation are O(sqrt(m))), which is what keeps the one-time
     incidence build's shuffle volume from exploding on skewed degree
-    distributions — at the sf1 decade the id-ordered plan shuffled
-    14.5 GB building wedges through high-id hub vertices (VERDICT r10
-    #3). Output content is IDENTICAL either way (the triangle SET
-    doesn't depend on enumeration order); the two degree joins the
-    orientation costs are node-sized, one shuffle each."""
+    distributions. Output content is IDENTICAL either way (the
+    triangle SET doesn't depend on enumeration order); the two degree
+    joins the orientation costs are node-sized, one shuffle each.
+
+    ``broadcast_close=True`` broadcasts the (v, w) closing-edge set
+    into the semi probe instead of shuffling the WEDGE side. Wedges
+    outnumber triangles heavily (measured on the sf0.1 co-purchase
+    graph: 41.1M wedges vs 1.88M triangles, 21.8:1 — the wedge
+    exchange was the bulk of the r12-measured 14.4 GB sf1 k-truss
+    shuffle), so eliminating that exchange is the dominant build
+    saving; callers size-gate it on the EDGE count (the broadcast
+    payload), not the wedge count — see ktruss. The wedge rows then
+    stream map-side from the wedge join straight through the probe.
+
+    ``tri`` is ``monotonically_increasing_id`` assigned to the
+    pre-explode triangle frame: 1 long instead of the 3 triangle-vertex
+    longs on every incidence row, cutting the bytes of the two static
+    incidence shuffles and every per-round hit/expansion frame by
+    ~40%. The id is only unique WITHIN one materialization — callers
+    that reuse the incidence across actions must pin it first
+    (ktruss eager-checkpoints it once, which is also what makes the
+    id stable for the whole peel)."""
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -2004,15 +2021,17 @@ def triangle_incidence(e: DataFrame) -> DataFrame:
     )
     # v precedes w in (deg, id) order, so the closing edge {v, w} — if
     # present — is oriented v→w: one equi-key LEFT-SEMI probe.
-    tri = wedge.join(
-        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
-        ["v", "w"],
-        "left_semi",
-    ).select(F.array_sort(F.array("u", "v", "w")).alias("t"))
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    if broadcast_close:
+        closing = F.broadcast(closing)
+    tri = wedge.join(closing, ["v", "w"], "left_semi").select(
+        F.array_sort(F.array("u", "v", "w")).alias("t")
+    )
+    # Id assigned on the PRE-explode frame (its own select), so the 3
+    # incidence rows of one triangle replicate a single id.
+    tri = tri.select(F.monotonically_increasing_id().alias("tri"), "t")
     return tri.select(
-        F.col("t")[0].alias("ta"),
-        F.col("t")[1].alias("tb"),
-        F.col("t")[2].alias("tc"),
+        "tri",
         F.explode(
             F.array(
                 F.struct(F.col("t")[0].alias("ea"), F.col("t")[1].alias("eb")),
@@ -2020,7 +2039,7 @@ def triangle_incidence(e: DataFrame) -> DataFrame:
                 F.struct(F.col("t")[0].alias("ea"), F.col("t")[2].alias("eb")),
             )
         ).alias("ed"),
-    ).select("ta", "tb", "tc", F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
+    ).select("tri", F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
 
 
 def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
@@ -2082,7 +2101,15 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    te = triangle_incidence(e)
+    # Size-gate the broadcast closing-edge probe on the broadcast
+    # PAYLOAD (the canonical edge set): under the cap the wedge side —
+    # which outnumbers triangles ~22:1 on this graph family — never
+    # hits an exchange; above it, fall back to the shuffle semi join
+    # (30M edges ≈ 500 MB hashed relation, the same order as the
+    # betweenness broadcast gate). One count action, against a peel
+    # loop that runs one count per round anyway.
+    n_edges = e.count()
+    te = triangle_incidence(e, broadcast_close=n_edges <= 30_000_000)
     sup = te.groupBy("ea", "eb").agg(F.count(F.lit(1)).alias("support"))
     if k <= 2:
         # Whole graph qualifies; report full-graph support per edge.
@@ -2103,9 +2130,7 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # each round shuffles only victim-sized / hit-sized frames against
     # them, never the incidence table itself.
     te_by_edge = te.repartition("ea", "eb").localCheckpoint(eager=True)
-    te_by_tri = te_by_edge.repartition("ta", "tb", "tc").localCheckpoint(
-        eager=True
-    )
+    te_by_tri = te_by_edge.repartition("tri").localCheckpoint(eager=True)
     # Initial support from the already-materialized copy — the triangle
     # enumeration must run exactly once.
     sup = te_by_edge.groupBy("ea", "eb").agg(F.count(F.lit(1)).alias("support"))
@@ -2120,24 +2145,24 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
         # Triangles touched by this round's removals…
         hit = (
             te_by_edge.join(victims, ["ea", "eb"], "semi")
-            .select("ta", "tb", "tc")
+            .select("tri")
             .distinct()
         )
-        hit_rows = te_by_tri.join(hit, ["ta", "tb", "tc"], "semi")
+        hit_rows = te_by_tri.join(hit, ["tri"], "semi")
         # …restricted to triangles still fully alive at round start
         # (all 3 edge rows present in sup): a triangle destroyed in an
         # earlier round always contains an already-removed edge, so
         # this filter is the lazy equivalent of the old shrinking te.
         alive_rows = hit_rows.join(sup.select("ea", "eb"), ["ea", "eb"], "semi")
         destroyed = (
-            alive_rows.groupBy("ta", "tb", "tc")
+            alive_rows.groupBy("tri")
             .agg(F.count(F.lit(1)).alias("n_alive"))
             .filter(F.col("n_alive") == 3)
-            .select("ta", "tb", "tc")
+            .select("tri")
         )
         # …decrement only the SURVIVING edges of those triangles.
         dec = (
-            alive_rows.join(destroyed, ["ta", "tb", "tc"], "semi")
+            alive_rows.join(destroyed, ["tri"], "semi")
             .join(victims, ["ea", "eb"], "anti")
             .groupBy("ea", "eb")
             .agg(F.count(F.lit(1)).alias("dec"))

@@ -33,24 +33,28 @@ SF1 = os.path.join(ROOT, ".stress", "sf1")
 OUT = os.path.join(ROOT, ".stress", "ab_ktruss.json")
 
 
-def old_triangle_incidence(e):
+def old_triangle_incidence(e, broadcast_close=False):
     """Pre-rewrite build (6d7a79b~1): ordered two-equi-join on the
     shared middle vertex + LEFT-SEMI closing probe, id-ordered (a<b<c)
     with no degree orientation — wedges fan out from EVERY vertex's
-    full forward adjacency."""
+    full forward adjacency. Adapted to the round-12 incidence contract
+    (compact ``tri`` id, optional broadcast close) so the A/B isolates
+    the ORIENTATION alone; the r12 pre-adaptation run is preserved in
+    .stress/ab_ktruss.json."""
     from pyspark.sql import functions as F
 
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    closing = ac
+    if broadcast_close:
+        closing = F.broadcast(ac)
     tri = e.join(bc, "b").join(
-        ac,
+        closing,
         (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
         "left_semi",
-    )
+    ).select(F.monotonically_increasing_id().alias("tri"), "a", "b", "c")
     return tri.select(
-        F.col("a").alias("ta"),
-        F.col("b").alias("tb"),
-        F.col("c").alias("tc"),
+        "tri",
         F.explode(
             F.array(
                 F.struct(F.col("a").alias("ea"), F.col("b").alias("eb")),
@@ -58,7 +62,7 @@ def old_triangle_incidence(e):
                 F.struct(F.col("a").alias("ea"), F.col("c").alias("eb")),
             )
         ).alias("ed"),
-    ).select("ta", "tb", "tc", F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
+    ).select("tri", F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
 
 
 def _rest(base: str, path: str):
