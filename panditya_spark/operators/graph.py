@@ -1783,72 +1783,81 @@ def personalized_pagerank(
 def kcore(edges: DataFrame, k: int, max_iter: int = 128) -> DataFrame:
     """k-core decomposition membership: the (unique) maximal subgraph
     in which every node has undirected degree >= k, by iterative
-    peeling — drop all nodes of degree < k, recompute degrees, repeat
-    to fixpoint (spec extension; same family as g13 triangle counting).
+    peeling (spec extension; same family as g13 triangle counting).
 
-    Scale shape: each round is one map-side-combinable degree
-    aggregation plus two semi-joins that reuse the same hash
-    partitioning on the endpoint columns; no collect, no per-node
-    driver state. The edge set only shrinks, so round cost is
-    monotonically decreasing; lineage/stats are reset on the shared
-    parquet-spill cadence (_LoopState) like every other iterative
-    operator here. Termination: the fixpoint is reached in at most
-    |V| rounds; real graphs converge in a handful (the peel only
-    cascades along chains of exactly-degree-k nodes).
+    INCREMENTAL-DECREMENT peeling over a STATIC edge table — the same
+    state discipline as ktruss: the doubled undirected edge list is
+    hash-partitioned by src and checkpointed ONCE; the per-round state
+    is ONLY the (node, degree) table of still-alive nodes. Each round,
+    nodes below k die; their incident edges are located by one
+    dying-keyed semi-join on the static table and the SURVIVORS'
+    degrees are decremented by the count of edges they lost. Exactness
+    of the decrement bookkeeping:
+    - an edge whose endpoints BOTH die this round needs no decrement —
+      both degree rows are dropped;
+    - an edge from a dying node to a node that died EARLIER was
+      already decremented from the dying node's count when the other
+      endpoint died, and the earlier-dead node has no degree row for
+      the new decrement to land on — ignored by construction
+      (left join against surviving rows only);
+    so at every round start deg(u) is exactly u's degree inside the
+    surviving subgraph — the same per-round dying sets, round count,
+    and fixpoint as the recompute-from-scratch peel, proven identical
+    by the unrolled-peel SQL oracle and the brute-force pytests.
+
+    The previous implementation re-semi-joined and re-materialized the
+    FULL surviving edge set every round (2 x |E| rows x rounds of
+    checkpoint/shuffle traffic: 2,249 MB shuffle write at the sf1
+    stress decade, the largest ratio in the round-12 headline table);
+    rounds now shuffle dying-sized and node-sized frames only, against
+    one static edge materialization. No collect, no per-node driver
+    state; lineage/stats reset on the shared parquet-spill cadence
+    (_LoopState). Termination: at most |V| rounds; real graphs converge
+    in a handful (the peel only cascades along chains of
+    exactly-degree-k nodes).
 
     Returns (node, degree) for k-core members, degree counted INSIDE
     the core (>= k by construction, the invariant pytest pins).
     """
-    e = undirected(edges).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
+    e_static = (
+        undirected(edges)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
     )
+    deg = e_static.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     state = _LoopState()
-    (e,) = state.round_end(e)
-    prev_nodes = -1
-    empty = False
+    (deg,) = state.round_end(deg)
+    converged = False
     for _ in range(max_iter):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src")
-        n = keep.count()
-        if n == 0:
-            # Every remaining node is below k — the k-core is empty.
-            empty = True
+        dying = deg.filter(F.col("deg") < k).select("src")
+        if dying.count() == 0:
+            # No node below k (vacuously true when deg is empty — the
+            # empty-core case): deg IS the core degree table.
+            converged = True
             break
-        if n == prev_nodes:
-            # keep ⊆ nodes(e) ⊆ previous keep with equal counts ⇒ all
-            # three sets coincide ⇒ every node of e has degree >= k:
-            # e IS the core; no further filter needed.
-            break
-        prev_nodes = n
-        (e,) = state.round_end(
-            e.join(keep, "src", "semi").join(
-                keep.withColumnRenamed("src", "dst"), "dst", "semi"
+        lost = (
+            e_static.join(dying, "src", "semi")
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("lost"))
+        )
+        deg_next = (
+            deg.join(dying, "src", "anti")
+            .join(lost.withColumnRenamed("dst", "src"), "src", "left_outer")
+            .select(
+                "src",
+                (F.col("deg") - F.coalesce("lost", F.lit(0))).alias("deg"),
             )
         )
-    else:
-        # Loop exhausted without detecting a fixpoint. The documented
-        # invariant (every returned node has in-core degree >= k) must
-        # never be silently violated — e.g. a long path with k=2 peels
-        # only two endpoints per round, so max_iter < |V|/2 would
-        # otherwise hand back a non-core. One extra degree check either
-        # certifies the coincidental fixpoint or refuses loudly.
-        below = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") < k)
-            .count()
+        (deg,) = state.round_end(deg_next)
+    if not converged:
+        raise RuntimeError(
+            f"kcore: no fixpoint after {max_iter} rounds; raise max_iter "
+            "(a partial peel would violate the degree >= k invariant)"
         )
-        if below:
-            raise RuntimeError(
-                f"kcore: no fixpoint after {max_iter} rounds "
-                f"({below} nodes still below degree {k}); raise max_iter"
-            )
-    out = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    out = _checkpoint(
+        deg.select(F.col("src").alias("node"), F.col("deg").alias("degree"))
     )
-    if empty:
-        out = out.filter(F.lit(False))
-    out = _checkpoint(out)
     state.finish()
     return out
 
