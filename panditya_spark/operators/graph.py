@@ -2118,13 +2118,35 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # betweenness broadcast gate). One count action, against a peel
     # loop that runs one count per round anyway.
     n_edges = e.count()
-    te = triangle_incidence(e, broadcast_close=n_edges <= 30_000_000)
-    sup = te.groupBy("ea", "eb").agg(F.count(F.lit(1)).alias("support"))
+    bc = n_edges <= 30_000_000
+    # PHASE 1 — full-graph support WITHOUT materializing incidence:
+    # the exploded triangle rows stream straight into a map-side-
+    # combinable groupBy (shuffle is edge-keyed partial aggregates,
+    # never the 3-rows-per-triangle table), pinned once edge-sized.
+    # Its k-2 filter IS the peel's round 1, applied before the
+    # expensive part: only edges passing it can be in the truss, so
+    # the static incidence is built on the SURVIVOR subgraph —
+    # measured on the sf0.1 co-purchase graph, 10.8% of edges survive
+    # (129,505 of 1,196,000 at k=10), shrinking the materialized
+    # incidence ~10x. On a graph where nothing is filtered the phase-1
+    # pass is one extra aggregated enumeration — bounded waste, and
+    # such graphs have trivial peels. Fixpoint is IDENTICAL: phase-2's
+    # recounted support within the survivor subgraph is exactly the
+    # original round-2 state (recount == incremental decrement, the
+    # equivalence the unrolled oracle pins).
+    sup_full = (
+        triangle_incidence(e, broadcast_close=bc)
+        .groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .localCheckpoint(eager=True)
+    )
     if k <= 2:
         # Whole graph qualifies; report full-graph support per edge.
         out = _checkpoint(
             e.join(
-                sup.withColumnRenamed("ea", "a").withColumnRenamed("eb", "b"),
+                sup_full.withColumnRenamed("ea", "a").withColumnRenamed(
+                    "eb", "b"
+                ),
                 ["a", "b"],
                 "left_outer",
             ).select(
@@ -2134,14 +2156,19 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
             )
         )
         return out
-    # Static incidence copies, checkpointed ONCE: the edge-keyed copy
-    # serves the victim probe, the triangle-keyed copy the expansion —
-    # each round shuffles only victim-sized / hit-sized frames against
-    # them, never the incidence table itself.
+    e2 = sup_full.filter(F.col("support") >= k - 2).select(
+        F.col("ea").alias("a"), F.col("eb").alias("b")
+    )
+    # PHASE 2 — static incidence copies over the survivor subgraph,
+    # checkpointed ONCE: the edge-keyed copy serves the victim probe,
+    # the triangle-keyed copy the expansion — each round shuffles only
+    # victim-sized / hit-sized frames against them, never the
+    # incidence table itself.
+    te = triangle_incidence(e2, broadcast_close=bc)
     te_by_edge = te.repartition("ea", "eb").localCheckpoint(eager=True)
     te_by_tri = te_by_edge.repartition("tri").localCheckpoint(eager=True)
-    # Initial support from the already-materialized copy — the triangle
-    # enumeration must run exactly once.
+    # Initial support from the already-materialized copy — the
+    # survivor-subgraph enumeration must run exactly once.
     sup = te_by_edge.groupBy("ea", "eb").agg(F.count(F.lit(1)).alias("support"))
     state = _LoopState()
     (sup,) = state.round_end(sup)

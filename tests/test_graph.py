@@ -634,22 +634,39 @@ def test_kcore_raises_on_exhausted_nonfixpoint(spark):
 
 
 def test_ktruss_raises_on_exhausted_nonfixpoint(spark):
-    """A chain of triangles peels one triangle per round from each
-    end; an insufficient max_iter must raise, not return a partial."""
+    """An insufficient max_iter must raise, not return a partial peel.
+
+    The construction must cascade across RECOUNTED rounds, because the
+    round-12 phase-1 support filter consumes what used to be round 1
+    (a plain triangle strip now collapses before the loop even runs:
+    its support-1 chord edges fail the k-2 bound and the survivor
+    chain is triangle-free). Reinforced triangle cycle, k=4: strip
+    triangles t_i = (v_i, v_i+1, v_i+2) around a 12-cycle give every
+    (i, i+1) edge support 2; each chord (i, i+2) gets a pendant
+    reinforcement triangle via h_i so it also starts at support 2 —
+    phase 1 removes ONLY the support-1 pendant edges. The loop then
+    needs three rounds: recount kills the chords (their reinforcement
+    died), the chord removals zero the cycle edges, and an empty
+    victim round certifies the fixpoint."""
     import pytest
 
     from panditya_spark.operators.graph import ktruss
 
-    # Triangle strip: t0..t9 sharing edges — peeling k=4 cascades.
+    n = 12
     edges = []
-    for i in range(10):
-        edges += [(f"v{i}", f"v{i+1}"), (f"v{i}", f"v{i+2}")]
-    edges.append((f"v10", f"v11"))
+    for i in range(n):
+        edges += [
+            (f"v{i}", f"v{(i+1) % n}"),
+            (f"v{i}", f"v{(i+2) % n}"),
+            (f"v{i}", f"h{i}"),
+            (f"v{(i+2) % n}", f"h{i}"),
+        ]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    with pytest.raises(RuntimeError, match="no fixpoint"):
-        ktruss(df, k=4, max_iter=1)
+    for bad_iter in (1, 2):
+        with pytest.raises(RuntimeError, match="no fixpoint"):
+            ktruss(df, k=4, max_iter=bad_iter)
     got = ktruss(df, k=4, max_iter=32)
-    assert got.count() == 0  # strip has no 4-truss
+    assert got.count() == 0  # the reinforced cycle has no 4-truss
     assert {r["support"] >= 1 for r in ktruss(df, k=3, max_iter=32).collect()} <= {True}
 
 
