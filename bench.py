@@ -252,6 +252,21 @@ def main() -> int:
     if ok_duck:
         out["duckdb_total_sec"] = round(sum(ok_duck), 3)
         out["duckdb_n"] = len(ok_duck)
+        # Load-normalized trend line (VERDICT r12 #4): the DuckDB
+        # anchor runs identical SQL on the same host in the same
+        # minutes, so host weather moves both numerators together and
+        # this ratio is the load-independent cross-round signal — the
+        # r12 official bench read as a phantom +13% while the ratio
+        # stayed flat (r11: 5.2, r12 official: 4.7, r12 local: 4.9).
+        # Computed over the anchor-covered subset only, so a skipped
+        # oracle can't skew it.
+        spark_covered = sum(
+            timings[n] for n in duckdb_sec
+            if isinstance(duckdb_sec[n], float) and n in timings
+        )
+        out["spark_over_duckdb_ratio"] = round(
+            spark_covered / sum(ok_duck), 2
+        )
     if errors:
         out["errors_n"] = len(errors)
         # skipped = queries with NO successful rep at all; partial =

@@ -1851,6 +1851,14 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 128) -> DataFrame:
         )
         (deg,) = state.round_end(deg_next)
     if not converged:
+        # The loop only OBSERVES convergence one round after the peel
+        # that achieved it, so a max_iter tuned to the exact peel
+        # depth would land here with a perfectly valid core in deg.
+        # One cheap dying-count certifies it before giving up; the
+        # raise remains for genuine non-fixpoints (the degree >= k
+        # invariant is never weakened).
+        converged = deg.filter(F.col("deg") < k).count() == 0
+    if not converged:
         raise RuntimeError(
             f"kcore: no fixpoint after {max_iter} rounds; raise max_iter "
             "(a partial peel would violate the degree >= k invariant)"
@@ -1962,6 +1970,27 @@ def hits(
 
 
 # ------------------------------------------------------------ G17 (ext)
+def _broadcast_edge_cap(spark: SparkSession) -> int:
+    """Max canonical-edge count the k-truss close may broadcast,
+    derived from the session's driver heap: a hashed (v, w) two-long
+    relation costs ~48 B/edge (UnsafeRow + map overhead) and the gate
+    budgets 10% of heap, so the cap scales with the memory actually
+    configured instead of assuming the 48g stress harness. Unparseable
+    or unset driver memory falls back to Spark's 1g default (cap
+    ~2.2M edges) — conservative beats an OOM."""
+    import re
+
+    mem = spark.conf.get("spark.driver.memory", "1g") or "1g"
+    m = re.fullmatch(r"(\d+)([kmgt]?)b?", mem.strip().lower())
+    if not m:
+        heap = 1 << 30
+    else:
+        heap = int(m.group(1)) * (
+            1 << {"": 0, "k": 10, "m": 20, "g": 30, "t": 40}[m.group(2)]
+        )
+    return max(1_000_000, int(heap * 0.10) // 48)
+
+
 def triangle_incidence(e: DataFrame, broadcast_close: bool = False) -> DataFrame:
     """Triangle→edge incidence table over canonical edges (a < b):
     enumerate each triangle once, explode it into 3 rows, one per
@@ -2113,12 +2142,17 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # Size-gate the broadcast closing-edge probe on the broadcast
     # PAYLOAD (the canonical edge set): under the cap the wedge side —
     # which outnumbers triangles ~22:1 on this graph family — never
-    # hits an exchange; above it, fall back to the shuffle semi join
-    # (30M edges ≈ 500 MB hashed relation, the same order as the
-    # betweenness broadcast gate). One count action, against a peel
-    # loop that runs one count per round anyway.
+    # hits an exchange; above it, fall back to the shuffle semi join.
+    # The cap is derived from the session's driver heap (local mode:
+    # the one JVM that hosts every broadcast copy), not a fixed
+    # constant — a hashed two-long relation costs ~48 B/edge, and the
+    # gate budgets 10% of heap for it, so a default 12g session caps
+    # at ~26M edges (covers the 12M-edge sf1 graph) while a 1g driver
+    # caps at ~2.2M instead of OOMing at a constant 30M. One count
+    # action, against a peel loop that runs one count per round
+    # anyway.
     n_edges = e.count()
-    bc = n_edges <= 30_000_000
+    bc = n_edges <= _broadcast_edge_cap(edges.sparkSession)
     # PHASE 1 — full-graph support WITHOUT materializing incidence:
     # the exploded triangle rows stream straight into a map-side-
     # combinable groupBy (shuffle is edge-keyed partial aggregates,
@@ -2215,6 +2249,12 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
             )
         )
         (sup,) = state.round_end(sup_next)
+    if not converged:
+        # Same one-round observation lag as kcore: a max_iter tuned
+        # to the exact peel depth leaves a valid truss in sup that
+        # the loop never got to certify. One victim-count check
+        # before raising; the invariant is never weakened.
+        converged = sup.filter(F.col("support") < k - 2).count() == 0
     if not converged:
         raise RuntimeError(
             f"ktruss: no fixpoint after {max_iter} peel rounds; "

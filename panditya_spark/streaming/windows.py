@@ -109,23 +109,39 @@ def read_events_stream(
 
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(raw_schema).option(
-        "maxFilesPerTrigger", max_files_per_trigger
-    )
     if os.path.isdir(path):
         # DIRECTORY table (the normal layout for any Spark-written
-        # table at scale): stream the directory itself — each part
-        # file becomes (up to) one micro-batch. A name glob would
-        # silently match ZERO part files here, turning the stream into
-        # an empty source (found the hard way on the sf1 stress build:
-        # a 1.6s "run" over 1M rows).
-        stream = reader.parquet(path)
+        # table at scale): part files interleave event time, so a
+        # verbatim part-per-batch replay hands batch 1 a near-max
+        # timestamp and every watermarked APPEND consumer downstream
+        # (dropDuplicatesWithinWatermark, the stream-stream
+        # attribution join) silently drops later batches' rows as
+        # late — the exact failure the sessionize path hit first on
+        # the sf1 stress build. Stage the directory through the same
+        # event-time re-split (one contiguous time-range file per
+        # micro-batch) so every read_events_stream consumer sees the
+        # roughly-time-ordered arrival a replayed event log actually
+        # has. (A name glob over the raw directory is worse still: it
+        # matches ZERO part files and yields an empty stream.)
+        src_dir = build_time_ordered_events_input(spark, sf_dir)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src_dir).schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(src_dir)
+        )
     else:
         # Single-FILE table (the driver testdata layout): the file
         # source requires a directory, so point it at sf_dir with a
-        # glob filter selecting exactly the events file.
-        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        # glob filter selecting exactly the events file. One file =
+        # one micro-batch, so arrival order cannot split across
+        # watermark advances and no staging is needed.
+        raw_schema = spark.read.parquet(path).schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_event_ts(stream)
 
 
@@ -331,6 +347,73 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 SENTINEL_USERS = (-999_999, -999_998)
 
 _SENTINEL_INPUT_CACHE: dict[str, str] = {}
+_TIME_SPLIT_CACHE: dict[str, str] = {}
+
+
+def _stage_time_split_events(
+    spark: SparkSession, src: str, dest: str, n_splits: int = 4
+) -> None:
+    """Re-split a directory events table into `n_splits` contiguous
+    EVENT-TIME ranges, one staged file per range, written into `dest`
+    as 00_events_NNNN.parquet. Part files of a Spark-written table
+    interleave time arbitrarily, so replaying them verbatim hands
+    batch 1 the global max timestamp and its watermark marks nearly
+    every later batch's events late (observed: 664 of 946 sessions
+    survived a 3-part copy). A replayed event log arrives roughly in
+    event-time order; the range split reproduces that regime, and each
+    staged file still becomes one real micro-batch."""
+    import shutil
+
+    from panditya_spark.sources.loaders import normalize_event_ts
+
+    ev = normalize_event_ts(spark.read.parquet(src))
+    us = F.unix_micros(F.col("ts"))
+    qs = [i / n_splits for i in range(1, n_splits)]
+    cuts = ev.select(us.alias("_us")).approxQuantile("_us", qs, 0.001)
+    bounds = [None, *sorted(set(cuts)), None]
+    for i, (lo, hi_b) in enumerate(zip(bounds[:-1], bounds[1:])):
+        part = ev
+        if lo is not None:
+            part = part.filter(us >= int(lo))
+        if hi_b is not None:
+            part = part.filter(us < int(hi_b))
+        tmp_i = os.path.join(dest, f"_w{i}")
+        part.repartition(1).write.mode("overwrite").parquet(tmp_i)
+        (pf,) = [f for f in os.listdir(tmp_i) if f.endswith(".parquet")]
+        shutil.move(
+            os.path.join(tmp_i, pf),
+            os.path.join(dest, f"00_events_{i:04d}.parquet"),
+        )
+        shutil.rmtree(tmp_i)
+
+
+def build_time_ordered_events_input(spark: SparkSession, sf_dir: str) -> str:
+    """Staged, event-time-ordered streaming-input directory for a
+    DIRECTORY-layout events table — the shared front door for every
+    read_events_stream consumer (no sentinels; the sessionize path,
+    which additionally needs watermark-closing sentinel files, has its
+    own builder on the same staging helper). Cached per (path, mtime)
+    so repeated invocations reuse one copy."""
+    import atexit
+    import shutil
+    import tempfile
+    import time as _time
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = f"{src}:{os.path.getmtime(src)}"
+    cached = _TIME_SPLIT_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+
+    d = tempfile.mkdtemp(prefix="panditya-events-in-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    _stage_time_split_events(spark, src, d)
+    # FileStreamSource orders by modification time: force range order.
+    now = _time.time()
+    for j, name in enumerate(sorted(os.listdir(d))):
+        os.utime(os.path.join(d, name), (now + j, now + j))
+    _TIME_SPLIT_CACHE[key] = d
+    return d
 
 
 def build_sessionize_stream_input(spark: SparkSession, sf_dir: str) -> str:
@@ -357,36 +440,11 @@ def build_sessionize_stream_input(spark: SparkSession, sf_dir: str) -> str:
     d = tempfile.mkdtemp(prefix="panditya-sessionize-in-")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     if os.path.isdir(src):
-        # Directory table (the normal Spark-written layout): re-split
-        # the events into contiguous EVENT-TIME quartile ranges, one
-        # staged file per range, instead of copying part files
-        # verbatim. Part files interleave time arbitrarily, so a
-        # verbatim batch 1 carries the global max timestamp and its
-        # watermark marks nearly every later batch's events late
-        # (observed: 664 of 946 sessions survived a 3-part copy). A
-        # replayed event log arrives roughly in event-time order; the
-        # range split reproduces that regime, and each staged file
-        # still becomes one real micro-batch.
-        ev = normalize_event_ts(spark.read.parquet(src))
-        us = F.unix_micros(F.col("ts"))
-        cuts = ev.select(us.alias("_us")).approxQuantile(
-            "_us", [0.25, 0.5, 0.75], 0.001
-        )
-        bounds = [None, *sorted(set(cuts)), None]
-        for i, (lo, hi_b) in enumerate(zip(bounds[:-1], bounds[1:])):
-            part = ev
-            if lo is not None:
-                part = part.filter(us >= int(lo))
-            if hi_b is not None:
-                part = part.filter(us < int(hi_b))
-            tmp_i = os.path.join(d, f"_w{i}")
-            part.repartition(1).write.mode("overwrite").parquet(tmp_i)
-            (pf,) = [f for f in os.listdir(tmp_i) if f.endswith(".parquet")]
-            shutil.move(
-                os.path.join(tmp_i, pf),
-                os.path.join(d, f"00_events_{i:04d}.parquet"),
-            )
-            shutil.rmtree(tmp_i)
+        # Directory table (the normal Spark-written layout): stage
+        # through the shared event-time re-split (see
+        # _stage_time_split_events for why verbatim part copies kill
+        # the watermark), then append the sentinel files below.
+        _stage_time_split_events(spark, src, d)
         schema_file = os.path.join(d, "00_events_0000.parquet")
     else:
         shutil.copy(src, os.path.join(d, "00_events.parquet"))

@@ -82,6 +82,8 @@ def _shuffle_snapshot(base: str) -> dict:
 def main() -> int:
     reps01 = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     reps1 = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    if reps01 < 1 or reps1 < 1:
+        raise SystemExit("reps must be >= 1 (min() over zero samples)")
 
     from pyspark.sql import SparkSession
 
@@ -156,7 +158,14 @@ def main() -> int:
     if os.path.exists(OUT):
         history = json.load(open(OUT))
     history.append(result)
-    json.dump(history, open(OUT, "w"), indent=1)
+    # Serialize FIRST, then atomically rename into place: a truncating
+    # json.dump(open(OUT, 'w')) destroys the entire prior A/B history
+    # the moment serialization (or the process) fails mid-write.
+    payload = json.dumps(history, indent=1)
+    tmp = OUT + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+    os.replace(tmp, OUT)
     print(json.dumps(result))
     return 0
 

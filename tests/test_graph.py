@@ -620,7 +620,11 @@ def test_ktruss_k2_is_whole_graph_with_supports(spark):
 
 def test_kcore_raises_on_exhausted_nonfixpoint(spark):
     """A long path with k=2 peels two endpoints per round; max_iter=2
-    cannot converge and must raise instead of returning a non-core."""
+    cannot converge and must raise instead of returning a non-core.
+    But a max_iter tuned to the EXACT peel depth (7 rounds for this
+    13-node path: 6 two-endpoint rounds + the final center node) is a
+    valid fixpoint the loop just never re-observed — the post-loop
+    certification must return it, not raise."""
     import pytest
 
     from panditya_spark.operators.graph import kcore
@@ -629,6 +633,12 @@ def test_kcore_raises_on_exhausted_nonfixpoint(spark):
     df = spark.createDataFrame(path, ["src", "dst"])
     with pytest.raises(RuntimeError, match="no fixpoint"):
         kcore(df, k=2, max_iter=2)
+    # Exact peel depth: every round peeled, convergence observable
+    # only one round later — certified post-loop instead of raising.
+    assert kcore(df, k=2, max_iter=7).count() == 0
+    # One short of the peel depth still leaves a sub-k node -> raise.
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore(df, k=2, max_iter=6)
     # With enough rounds the same input converges (to the empty core).
     assert kcore(df, k=2, max_iter=16).count() == 0
 
@@ -662,9 +672,12 @@ def test_ktruss_raises_on_exhausted_nonfixpoint(spark):
             (f"v{(i+2) % n}", f"h{i}"),
         ]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    for bad_iter in (1, 2):
-        with pytest.raises(RuntimeError, match="no fixpoint"):
-            ktruss(df, k=4, max_iter=bad_iter)
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        ktruss(df, k=4, max_iter=1)
+    # max_iter == exact peel depth (2 victim rounds): the loop never
+    # re-observes the fixpoint, but the post-loop certification does —
+    # return the valid (here: empty) truss instead of raising.
+    assert ktruss(df, k=4, max_iter=2).count() == 0
     got = ktruss(df, k=4, max_iter=32)
     assert got.count() == 0  # the reinforced cycle has no 4-truss
     assert {r["support"] >= 1 for r in ktruss(df, k=3, max_iter=32).collect()} <= {True}

@@ -498,3 +498,47 @@ def test_state_store_partitions_sizing(tmp_path):
     # Huge -> capped.
     (d / "big.parquet").write_bytes(b"x" * (64 << 20))
     assert state_store_partitions(str(tmp_path)) == 32
+
+
+def test_append_mode_streams_handle_directory_table_layout(spark, tmp_path):
+    """The two append-mode read_events_stream consumers whose
+    watermarks DROP late rows — dropDuplicatesWithinWatermark
+    (stream_dedup_microbatch) and the stream-stream attribution join —
+    must survive a directory-layout events table whose part files
+    interleave event time. Without the shared event-time re-split
+    staging, batch 1 carries a near-max timestamp and most later-batch
+    rows are silently discarded as late: rows go MISSING, which the
+    complete-mode tumbling test cannot catch."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.plans import QUERIES
+    from panditya_spark.sources.loaders import normalize_event_ts
+
+    sf_dir = str(tmp_path)
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .repartition(3)
+        .write.parquet(f"{sf_dir}/events.parquet")
+    )
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+    got_dedup = QUERIES["stream_dedup_microbatch"](spark, sf_dir)
+    expected_dedup = ev.select("user_id", "event_type").distinct()
+    assert rows(got_dedup) == rows(expected_dedup)
+
+    got_attr = QUERIES["stream_attribution_join"](spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    expected_attr = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
+    assert rows(got_attr) == rows(expected_attr)
