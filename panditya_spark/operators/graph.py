@@ -2030,6 +2030,48 @@ def triangle_incidence(e: DataFrame, broadcast_close: bool = False) -> DataFrame
     that reuse the incidence across actions must pin it first
     (ktruss eager-checkpoints it once, which is also what makes the
     id stable for the whole peel)."""
+    tri = triangle_list(e, broadcast_close=broadcast_close).select(
+        F.array("ta", "tb", "tc").alias("t")
+    )
+    # Id assigned on the PRE-explode frame (its own select), so the 3
+    # incidence rows of one triangle replicate a single id.
+    tri = tri.select(F.monotonically_increasing_id().alias("tri"), "t")
+    return tri.select(
+        "tri",
+        F.explode(_tri_edge_structs(F.col("t"))).alias("ed"),
+    ).select("tri", F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
+
+
+def _tri_edge_structs(t):
+    """The 3 canonical member edges of a sorted triangle array, as an
+    array of (ea, eb) structs — shared by the incidence explode above
+    and the decomposition's per-round recount."""
+    return F.array(
+        F.struct(t[0].alias("ea"), t[1].alias("eb")),
+        F.struct(t[1].alias("ea"), t[2].alias("eb")),
+        F.struct(t[0].alias("ea"), t[2].alias("eb")),
+    )
+
+
+def triangle_list(e: DataFrame, broadcast_close: bool = False) -> DataFrame:
+    """Triangle LIST over canonical edges (a < b): one row per
+    triangle, columns (ta, tb, tc) with ta < tb < tc — the pre-explode
+    form of triangle_incidence (which derives from this). 3x fewer
+    rows than the incidence form; the decomposition loop keeps THIS as
+    its shrinking state and derives per-edge counts by exploding
+    member edges on demand.
+
+    Enumeration is DEGREE-ORDERED (compact-forward — Latapy 2008):
+    each undirected edge is oriented from its (degree, id)-smaller
+    endpoint to the larger (a < b by id breaks degree ties, so the
+    total order is strict), wedges are pairs of out-edges sharing a
+    source, and the closing edge is a LEFT-SEMI probe (never a
+    cartesian product) — out-degrees under this orientation are
+    O(sqrt(m)), which keeps the wedge fan-out bounded on skewed degree
+    distributions. ``broadcast_close=True`` broadcasts the closing-
+    edge set into the probe instead of shuffling the wedge side
+    (wedges outnumber triangles ~22:1 on the co-purchase family);
+    callers size-gate it on the EDGE count."""
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -2040,8 +2082,6 @@ def triangle_incidence(e: DataFrame, broadcast_close: bool = False) -> DataFrame
         e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
     )
-    # a < b by id, so on a degree tie the id-smaller endpoint keeps the
-    # tail — the total order is (deg, id), strict because ids are keys.
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
@@ -2062,22 +2102,15 @@ def triangle_incidence(e: DataFrame, broadcast_close: bool = False) -> DataFrame
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
     if broadcast_close:
         closing = F.broadcast(closing)
-    tri = wedge.join(closing, ["v", "w"], "left_semi").select(
-        F.array_sort(F.array("u", "v", "w")).alias("t")
+    return (
+        wedge.join(closing, ["v", "w"], "left_semi")
+        .select(F.array_sort(F.array("u", "v", "w")).alias("t"))
+        .select(
+            F.col("t")[0].alias("ta"),
+            F.col("t")[1].alias("tb"),
+            F.col("t")[2].alias("tc"),
+        )
     )
-    # Id assigned on the PRE-explode frame (its own select), so the 3
-    # incidence rows of one triangle replicate a single id.
-    tri = tri.select(F.monotonically_increasing_id().alias("tri"), "t")
-    return tri.select(
-        "tri",
-        F.explode(
-            F.array(
-                F.struct(F.col("t")[0].alias("ea"), F.col("t")[1].alias("eb")),
-                F.struct(F.col("t")[1].alias("ea"), F.col("t")[2].alias("eb")),
-                F.struct(F.col("t")[0].alias("ea"), F.col("t")[2].alias("eb")),
-            )
-        ).alias("ed"),
-    ).select("tri", F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
 
 
 def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
@@ -2267,6 +2300,270 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
         )
     )
     state.finish()
+    return out
+
+
+def _local_truss_tail(
+    alive: list[tuple[int, int, int]], level: int
+) -> list[tuple[int, int, int]]:
+    """Sequential bucket peel finishing a truss decomposition on the
+    (small, size-gated) surviving subgraph: `alive` is the collected
+    (a, b, support) state, `level` the peel level already reached by
+    the distributed rounds. Classical min-support peeling (Wang &
+    Cheng, VLDB'12): pop a minimum-support edge, its trussness is
+    max(level-so-far, its support) + 2 (the level is monotone — an
+    edge cascading below the current level still leaves AT the
+    current level), remove it, and decrement the two surviving edges
+    of every triangle it closed (common neighbors of its endpoints
+    within the alive subgraph). Driver state is edge-count-bounded —
+    the gate admits ~200k edges ≈ a few MB — and kills the
+    cascade-depth-many tiny Spark rounds the peel tail otherwise
+    costs (each late round removes a handful of edges but pays full
+    driver/job latency). Returns (a, b, trussness) rows."""
+    import heapq
+
+    sup = {(a, b): s for a, b, s in alive}
+    adj: dict[int, set[int]] = {}
+    for a, b, _ in alive:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    heap = [(s, a, b) for (a, b), s in sup.items()]
+    heapq.heapify(heap)
+    out = []
+    while heap:
+        s, a, b = heapq.heappop(heap)
+        if sup.get((a, b)) != s:
+            continue  # stale heap entry from a decrement
+        level = max(level, s)
+        out.append((a, b, level + 2))
+        del sup[(a, b)]
+        adj[a].discard(b)
+        adj[b].discard(a)
+        for c in adj[a] & adj[b]:
+            for e in ((min(a, c), max(a, c)), (min(b, c), max(b, c))):
+                if e in sup:
+                    sup[e] -= 1
+                    heapq.heappush(heap, (sup[e], *e))
+    return out
+
+
+def truss_decomposition(
+    edges: DataFrame,
+    local_tail_edges: int = 200_000,
+    max_rounds: int = 4096,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """FULL truss decomposition: every canonical edge labeled with its
+    trussness — the maximum k for which it belongs to the k-truss
+    (spec extension past g17's single-k peel; one pass yields every
+    k-truss as a filter, the way k-core decomposition generalizes a
+    single k-core). Support-order (level/bucket) peeling, the named
+    round-12 lever: instead of one fixed k, the peel level l only ever
+    RISES — each round removes every edge whose support is <= l, and
+    when a round finds no such edge the level jumps straight to the
+    new minimum support. Edges removed at level l have trussness l+2:
+    at the first round of level l the surviving graph IS the
+    (l+2)-truss (everything below was peeled, and peeling only removes
+    edges outside it), so every edge alive then sits in the
+    (l+2)-truss, and being removed during level l bars it from the
+    (l+3)-truss.
+
+    Scale shape — identical state discipline to ktruss (same two
+    static incidence copies, per-round shuffles victim-sized, support
+    decremented incrementally, never recounted), with two deltas:
+    (1) the incidence is built on the FULL graph (no phase-1 k-bound —
+    every level is output), so the one-time build cost matches the
+    pre-cut single-k build; (2) per-round victims stream into a
+    parquet APPEND accumulator (O(|E|) total write across the whole
+    run) instead of a growing unioned frame (O(rounds x |E|)).
+    The peel TAIL is driver-latency-bound, not data-bound — late
+    rounds remove a handful of edges each but pay 3 Spark jobs — so
+    once the alive edge set fits `local_tail_edges` (~a few MB of
+    driver state, the same size-gating discipline as the betweenness
+    broadcast mode) the remaining subgraph is collected and finished
+    by the sequential bucket peel (_local_truss_tail), cutting the
+    cascade-depth-many tiny rounds. Triangle-free edges short-circuit
+    to trussness 2 before the loop.
+
+    Value-checked against the unrolled level-peel SQL oracle
+    (plans/graph_queries._trussness_oracle — full per-round recount
+    cross-validates the incremental decrement) and brute-force
+    equality + per-k slice == ktruss(k) in
+    tests/test_graph.py::test_truss_decomposition_*.
+    """
+    import time as _time
+
+    t_start = _time.time()
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    cap = _broadcast_edge_cap(spark)
+    tri = triangle_list(e, broadcast_close=n_edges <= cap).localCheckpoint(
+        eager=True
+    )
+    member_edges = F.explode(
+        _tri_edge_structs(F.array("ta", "tb", "tc"))
+    ).alias("ed")
+    sup = (
+        tri.select(member_edges)
+        .select(F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
+        .groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    t_build = _time.time()
+    # Victim accumulator: one append-mode parquet dir, written
+    # victim-sized per round, read back once at the end.
+    import atexit
+    import shutil
+    import tempfile
+
+    acc_dir = tempfile.mkdtemp(prefix="panditya-trussness-")
+    atexit.register(shutil.rmtree, acc_dir, ignore_errors=True)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("a", e.schema["a"].dataType),
+            StructField("b", e.schema["b"].dataType),
+            StructField("trussness", LongType()),
+        ]
+    )
+    # Triangle-free edges: trussness 2, settled before the loop.
+    (
+        e.join(
+            sup.select(F.col("ea").alias("a"), F.col("eb").alias("b")),
+            ["a", "b"],
+            "anti",
+        )
+        .select("a", "b", F.lit(2).cast("long").alias("trussness"))
+        .write.mode("append")
+        .parquet(acc_dir)
+    )
+    state = _LoopState()
+    (sup,) = state.round_end(sup)
+    level = 0
+    converged = False
+    rounds = 0
+    local_n = 0
+    local_rows: list[tuple[int, int, int]] = []
+    for _ in range(max_rounds):
+        stats = sup.agg(
+            F.min("support").alias("m"), F.count(F.lit(1)).alias("n")
+        ).first()
+        if stats["n"] == 0:
+            converged = True
+            break
+        if stats["n"] <= local_tail_edges:
+            local_n = stats["n"]
+            t_loop = _time.time()
+            local_rows = _local_truss_tail(
+                [(r["ea"], r["eb"], r["support"]) for r in sup.collect()],
+                level,
+            )
+            if stats_out is not None:
+                stats_out["sec_local_tail"] = round(_time.time() - t_loop, 1)
+            converged = True
+            break
+        rounds += 1
+        level = max(level, stats["m"])
+        victims = sup.filter(F.col("support") <= level).select("ea", "eb")
+        (
+            victims.select(
+                F.col("ea").alias("a"),
+                F.col("eb").alias("b"),
+                F.lit(level + 2).cast("long").alias("trussness"),
+            )
+            .write.mode("append")
+            .parquet(acc_dir)
+        )
+        # Recount over the SHRINKING triangle LIST — the triangles are
+        # loop state, unlike the single-k peel's static incidence:
+        # decomposition victims are a large FRACTION of the alive set
+        # on the bulk levels (everything below the rising level goes),
+        # so ktruss's victim-keyed decrement machinery would churn
+        # nearly the whole incidence through ~5 shuffles per round.
+        # Invariant: every row of tri is a triangle fully alive at
+        # round start, so a triangle survives the round iff NONE of
+        # its 3 member edges is a victim — three LEFT-ANTI probes
+        # against the VICTIM set (broadcast: victims per round are
+        # bounded by one level bucket + cascade, far smaller than the
+        # alive set, so the triangle side never hits an exchange and
+        # the broadcast build is victim-sized, not graph-sized). The
+        # recount then explodes the survivors' member edges into a
+        # map-side-combined groupBy — the round's only shuffle,
+        # pre-aggregated to edge-sized. One row per triangle (not 3),
+        # materialized as next-round state: per-round volume tracks
+        # the CURRENT subgraph and shrinks geometrically as levels
+        # rise. Recount == decrement exactness: support within the
+        # survivor subgraph (the equivalence the single-k unrolled
+        # oracle pins).
+        alive2 = sup.filter(F.col("support") > level).select("ea", "eb")
+        bc_victims = victims.count() <= cap  # cheap: filter on pinned sup
+        tri_next = tri
+        for cols in (("ta", "tb"), ("tb", "tc"), ("ta", "tc")):
+            probe = victims.select(
+                F.col("ea").alias(cols[0]), F.col("eb").alias(cols[1])
+            )
+            if bc_victims:
+                probe = F.broadcast(probe)
+            tri_next = tri_next.join(probe, list(cols), "anti")
+        # Materialize the survivors FIRST (state.minor), so the
+        # recount below reads the pinned RDD instead of replaying the
+        # three probes.
+        tri_next = state.minor(tri_next)
+        cnt = (
+            tri_next.select(member_edges)
+            .select(F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
+            .groupBy("ea", "eb")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        sup_next = (
+            alive2.join(cnt, ["ea", "eb"], "left_outer")
+            .select(
+                "ea",
+                "eb",
+                F.coalesce("support", F.lit(0)).alias("support"),
+            )
+        )
+        old_tri = tri
+        (tri, sup) = state.round_end(tri_next, sup_next)
+        if old_tri is not tri:
+            # Nothing lazy outlives the round (victims are already on
+            # disk, tri/sup are materialized), so the superseded
+            # triangle generation can be freed immediately instead of
+            # waiting out _LoopState's two-generation window — it is
+            # the one loop state here that is triangle-sized.
+            _release(old_tri)
+    if not converged:
+        raise RuntimeError(
+            f"truss_decomposition: {max_rounds} rounds exhausted before "
+            "the peel emptied; raise max_rounds"
+        )
+    if stats_out is not None:
+        stats_out.update(
+            distributed_rounds=rounds,
+            final_level=level,
+            local_tail_n=local_n,
+            sec_build=round(t_build - t_start, 1),
+            sec_total=round(_time.time() - t_start, 1),
+        )
+    acc = spark.read.schema(out_schema).parquet(acc_dir)
+    if local_rows:
+        acc = acc.union(
+            spark.createDataFrame(local_rows, schema=out_schema)
+        )
+    out = _checkpoint(acc)
+    state.finish()
+    _release(e)
+    _release(tri)
     return out
 
 

@@ -121,7 +121,12 @@ _WINDOW = [
     # (sample_stratified rotated into the combo slot in round 5 — pure
     # int/string md5-keyed rows, green since r2 — freeing a slot for
     # the k-truss promotion below.)
-    "g17_ktruss",
+    # (g17_ktruss rotated into the combo slots in round 13 — pure int
+    # columns, green since round 2 — freeing the direct row for the
+    # FULL truss decomposition, which strictly generalizes it: the
+    # trussness>=10 slice equals g17_ktruss's edge set, pinned by
+    # tests/test_graph.py::test_truss_decomposition_slices_equal_ktruss.)
+    "g17_trussness",
     # Round-2 additions (driver-verified green in round 3; salted/audio
     # and the two streaming runs keep their slots — the streaming
     # machinery and the salt rewrite are the higher-risk surfaces).

@@ -274,6 +274,11 @@ _MEMBERS: dict[str, list[tuple[str, str]]] = {
     # (pipeline_training_shards and g18_weighted_sssp promoted OUT of
     # the combo to their own window slots in round 6 — the two heaviest
     # members now carry direct driver rows, VERDICT r5 next-round #1.)
+    # Round 13: g17_ktruss rotated here from the window (green since
+    # round 2, pure int columns) — its direct row now carries the full
+    # truss decomposition g17_trussness, whose k=10 slice equals this
+    # query's edge set.
+    "g17_ktruss": [("a", "i"), ("b", "i"), ("support", "i")],
     # Round 5: null-safe join — the NULL key row exercises the ∅
     # sentinel; balances are scale-2 lossless sums.
     "j_null_safe_join": [
@@ -478,6 +483,9 @@ _WEIGHTS: dict[str, float] = {
     "fingerprint_winnowing_portable": 2.13,
     "g13_triangle_counts": 3.06,
     "g15_kcore": 5.38,
+    # g17_ktruss: sf0.01 solo from the round-13 rotation (judge parity
+    # run 24.2s; estimate pending the next measure_combo_weights deal).
+    "g17_ktruss": 20.0,
     "g19_clustering_coeff": 2.95,
     "g2_g11_full_undirected": 0.82,
     "g9_lpa_planted": 5.16,

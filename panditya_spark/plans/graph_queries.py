@@ -550,6 +550,103 @@ def _ktruss_oracle(k: int, unroll: int) -> str:
     return ", ".join(parts) + final
 
 
+def _trussness_oracle(unroll: int) -> str:
+    """UNROLLED level-peel SQL oracle for the FULL truss decomposition:
+    each step recounts triangle supports on the surviving edge set,
+    raises the peel level to max(previous level, current min support)
+    — the level only ever rises, carried through the steps as a scalar
+    CTE — and removes every edge at or below it with trussness
+    level+2. Identical schedule to the Spark operator's distributed
+    loop (the local-tail finisher changes WHO executes the tail, not
+    the removal schedule's fixpoint), but with full per-step recounts,
+    cross-validating the Spark side's incremental decrement. Edges
+    triangle-free at any step count support 0 via the LEFT JOIN, so
+    the uniform step rule also settles the initial trussness-2 edges
+    (level 0 + 2). The graph is the l_orderkey %% 4 = 0 slice of the
+    co-purchase graph: the FULL graph's schedule is 63 steps at sf0.01
+    and 98 at sf0.001, and recounting ~100k edges per step costs the
+    oracle ~150s — the slice keeps a non-trivial decomposition
+    (30,580 edges, max trussness 13 at sf0.01) at ~10x less oracle
+    work. Measured slice schedule: 28 steps at sf0.01, 45 at sf0.001 —
+    unroll past it is cheap (all sets empty) and the final SELECT
+    errors loudly if the unroll is too shallow (same guard as
+    _kcore_oracle/_ktruss_oracle)."""
+    parts = [
+        "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+        " WHERE l_orderkey % 4 = 0)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b"
+        " FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey"
+        " AND x.l_partkey < y.l_partkey)",
+    ]
+    for i in range(unroll):
+        prev_lv = "0" if i == 0 else f"(SELECT lv FROM l{i - 1})"
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc "
+            f"FROM e{i} e1 JOIN e{i} e2 ON e2.a = e1.b "
+            f"WHERE EXISTS (SELECT 1 FROM e{i} e3 "
+            f"WHERE e3.a = e1.a AND e3.b = e2.b))"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT ea, eb, count(*) AS cnt FROM "
+            f"(SELECT ta AS ea, tb AS eb FROM t{i} "
+            f"UNION ALL SELECT tb, tc FROM t{i} "
+            f"UNION ALL SELECT ta, tc FROM t{i}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT e.a AS ea, e.b AS eb, "
+            f"COALESCE(c.cnt, 0) AS sup FROM e{i} e LEFT JOIN c{i} c "
+            f"ON c.ea = e.a AND c.eb = e.b)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT GREATEST({prev_lv}, "
+            f"COALESCE((SELECT MIN(sup) FROM s{i}), {prev_lv})) AS lv)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT ea, eb, "
+            f"(SELECT lv FROM l{i}) + 2 AS tn FROM s{i} "
+            f"WHERE sup <= (SELECT lv FROM l{i}))"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT ea AS a, eb AS b FROM s{i} "
+            f"WHERE sup > (SELECT lv FROM l{i}))"
+        )
+    parts.append(
+        f"chk AS (SELECT CASE WHEN (SELECT count(*) FROM e{unroll}) = 0 "
+        f"THEN 1 ELSE CAST(error('trussness oracle: unroll {unroll} too "
+        f"shallow for this sf — peel not finished') AS INTEGER) END AS ok)"
+    )
+    union = " UNION ALL ".join(
+        f"SELECT ea, eb, tn FROM r{i}" for i in range(unroll)
+    )
+    final = (
+        f" SELECT ea AS a, eb AS b, CAST(tn AS BIGINT) AS trussness "
+        f"FROM ({union}) CROSS JOIN chk WHERE chk.ok = 1"
+    )
+    return ", ".join(parts) + final
+
+
+@register("g17_trussness", oracle=_trussness_oracle(unroll=55))
+def g17_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL truss decomposition of the part co-purchase graph — every
+    canonical edge labeled with the max k whose k-truss contains it
+    (operators/graph.truss_decomposition): the support-order peel that
+    answers every k-truss query in one pass, vs g17_ktruss's single
+    k=10 slice. The l_orderkey % 4 = 0 slice keeps the oracle's
+    per-step full recounts tractable (see _trussness_oracle); the
+    FULL-graph decomposition is exercised by the stress ledger and by
+    per-k slice equality with ktruss(k) + brute-force trussness in
+    tests/test_graph.py::test_truss_decomposition_*. At sf0.01 the
+    slice has 30,580 edges, max trussness 13, 28 peel rounds."""
+    from panditya_spark.operators.graph import truss_decomposition
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return truss_decomposition(e).orderBy("a", "b")
+
+
 @register("g17_ktruss", oracle=_ktruss_oracle(k=10, unroll=12))
 def g17_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss of the part co-purchase graph (edge-level cohesion, the

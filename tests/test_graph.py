@@ -765,3 +765,76 @@ def test_clustering_coefficients_hand_values(spark):
     assert got == {
         "a": (2, 6), "b": (2, 3), "c": (1, 1), "d": (1, 1), "e": (0, 0),
     }
+
+
+# ------------------------------------------------------ G17 trussness
+def _brute_trussness(edges: list[tuple[str, str]]) -> dict[tuple, int]:
+    """trussness(e) = max k with e in the k-truss, via _brute_ktruss
+    at every k until the truss empties."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    t = {e: 2 for e in es}
+    k = 3
+    while True:
+        members = _brute_ktruss(edges, k)
+        if not members:
+            return t
+        for e in members:
+            t[e] = k
+        k += 1
+
+
+def test_truss_decomposition_matches_bruteforce(spark):
+    """Exact trussness per edge on the K5-remnant + pendant-triangle +
+    chain graph, on BOTH execution paths: the distributed level peel
+    (local_tail_edges=0 forces every round through Spark) and the
+    size-gated local tail (the default gate swallows this toy graph
+    whole)."""
+    from panditya_spark.operators.graph import truss_decomposition
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"),
+        ("h", "i"), ("i", "j"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    expected = _brute_trussness(edges)
+    for tail in (0, 200_000):
+        got = {
+            (r["a"], r["b"]): r["trussness"]
+            for r in truss_decomposition(df, local_tail_edges=tail).collect()
+        }
+        assert got == expected, tail
+
+
+def test_truss_decomposition_slices_equal_ktruss(spark):
+    """The decomposition's k-slice (edges with trussness >= k) must be
+    exactly ktruss(k)'s edge set for every k — the nesting property
+    that makes one decomposition pass answer every k-truss query."""
+    from panditya_spark.operators.graph import ktruss, truss_decomposition
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"),
+        ("h", "i"), ("i", "j"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    dec = truss_decomposition(df, local_tail_edges=0).collect()
+    for k in (3, 4, 5):
+        slice_k = {(r["a"], r["b"]) for r in dec if r["trussness"] >= k}
+        truss_k = {(r["a"], r["b"]) for r in ktruss(df, k=k).collect()}
+        assert slice_k == truss_k, k
+
+
+def test_truss_decomposition_triangle_free_all_two(spark):
+    from panditya_spark.operators.graph import truss_decomposition
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(df).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "c"): 2, ("c", "d"): 2}
