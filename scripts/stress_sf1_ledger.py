@@ -228,7 +228,14 @@ def main() -> int:
         # run hit (cached sf1 shingle tables GC-pressuring later rows).
         spark.catalog.clearCache()
         ledger[name] = row
-        json.dump(ledger, open(OUT, "w"), indent=1)
+        # Serialize-then-rename (ADVICE r12 on ab_ktruss.py, applied
+        # here too): a dump failure must not truncate the history this
+        # script exists to accumulate.
+        payload = json.dumps(ledger, indent=1)
+        tmp = OUT + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, OUT)
         print(name, row, flush=True)
     return 0
 
