@@ -60,7 +60,30 @@ def _g7_distributed(spark, sf_dir):
     )
 
 
-EXTRA = {"g7_betweenness_distributed": _g7_distributed}
+def _trussness_full(spark, sf_dir):
+    """FULL-graph truss decomposition (the registry's g17_trussness
+    runs the l_orderkey %% 4 slice to keep its unrolled SQL oracle
+    tractable; the full co-purchase graph — the same edges g17_ktruss
+    peels its one k=10 slice from — is the scale row the operator
+    docstring points here for)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from panditya_spark.operators.graph import truss_decomposition
+
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = x.join(y, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return truss_decomposition(e)
+
+
+EXTRA = {
+    "g7_betweenness_distributed": _g7_distributed,
+    "g17_trussness_full": _trussness_full,
+}
 
 
 def _rest(path: str):
