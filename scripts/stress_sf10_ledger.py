@@ -135,8 +135,11 @@ def main() -> int:
             capture_output=True, text=True, check=True,
         ).stdout.strip()
         dirty = bool(subprocess.run(
+            # Dirty == measured CODE differs from the named commit;
+            # the tracked .stress/ ledger artifacts a prior session
+            # rewrote don't count (see stress_sf1_ledger.py).
             ["git", "-C", ROOT, "status", "--porcelain",
-             "--untracked-files=no"],
+             "--untracked-files=no", "--", ".", ":(exclude).stress"],
             capture_output=True, text=True, check=True,
         ).stdout.strip())
         if dirty:

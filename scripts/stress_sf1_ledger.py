@@ -191,7 +191,13 @@ def main() -> int:
             capture_output=True, text=True, check=True,
         ).stdout.strip()
         dirty = bool(subprocess.run(
-            ["git", "-C", ROOT, "status", "--porcelain", "--untracked-files=no"],
+            # The dirty marker means "the measured CODE is not the
+            # named commit" — the ledger JSONs this script family
+            # appends to are tracked artifacts that a prior session in
+            # the same round legitimately rewrites, so .stress/ is
+            # excluded from the check.
+            ["git", "-C", ROOT, "status", "--porcelain",
+             "--untracked-files=no", "--", ".", ":(exclude).stress"],
             capture_output=True, text=True, check=True,
         ).stdout.strip())
         if dirty:
