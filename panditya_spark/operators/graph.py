@@ -1991,7 +1991,9 @@ def _broadcast_edge_cap(spark: SparkSession) -> int:
     return max(1_000_000, int(heap * 0.10) // 48)
 
 
-def triangle_incidence(e: DataFrame, broadcast_close: bool = False) -> DataFrame:
+def triangle_incidence(
+    e: DataFrame, broadcast_close: bool = False, close_buckets: int = 1
+) -> DataFrame:
     """Triangle→edge incidence table over canonical edges (a < b):
     enumerate each triangle once, explode it into 3 rows, one per
     member edge. Columns: ``tri`` (a compact per-run triangle id —
@@ -2030,9 +2032,9 @@ def triangle_incidence(e: DataFrame, broadcast_close: bool = False) -> DataFrame
     that reuse the incidence across actions must pin it first
     (ktruss eager-checkpoints it once, which is also what makes the
     id stable for the whole peel)."""
-    tri = triangle_list(e, broadcast_close=broadcast_close).select(
-        F.array("ta", "tb", "tc").alias("t")
-    )
+    tri = triangle_list(
+        e, broadcast_close=broadcast_close, close_buckets=close_buckets
+    ).select(F.array("ta", "tb", "tc").alias("t"))
     # Id assigned on the PRE-explode frame (its own select), so the 3
     # incidence rows of one triangle replicate a single id.
     tri = tri.select(F.monotonically_increasing_id().alias("tri"), "t")
@@ -2053,7 +2055,9 @@ def _tri_edge_structs(t):
     )
 
 
-def triangle_list(e: DataFrame, broadcast_close: bool = False) -> DataFrame:
+def triangle_list(
+    e: DataFrame, broadcast_close: bool = False, close_buckets: int = 1
+) -> DataFrame:
     """Triangle LIST over canonical edges (a < b): one row per
     triangle, columns (ta, tb, tc) with ta < tb < tc — the pre-explode
     form of triangle_incidence (which derives from this). 3x fewer
@@ -2071,7 +2075,22 @@ def triangle_list(e: DataFrame, broadcast_close: bool = False) -> DataFrame:
     distributions. ``broadcast_close=True`` broadcasts the closing-
     edge set into the probe instead of shuffling the wedge side
     (wedges outnumber triangles ~22:1 on the co-purchase family);
-    callers size-gate it on the EDGE count."""
+    callers size-gate it on the EDGE count.
+
+    ``close_buckets=B`` (B > 1) is the path ABOVE the broadcast gate:
+    the closing-edge set is hash-split on (v, w) into B chunks that
+    each fit the broadcast budget, and the wedge side is probed once
+    per chunk — every triangle's closing edge lands in exactly one
+    chunk, so the union over chunks is the exact triangle set with no
+    dedup. This replaces the old shuffle-semi-join fallback, whose
+    wedge-side exchange is the scale killer the sf10 probe measured:
+    ~22 wedges per triangle × 24 B at 120M edges extrapolates to a
+    ~144 GB exchange, which filled the sandbox disk and died
+    ([SPILL_OUT_OF_MEMORY] No space left on device). Bucketing trades
+    that exchange for B map-side re-enumerations of the wedge join
+    from the pinned oriented table (CPU, no shuffle) — the right
+    trade at any scale where the closing set outgrows one broadcast.
+    """
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -2099,18 +2118,49 @@ def triangle_list(e: DataFrame, broadcast_close: bool = False) -> DataFrame:
     )
     # v precedes w in (deg, id) order, so the closing edge {v, w} — if
     # present — is oriented v→w: one equi-key LEFT-SEMI probe.
-    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    if broadcast_close:
-        closing = F.broadcast(closing)
-    return (
-        wedge.join(closing, ["v", "w"], "left_semi")
-        .select(F.array_sort(F.array("u", "v", "w")).alias("t"))
-        .select(
+    def _to_triangles(probed: DataFrame) -> DataFrame:
+        return probed.select(
+            F.array_sort(F.array("u", "v", "w")).alias("t")
+        ).select(
             F.col("t")[0].alias("ta"),
             F.col("t")[1].alias("tb"),
             F.col("t")[2].alias("tc"),
         )
-    )
+
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    if close_buckets > 1:
+        # Pin the oriented table so the B wedge re-enumerations replay
+        # from storage instead of re-running the degree joins; the
+        # repartition lets the self-join reuse one u-partitioning.
+        oriented = oriented.repartition("u").localCheckpoint(eager=True)
+        o2b = oriented.select(
+            F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw")
+        )
+        wedge_b = oriented.join(o2b, "u").filter(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
+        closing_b = oriented.select(
+            F.col("u").alias("v"), F.col("v").alias("w")
+        )
+        bucket = F.pmod(F.xxhash64("v", "w"), F.lit(close_buckets))
+        parts = [
+            _to_triangles(
+                wedge_b.join(
+                    F.broadcast(closing_b.filter(bucket == b)),
+                    ["v", "w"],
+                    "left_semi",
+                )
+            )
+            for b in range(close_buckets)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+    if broadcast_close:
+        closing = F.broadcast(closing)
+    return _to_triangles(wedge.join(closing, ["v", "w"], "left_semi"))
 
 
 def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
@@ -2185,7 +2235,13 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # action, against a peel loop that runs one count per round
     # anyway.
     n_edges = e.count()
-    bc = n_edges <= _broadcast_edge_cap(edges.sparkSession)
+    cap = _broadcast_edge_cap(edges.sparkSession)
+    bc = n_edges <= cap
+    # Above the cap, hash-split the closing set into cap-sized chunks
+    # and probe per chunk (triangle_list's bucketed close) — the old
+    # shuffle-semi fallback exchanged the WEDGE side, which the sf10
+    # probe measured as a disk-filling ~144 GB at 120M edges.
+    buckets = 1 if bc else -(-n_edges // cap)
     # PHASE 1 — full-graph support WITHOUT materializing incidence:
     # the exploded triangle rows stream straight into a map-side-
     # combinable groupBy (shuffle is edge-keyed partial aggregates,
@@ -2202,7 +2258,7 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # original round-2 state (recount == incremental decrement, the
     # equivalence the unrolled oracle pins).
     sup_full = (
-        triangle_incidence(e, broadcast_close=bc)
+        triangle_incidence(e, broadcast_close=bc, close_buckets=buckets)
         .groupBy("ea", "eb")
         .agg(F.count(F.lit(1)).alias("support"))
         .localCheckpoint(eager=True)
@@ -2231,7 +2287,13 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # the triangle-keyed copy the expansion — each round shuffles only
     # victim-sized / hit-sized frames against them, never the
     # incidence table itself.
-    te = triangle_incidence(e2, broadcast_close=bc)
+    # Survivors are ~10x fewer than e on this family, so re-derive the
+    # gate from THEIR count (cheap: e2 filters the pinned sup_full) —
+    # a graph too big to broadcast whole often fits after phase 1.
+    n_surv = e2.count()
+    bc2 = n_surv <= cap
+    buckets2 = 1 if bc2 else -(-n_surv // cap)
+    te = triangle_incidence(e2, broadcast_close=bc2, close_buckets=buckets2)
     te_by_edge = te.repartition("ea", "eb").localCheckpoint(eager=True)
     te_by_tri = te_by_edge.repartition("tri").localCheckpoint(eager=True)
     # Initial support from the already-materialized copy — the
@@ -2406,9 +2468,13 @@ def truss_decomposition(
     )
     n_edges = e.count()
     cap = _broadcast_edge_cap(spark)
-    tri = triangle_list(e, broadcast_close=n_edges <= cap).localCheckpoint(
-        eager=True
-    )
+    tri = triangle_list(
+        e,
+        broadcast_close=n_edges <= cap,
+        # Above the cap: bucketed close (see triangle_list) — the
+        # shuffle fallback's wedge exchange is the scale killer.
+        close_buckets=1 if n_edges <= cap else -(-n_edges // cap),
+    ).localCheckpoint(eager=True)
     member_edges = F.explode(
         _tri_edge_structs(F.array("ta", "tb", "tc"))
     ).alias("ed")

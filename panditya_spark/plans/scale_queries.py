@@ -679,26 +679,46 @@ def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customer): the IN-over-HAVING subquery.
-    The qualifying-order set is computed ONCE as an aggregate and
-    semi-joined back into the spine — the aggregate output (one row
-    per qualifying order, two columns) is what shuffles, never a
-    second copy of lineitem. Top-100 plans as TakeOrderedAndProject."""
+
+    The HAVING aggregate IS the answer: the outer query groups by
+    (c_custkey, o_orderkey), and since each order joins exactly one
+    customer row, those groups are the qualifying ORDERS and each
+    group's SUM equals the per-order sum the subquery already
+    computed. So lineitem — the 100 TB table — is aggregated exactly
+    ONCE (the plan's only wide shuffle); the spine is never semi-
+    joined back into lineitem and never re-aggregated (the r13 sf10
+    probe caught the old double-pass shape super-linear at 13.9x on
+    10x data: three 60M-row exchanges). Orders joins the qualifying
+    aggregate (order-sized, two columns); the customer INNER join
+    contributes nothing but existence + the c_custkey value, which
+    equals o_custkey under the join, so it compiles to a LEFT SEMI
+    probe whose build side is one pruned bigint column — broadcast-
+    sized at any sf. Top-100 plans as TakeOrderedAndProject."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     qualifying = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("total_qty"))
-        .filter(F.col("total_qty") > 200)
-        .select(F.col("l_orderkey").alias("q_orderkey"))
+        .agg(F.sum(qty).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 200)
+        .select(
+            F.col("l_orderkey").alias("q_orderkey"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
     )
     return (
-        li.join(qualifying, li.l_orderkey == qualifying.q_orderkey, "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "o_orderkey")
-        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        o.join(qualifying, o.o_orderkey == qualifying.q_orderkey)
+        .join(
+            c.select("c_custkey"),
+            o.o_custkey == c.c_custkey,
+            "left_semi",
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "total_qty",
+        )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(100)
     )

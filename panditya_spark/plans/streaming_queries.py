@@ -69,6 +69,15 @@ def _state_parts(sf_dir: str) -> int:
     return state_store_partitions(sf_dir)
 
 
+def _timeout(sf_dir: str) -> int:
+    """Volume-scaled awaitTermination budget (see
+    streaming/windows.stream_timeout_sec): the fixed 180s default
+    timed out a LEGITIMATE sf10 sessionizer run at ~100x keys."""
+    from panditya_spark.streaming.windows import stream_timeout_sec
+
+    return stream_timeout_sec(sf_dir)
+
+
 @register(
     "stream_tumbling_microbatch",
     oracle="""
@@ -100,6 +109,7 @@ def stream_tumbling_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_tumbling_microbatch_{_MICROBATCH_SEQ[0]}",
         mode="complete",
         shuffle_partitions=_state_parts(sf_dir),
+        timeout_sec=_timeout(sf_dir),
     )
 
 
@@ -147,6 +157,7 @@ def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_static_dim_join_{_MICROBATCH_SEQ[0]}",
         mode="complete",
         shuffle_partitions=_state_parts(sf_dir),
+        timeout_sec=_timeout(sf_dir),
     )
 
 
@@ -175,6 +186,7 @@ def stream_dedup_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_dedup_microbatch_{_MICROBATCH_SEQ[0]}",
         mode="append",
         shuffle_partitions=_state_parts(sf_dir),
+        timeout_sec=_timeout(sf_dir),
     )
     return survivors.dropDuplicates(["user_id", "event_type"])
 
@@ -242,6 +254,7 @@ def stream_sliding_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_sliding_microbatch_{_MICROBATCH_SEQ[0]}",
         mode="complete",
         shuffle_partitions=_state_parts(sf_dir),
+        timeout_sec=_timeout(sf_dir),
     )
 
 
@@ -334,6 +347,7 @@ def stream_sessionize_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_sessionize_microbatch_{_MICROBATCH_SEQ[0]}",
         mode="append",
         shuffle_partitions=_state_parts(sf_dir),
+        timeout_sec=_timeout(sf_dir),
     )
     return out.filter(~F.col("user_id").isin([str(u) for u in SENTINEL_USERS]))
 
@@ -410,6 +424,7 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_session_window_native_{_MICROBATCH_SEQ[0]}",
         mode="append",
         shuffle_partitions=_state_parts(sf_dir),
+        timeout_sec=_timeout(sf_dir),
     )
     return out.filter(
         ~F.col("user_id").isin([str(u) for u in SENTINEL_USERS])
@@ -451,6 +466,7 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_attribution_join_{_MICROBATCH_SEQ[0]}",
         mode="append",
         shuffle_partitions=_state_parts(sf_dir),
+        timeout_sec=_timeout(sf_dir),
     )
 
 
@@ -701,6 +717,7 @@ def stream_record_high(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_record_high_{_MICROBATCH_SEQ[0]}",
         mode="append",
         shuffle_partitions=_state_parts(sf_dir),
+        timeout_sec=_timeout(sf_dir),
     )
 
 

@@ -78,6 +78,33 @@ def state_store_partitions(
     return max(default, min(cap, size // (1 << 20)))
 
 
+def stream_timeout_sec(sf_dir: str, floor: int = 180) -> int:
+    """Volume-scaled awaitTermination budget for the finite
+    availableNow harness runs: the fixed 180s default is a LIVENESS
+    bound, not a latency target, and the sf10 stress tier proved it
+    under-sized — the applyInPandasWithState sessionizer legitimately
+    needs >180s to chew 10M events in 7 micro-batches, and a timeout
+    there doesn't fail fast, it throws away a near-complete run.
+    ~3s per MB of source parquet on top of the floor tracks the
+    measured per-volume cost of the heaviest stateful query (the
+    Arrow-round-trip sessionizer: ~45s at 20MB/sf1, ~500s budget at
+    200MB/sf10) with generous slack for host weather; the floor keeps
+    every test-tier run on the old behavior. A genuinely hung stream
+    still dies — later, but loudly."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    size = 0
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            if os.path.isfile(fp):
+                size += os.path.getsize(fp)
+    elif os.path.exists(path):
+        size = os.path.getsize(path)
+    return floor + 3 * (size // (1 << 20))
+
+
 def _await_or_raise(q, timeout_sec: int) -> None:
     """awaitTermination returns False on timeout with the query still
     running; every caller here treats the result as a COMPLETE

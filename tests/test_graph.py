@@ -838,3 +838,66 @@ def test_truss_decomposition_triangle_free_all_two(spark):
         for r in truss_decomposition(df).collect()
     }
     assert got == {("a", "b"): 2, ("b", "c"): 2, ("c", "d"): 2}
+
+
+def test_triangle_list_bucketed_close_matches_broadcast(spark):
+    """The bucketed close (the above-broadcast-cap path: hash-split
+    closing set, one broadcast probe per chunk) must enumerate exactly
+    the broadcast path's triangle set — each triangle's closing edge
+    lands in exactly one bucket, so the union needs no dedup."""
+    from panditya_spark.operators.graph import triangle_list
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"),
+        ("h", "i"), ("i", "j"),
+    ]
+    e = spark.createDataFrame(edges, ["a", "b"])
+    want = sorted(map(tuple, triangle_list(e, broadcast_close=True).collect()))
+    for buckets in (2, 5):
+        got = sorted(
+            map(tuple, triangle_list(e, close_buckets=buckets).collect())
+        )
+        assert got == want, buckets
+
+
+def test_ktruss_bucketed_close_matches_bruteforce(spark, monkeypatch):
+    """Force the edge count over the broadcast cap so ktruss takes the
+    bucketed-close path end-to-end (phase-1 support + phase-2 survivor
+    incidence), and pin it to brute force."""
+    from panditya_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_broadcast_edge_cap", lambda spark: 4)
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"),
+        ("h", "i"), ("i", "j"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (3, 4):
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in G.ktruss(df, k=k).collect()
+        }
+        assert got == _brute_ktruss(edges, k), k
+
+
+def test_truss_decomposition_bucketed_close_matches(spark, monkeypatch):
+    from panditya_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_broadcast_edge_cap", lambda spark: 4)
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"),
+        ("h", "i"), ("i", "j"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in G.truss_decomposition(df).collect()
+    }
+    want = _brute_trussness(edges)
+    assert got == want
