@@ -440,128 +440,127 @@ _NULL = "∅"
 # 45-member cap with new oracle-bearing members still arriving.)
 
 # Measured solo (Spark collect + DuckDB oracle) seconds at sf0.01,
-# round-12 host, one warm session (scripts/measure_combo_weights.py —
-# re-run it whenever members change; VERDICT r7 #7, refreshed for the
-# 4-slot deal per VERDICT r11 #8: all 108 members measured, including
-# g2_g11_full_undirected whose prior 2.4 entry was an estimate —
-# actual 0.82). Only the ORDERING matters — a 2x drift leaves the
-# split near-balanced (post-refresh slot loads: 37.3/37.3/37.4/37.4).
-# Members over 5s solo: stream_ingest_neardedup 16.5 (three real
-# micro-batch replays — batch-count-bound), ann_ivf_full_probe 7.5,
-# g15_kcore 5.4, ml_quality_separates 5.3 (one-time pyspark.ml init),
-# g9_lpa_planted 5.2 (four fixed LPA rounds — round-count-bound).
+# round-13 host, one warm session (scripts/measure_combo_weights.py —
+# re-run it whenever members change; VERDICT r7 #7; this refresh
+# covers all 109 members including the round-13 rotation's g17_ktruss
+# at its measured 19.7 — was a 20.0 estimate — and retires the stale
+# post-rewrite g15_kcore 5.38 → 5.09, VERDICT r12 missing-#3). Only
+# the ORDERING matters — a 2x drift leaves the split near-balanced.
+# Members over 5s solo: g17_ktruss 19.7 (the combo's heaviest member
+# by far — the k=10 peel at sf0.01), stream_ingest_neardedup 16.3
+# (three real micro-batch replays — batch-count-bound),
+# ann_ivf_full_probe 6.9, ml_quality_separates 5.3 (one-time
+# pyspark.ml init), g15_kcore 5.1.
 _WEIGHTS: dict[str, float] = {
-    "a11_edge_pattern_count": 2.11,
-    "a12_bucket_histogram": 1.56,
-    "a14_branching_factor": 0.81,
-    "a1_conditional_count": 1.17,
-    "a2_conditional_count2": 0.66,
-    "a3_set_collect_sorted": 1.21,
-    "a4_count_distinct": 1.05,
-    "a5_formatted_freq_agg": 1.09,
-    "a6_truncated_ratio": 0.6,
-    "a7_having_filter": 0.4,
-    "a9_group_count": 0.33,
-    "a_cube_day_type": 0.83,
-    "a_pivot_daily": 0.88,
-    "a_rollup_day_type": 0.48,
-    "a_unpivot_metrics": 0.47,
-    "ann_ivf_full_probe": 7.46,
-    "ann_lsh_exact_recall": 1.83,
-    "dedup_chunk_level": 0.99,
-    "dedup_cluster_canonical": 4.78,
+    "a11_edge_pattern_count": 1.62,
+    "a12_bucket_histogram": 1.11,
+    "a14_branching_factor": 0.62,
+    "a1_conditional_count": 0.93,
+    "a2_conditional_count2": 0.58,
+    "a3_set_collect_sorted": 1.19,
+    "a4_count_distinct": 1.03,
+    "a5_formatted_freq_agg": 0.91,
+    "a6_truncated_ratio": 0.59,
+    "a7_having_filter": 0.39,
+    "a9_group_count": 0.31,
+    "a_cube_day_type": 0.91,
+    "a_pivot_daily": 0.86,
+    "a_rollup_day_type": 0.55,
+    "a_unpivot_metrics": 0.49,
+    "ann_ivf_full_probe": 6.94,
+    "ann_lsh_exact_recall": 1.8,
+    "dedup_chunk_level": 0.88,
+    "dedup_cluster_canonical": 4.44,
     "dedup_exact": 0.36,
-    "dedup_fingerprint": 1.59,
-    "dedup_incremental": 3.2,
-    "dedup_minhash_clones": 3.94,
-    "dedup_simhash_clones": 4.03,
-    "dq_constraint_report": 1.85,
-    "er_fuzzy_match": 1.6,
-    "f1_f2_entity_labels": 0.45,
-    "f2_entity_labels": 0.22,
-    "f7_link_labels": 0.58,
-    "fingerprint_winnowing_portable": 2.13,
-    "g13_triangle_counts": 3.06,
-    "g15_kcore": 5.38,
-    # g17_ktruss: sf0.01 solo from the round-13 rotation (judge parity
-    # run 24.2s; estimate pending the next measure_combo_weights deal).
-    "g17_ktruss": 20.0,
-    "g19_clustering_coeff": 2.95,
-    "g2_g11_full_undirected": 0.82,
-    "g9_lpa_planted": 5.16,
-    "j1_adjacency_list": 0.37,
-    "j2_inverse_adjacency": 0.78,
-    "j5_broadcast_join_agg": 0.75,
-    "j8_expand_to_authors": 0.5,
-    "j9_summary_counts": 0.68,
-    "j_bucketed_join": 1.66,
-    "j_null_safe_join": 0.45,
+    "dedup_fingerprint": 1.41,
+    "dedup_incremental": 3.54,
+    "dedup_minhash_clones": 4.04,
+    "dedup_simhash_clones": 3.59,
+    "dq_constraint_report": 1.66,
+    "er_fuzzy_match": 1.63,
+    "f1_f2_entity_labels": 0.54,
+    "f2_entity_labels": 0.25,
+    "f7_link_labels": 0.8,
+    "fingerprint_winnowing_portable": 2.41,
+    "g13_triangle_counts": 2.83,
+    "g15_kcore": 5.09,
+    "g17_ktruss": 19.71,
+    "g19_clustering_coeff": 2.48,
+    "g2_g11_full_undirected": 0.8,
+    "g9_lpa_planted": 4.61,
+    "j1_adjacency_list": 0.28,
+    "j2_inverse_adjacency": 0.72,
+    "j5_broadcast_join_agg": 0.53,
+    "j8_expand_to_authors": 0.45,
+    "j9_summary_counts": 0.6,
+    "j_bucketed_join": 1.61,
+    "j_null_safe_join": 0.4,
     "j_range_join": 0.81,
-    "kmeans_two_level_identity": 4.16,
+    "kmeans_two_level_identity": 3.73,
     "ml_quality_separates": 5.3,
-    "ml_trend_check": 1.08,
-    "mm_frame_sample": 0.36,
-    "mm_image_embedding_counts": 0.84,
-    "o1_collation_sort": 0.73,
-    "p10_13_rowskip_type_filter": 0.17,
-    "p14_16_map_ops": 0.56,
+    "ml_trend_check": 1.18,
+    "mm_frame_sample": 0.26,
+    "mm_image_embedding_counts": 1.47,
+    "o1_collation_sort": 0.65,
+    "p10_13_rowskip_type_filter": 0.18,
+    "p14_16_map_ops": 0.54,
     "p1_scan_project_filter": 0.24,
     "p3_coalesce_fill": 0.17,
-    "p4_regex_clean": 0.17,
+    "p4_regex_clean": 0.19,
     "p5_7_drop_rename_fill": 0.19,
-    "p8_split_explode": 0.31,
-    "p9_11_12_guard_validate_lookup": 0.31,
-    "pipeline_end_to_end": 2.13,
-    "pipeline_quality_gate": 1.67,
-    "s6_csv_roundtrip": 0.7,
-    "s7_entity_map_roundtrip": 0.64,
-    "s9_gexf_roundtrip": 0.73,
-    "s_dpp_join": 2.14,
-    "s_orc_roundtrip": 1.02,
-    "s_partitioned_layout": 1.35,
+    "p8_split_explode": 0.32,
+    "p9_11_12_guard_validate_lookup": 0.29,
+    "pipeline_end_to_end": 1.77,
+    "pipeline_quality_gate": 1.32,
+    "s6_csv_roundtrip": 0.57,
+    "s7_entity_map_roundtrip": 0.65,
+    "s9_gexf_roundtrip": 0.63,
+    "s_dpp_join": 1.89,
+    "s_orc_roundtrip": 1.06,
+    "s_partitioned_layout": 1.24,
     "s_quarantine_read": 0.92,
-    "s_schema_evolution": 0.61,
-    "s_targeted_delete": 1.72,
-    "s_variant_json": 0.82,
-    "s_zorder_layout": 1.13,
-    "sample_importance": 0.92,
-    "sample_mixture": 0.89,
-    "sample_stratified": 0.33,
-    "sample_token_budget": 1.31,
-    "seq_packing": 0.33,
-    "sketch_bounds": 1.07,
-    "skew_key_profile": 0.27,
-    "sql_top_customer_per_nation": 1.3,
-    "stream_ingest_neardedup": 16.49,
-    "stream_record_high": 4.12,
-    "stream_sliding_daily": 0.77,
-    "stream_static_dim_join": 1.35,
-    "stream_tumbling_hourly": 0.38,
-    "stream_upsert_sink": 1.74,
-    "t1_t2_union_dedupe": 0.55,
-    "t3_overlap_partition": 0.75,
-    "t4_unique_to_group": 1.03,
-    "text_chunking": 0.39,
-    "text_contamination": 0.9,
-    "text_heavy_hitters": 0.48,
-    "text_html_strip": 0.29,
-    "text_langid": 0.54,
-    "text_lm_bounds": 2.03,
-    "text_normalize": 0.51,
-    "text_pii_redact": 0.41,
-    "text_token_stats": 0.3,
-    "tpch_q16_supplier_counts": 0.8,
-    "tpch_q18_large_orders": 0.89,
-    "tpch_q22_dormant_balance": 0.73,
-    "tpch_q2_cheapest_supplier": 0.82,
-    "tpch_q4_order_priority": 0.53,
-    "tpch_q5_local_supplier": 1.13,
-    "tpch_q6_forecast": 0.32,
-    "ts_decay_range": 0.65,
-    "ts_rolling_zscore": 0.72,
-    "w1_top_n": 0.34,
-    "w2_first_match_backfill": 0.44,
-    "w_ntile_cume_dist": 0.41,
+    "s_schema_evolution": 0.6,
+    "s_targeted_delete": 1.62,
+    "s_variant_json": 0.9,
+    "s_zorder_layout": 1.26,
+    "sample_importance": 1.09,
+    "sample_mixture": 1.01,
+    "sample_stratified": 0.41,
+    "sample_token_budget": 2.22,
+    "seq_packing": 0.34,
+    "sketch_bounds": 1.09,
+    "skew_key_profile": 0.31,
+    "sql_top_customer_per_nation": 1.23,
+    "stream_ingest_neardedup": 16.29,
+    "stream_record_high": 3.34,
+    "stream_sliding_daily": 0.63,
+    "stream_static_dim_join": 1.08,
+    "stream_tumbling_hourly": 0.32,
+    "stream_upsert_sink": 1.57,
+    "t1_t2_union_dedupe": 0.38,
+    "t3_overlap_partition": 0.62,
+    "t4_unique_to_group": 0.65,
+    "text_chunking": 0.27,
+    "text_contamination": 0.68,
+    "text_heavy_hitters": 0.4,
+    "text_html_strip": 0.24,
+    "text_langid": 0.48,
+    "text_lm_bounds": 1.8,
+    "text_normalize": 0.41,
+    "text_pii_redact": 0.31,
+    "text_token_stats": 0.28,
+    "tpch_q16_supplier_counts": 0.75,
+    "tpch_q18_large_orders": 0.62,
+    "tpch_q22_dormant_balance": 0.87,
+    "tpch_q2_cheapest_supplier": 0.7,
+    "tpch_q4_order_priority": 0.44,
+    "tpch_q5_local_supplier": 0.98,
+    "tpch_q6_forecast": 0.29,
+    "ts_decay_range": 0.54,
+    "ts_rolling_zscore": 0.52,
+    "w1_top_n": 0.31,
+    "w2_first_match_backfill": 0.42,
+    "w_ntile_cume_dist": 0.37,
 }
 
 
