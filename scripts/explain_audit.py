@@ -295,6 +295,29 @@ def _build_ktruss_round(spark, sf_dir):
     return triangle_incidence(e)
 
 
+def _build_bloom_close(spark, sf_dir):
+    """The above-cap bloom close, forced regardless of edge count:
+    the relational-bitmap probe chain + one exact shuffle semi that
+    replaces the bucket ladder (operators/graph.py:triangle_list,
+    round 14)."""
+    from pyspark.sql import functions as F
+
+    from panditya_spark.operators.graph import triangle_list
+    from panditya_spark.plans.graph_queries import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = (
+        x.join(y, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    return triangle_list(e, bloom_close=True, bloom_bits=16, n_edges=e.count())
+
+
 CHECKS = [
     # (query, [(description, regex)])
     (
@@ -652,6 +675,27 @@ CHECKS = [
         ],
     ),
     (
+        ("g17_ktruss/bloom_close", _build_bloom_close),
+        [
+            # The above-cap close: every wedge probes the broadcast
+            # bitmap-words table (bitwise test fused into the join
+            # condition), never an exchange of the raw wedge set; the
+            # pruned survivors settle exactness through one shuffled
+            # LEFT-SEMI against the closing edges.
+            ("k=3 broadcast word probes (bitwise test in join cond)",
+             ("count>=", "BroadcastHashJoin", 3)),
+            ("bit test fused JVM-side", r"shiftleft\(1, cast"),
+            ("exact semi join settles false positives", r"LeftSemi"),
+            # Only the pruned survivors + the closing set may shuffle
+            # (the wedge self-join rides the pinned u-partitioning or
+            # broadcasts at small sf).
+            ("at most 3 hash exchanges (pruned survivors + closing)",
+             ("count<=", "Exchange hashpartitioning", 3)),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct"])),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
         "mm_image_resize",
         [
             # decode → numpy resample → re-encode → re-parse: all
@@ -952,6 +996,8 @@ def main() -> int:
                     ok = not any(t in plan for t in tokens)
                 elif kind == "count<=":
                     ok = plan.count(tokens) <= rest[0]
+                elif kind == "count>=":
+                    ok = plan.count(tokens) >= rest[0]
                 else:
                     raise ValueError(kind)
             else:

@@ -862,12 +862,101 @@ def test_triangle_list_bucketed_close_matches_broadcast(spark):
         assert got == want, buckets
 
 
-def test_ktruss_bucketed_close_matches_bruteforce(spark, monkeypatch):
-    """Force the edge count over the broadcast cap so ktruss takes the
-    bucketed-close path end-to-end (phase-1 support + phase-2 survivor
-    incidence), and pin it to brute force."""
+def test_triangle_list_bloom_close_matches_broadcast(spark):
+    """The bloom close (the first above-cap path: relational bitmap
+    over xxhash64(v, w), broadcast word probes, one exact shuffle
+    semi) must enumerate exactly the broadcast path's triangle set —
+    no false negatives from the bloom, false positives removed by the
+    final semi join. bloom_bits=4 runs the floor configuration (worst
+    fpr, most false positives for the semi join to kill)."""
+    from panditya_spark.operators.graph import triangle_list
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"),
+        ("h", "i"), ("i", "j"),
+    ]
+    e = spark.createDataFrame(edges, ["a", "b"])
+    want = sorted(map(tuple, triangle_list(e, broadcast_close=True).collect()))
+    for bits in (4, 16):
+        got = sorted(
+            map(
+                tuple,
+                triangle_list(e, bloom_close=True, bloom_bits=bits).collect(),
+            )
+        )
+        assert got == want, bits
+
+
+def test_close_strategy_tiers():
+    """broadcast under the cap, bloom to 16x the cap (bits clamped to
+    [4, 16]), bucketed chunks past that."""
+    from panditya_spark.operators.graph import _close_strategy
+
+    assert _close_strategy(10, 10) == ("broadcast", 1, 0)
+    strat, buckets, bits = _close_strategy(11, 10)
+    assert (strat, buckets) == ("bloom", 1) and bits == 16
+    strat, _, bits = _close_strategy(160, 10)
+    assert strat == "bloom" and bits == 4
+    strat, buckets, _ = _close_strategy(161, 10)
+    assert strat == "bucketed" and buckets == 17
+
+
+def test_ktruss_bloom_close_matches_bruteforce(spark, monkeypatch):
+    """Force the edge count over the broadcast cap so ktruss's
+    _close_strategy naturally selects the bloom close for both phases,
+    and pin the end-to-end result to brute force."""
     from panditya_spark.operators import graph as G
 
+    monkeypatch.setattr(G, "_broadcast_edge_cap", lambda spark: 4)
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"),
+        ("h", "i"), ("i", "j"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (3, 4):
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in G.ktruss(df, k=k).collect()
+        }
+        assert got == _brute_ktruss(edges, k), k
+
+
+def test_truss_decomposition_bloom_close_matches(spark, monkeypatch):
+    """Same forcing for the full decomposition: above-cap edge count
+    routes the one-time triangle build through the bloom close."""
+    from panditya_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_broadcast_edge_cap", lambda spark: 4)
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"),
+        ("h", "i"), ("i", "j"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in G.truss_decomposition(df).collect()
+    }
+    assert got == _brute_trussness(edges)
+
+
+def test_ktruss_bucketed_close_matches_bruteforce(spark, monkeypatch):
+    """Force the bucketed-close LAST-RESORT path end-to-end (phase-1
+    support + phase-2 survivor incidence) — _close_strategy now
+    prefers the bloom close above the cap, so the ladder is pinned
+    explicitly — and check against brute force."""
+    from panditya_spark.operators import graph as G
+
+    monkeypatch.setattr(
+        G,
+        "_close_strategy",
+        lambda n, cap: ("bucketed", max(2, -(-n // max(cap, 1))), 0),
+    )
     monkeypatch.setattr(G, "_broadcast_edge_cap", lambda spark: 4)
     edges = [
         ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
@@ -887,6 +976,11 @@ def test_ktruss_bucketed_close_matches_bruteforce(spark, monkeypatch):
 def test_truss_decomposition_bucketed_close_matches(spark, monkeypatch):
     from panditya_spark.operators import graph as G
 
+    monkeypatch.setattr(
+        G,
+        "_close_strategy",
+        lambda n, cap: ("bucketed", max(2, -(-n // max(cap, 1))), 0),
+    )
     monkeypatch.setattr(G, "_broadcast_edge_cap", lambda spark: 4)
     edges = [
         ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),

@@ -500,6 +500,104 @@ def test_state_store_partitions_sizing(tmp_path):
     assert state_store_partitions(str(tmp_path)) == 32
 
 
+def test_session_window_state_vs_watermark(spark, tmp_path):
+    """The parameterized native session window's sizing contract:
+    tightening watermark_delay shrinks peak state (open sessions are
+    evicted sooner) while the closed-session OUTPUT is unchanged.
+
+    The sf0.001 events table is a single parquet file — one data
+    micro-batch, so no watermark advances between real events and
+    both delays would peak identically. Instead, stage a controlled
+    6-batch event-time-ordered input (100 users x 1 event per hourly
+    file = 600 singleton sessions, one file per micro-batch, plus a
+    far-future closer): with a 2-minute delay each batch's watermark
+    evicts the previous hour's closed sessions; with a 4-hour delay
+    nothing evicts until the closer, so peak state = every session."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from panditya_spark.streaming import windows as W
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    now = _time.time()
+    n_files, n_users = 6, 100
+    for h in range(n_files):
+        pd.DataFrame(
+            {
+                "user_id": [str(u) for u in range(n_users)],
+                "ts": [base + pd.Timedelta(hours=h)] * n_users,
+            }
+        ).astype({"ts": "datetime64[us]"}).to_parquet(
+            d / f"{h:02d}_events.parquet"
+        )
+        os.utime(d / f"{h:02d}_events.parquet", (now + h, now + h))
+    pd.DataFrame(
+        {"user_id": ["closer"], "ts": [base + pd.Timedelta(days=10)]}
+    ).astype({"ts": "datetime64[us]"}).to_parquet(d / "99_closer.parquet")
+    os.utime(d / "99_closer.parquet", (now + 99, now + 99))
+
+    schema = spark.read.parquet(str(d / "00_events.parquet")).schema
+
+    def run(delay, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        out = W.run_stream_to_memory(
+            W.session_window_agg_stream(
+                stream, gap_minutes=30, watermark_delay=delay
+            ),
+            name,
+            mode="append",
+        )
+        peak = max(
+            (
+                op.get("numRowsTotal") or 0
+                for p in W.LAST_PROGRESS.get(name, [])
+                for op in (p.get("stateOperators") or [])
+            ),
+            default=0,
+        )
+        rows = sorted(
+            map(tuple, out.filter(F.col("user_id") != "closer").collect())
+        )
+        return peak, rows
+
+    peak_loose, rows_loose = run("4 hours", "swin_state_loose")
+    peak_tight, rows_tight = run("2 minutes", "swin_state_tight")
+    assert rows_tight == rows_loose
+    assert len(rows_tight) == n_files * n_users
+    # Loose: every session is still open when the closer arrives.
+    assert peak_loose >= n_files * n_users
+    # Tight: the store only ever holds the sessions the watermark has
+    # not yet reached — a strict fraction of the total.
+    assert peak_tight < peak_loose, (peak_tight, peak_loose)
+    assert peak_tight <= 3 * n_users, peak_tight
+
+
+def test_events_size_scan_recursive_and_shared(tmp_path):
+    """The shared volume scan behind partition sizing AND the timeout
+    budget walks nested layouts (date-partitioned parquet dirs) — a
+    top-level listdir would count zero bytes here and re-create the
+    sf10 timeout under-budgeting."""
+    from panditya_spark.streaming.windows import (
+        _events_size_bytes,
+        stream_timeout_sec,
+    )
+
+    d = tmp_path / "events.parquet" / "dt=2024-01-01"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"x" * (5 << 20))
+    assert _events_size_bytes(str(tmp_path)) == 5 << 20
+    assert stream_timeout_sec(str(tmp_path), floor=180) == 180 + 15
+
+
 def test_append_mode_streams_handle_directory_table_layout(spark, tmp_path):
     """The two append-mode read_events_stream consumers whose
     watermarks DROP late rows — dropDuplicatesWithinWatermark
