@@ -2283,9 +2283,13 @@ def triangle_list(
             )
         # Exactness: one ordinary shuffle semi join on the ~10-20x
         # smaller surviving wedge set (shuffle_hash — no sort needed,
-        # the closing side builds the per-partition hash table).
+        # the closing side builds the per-partition hash table). The
+        # degree columns served their wedge-orientation purpose —
+        # project them away so the survivor exchange ships 3 longs,
+        # not 5 (measured sf10: the unpruned exchange was the bulk of
+        # the bloom path's shuffle delta over the bucketed close).
         return _to_triangles(
-            probed.join(
+            probed.select("u", "v", "w").join(
                 closing_b.hint("shuffle_hash"), ["v", "w"], "left_semi"
             )
         )

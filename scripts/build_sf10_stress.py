@@ -40,6 +40,7 @@ STRIDE = {
     "eventkey": 10**10,
     "userkey": 10**6,
     "dockey": 10**8,
+    "veckey": 10**8,
 }
 KEYS = {
     # customer: tpch_q18 and the key-chain graph (g8 pagerank) join it;
@@ -59,6 +60,13 @@ KEYS = {
     # suffix; the second decade appends a distinct ' deckC' token so
     # sf10 copies of sf1 copies stay pairwise near- (not exact-) dups.
     "documents": {"doc_id": "dockey"},
+    # embeddings (round 14, VERDICT r13 #4): vec ids shift per copy
+    # with the VECTORS verbatim, continuing the sf1 discipline —
+    # identical vectors at shifted ids are exactly the always-pair /
+    # always-co-cluster contract SemDeDup and cosine near-dup must
+    # honor at volume, so the sf10 outputs stay output-bound by
+    # construction (10 clone decks) like the documents near-dups.
+    "embeddings": {"vec_id": "veckey"},
 }
 
 
