@@ -550,7 +550,7 @@ def _ktruss_oracle(k: int, unroll: int) -> str:
     return ", ".join(parts) + final
 
 
-def _trussness_oracle(unroll: int) -> str:
+def _trussness_oracle(unroll: int, mod: int = 2) -> str:
     """UNROLLED level-peel SQL oracle for the FULL truss decomposition:
     each step recounts triangle supports on the surviving edge set,
     raises the peel level to max(previous level, current min support)
@@ -562,18 +562,22 @@ def _trussness_oracle(unroll: int) -> str:
     cross-validating the Spark side's incremental decrement. Edges
     triangle-free at any step count support 0 via the LEFT JOIN, so
     the uniform step rule also settles the initial trussness-2 edges
-    (level 0 + 2). The graph is the l_orderkey %% 4 = 0 slice of the
-    co-purchase graph: the FULL graph's schedule is 63 steps at sf0.01
-    and 98 at sf0.001, and recounting ~100k edges per step costs the
-    oracle ~150s — the slice keeps a non-trivial decomposition
-    (30,580 edges, max trussness 13 at sf0.01) at ~10x less oracle
-    work. Measured slice schedule: 28 steps at sf0.01, 45 at sf0.001 —
+    (level 0 + 2). The graph is the l_orderkey %% `mod` = 0 slice of
+    the co-purchase graph: the FULL graph's schedule is 63 steps at
+    sf0.01 and 98 at sf0.001, and recounting ~100k edges per step
+    costs the oracle ~150s — the slice keeps a non-trivial
+    decomposition at a fraction of the oracle work. Round 14 promoted
+    the registered slice from mod=4 (30,580 edges / 3.8s oracle at
+    sf0.01) to mod=2 (59,385 edges, max trussness 13, 9.0s oracle) —
+    double the value-checked coverage, affordable once the bloom
+    close + 1M local tail made the Spark side cheap (VERDICT r13 #8).
+    Measured mod=2 schedule: 46 steps at sf0.01, 67 at sf0.001 —
     unroll past it is cheap (all sets empty) and the final SELECT
     errors loudly if the unroll is too shallow (same guard as
     _kcore_oracle/_ktruss_oracle)."""
     parts = [
         "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
-        " WHERE l_orderkey % 4 = 0)",
+        f" WHERE l_orderkey % {mod} = 0)",
         "e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b"
         " FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey"
         " AND x.l_partkey < y.l_partkey)",
@@ -625,21 +629,22 @@ def _trussness_oracle(unroll: int) -> str:
     return ", ".join(parts) + final
 
 
-@register("g17_trussness", oracle=_trussness_oracle(unroll=55))
+@register("g17_trussness", oracle=_trussness_oracle(unroll=80, mod=2))
 def g17_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL truss decomposition of the part co-purchase graph — every
     canonical edge labeled with the max k whose k-truss contains it
     (operators/graph.truss_decomposition): the support-order peel that
     answers every k-truss query in one pass, vs g17_ktruss's single
-    k=10 slice. The l_orderkey % 4 = 0 slice keeps the oracle's
+    k=10 slice. The l_orderkey % 2 = 0 HALF-graph slice (promoted
+    from % 4 in round 14 — VERDICT r13 #8) keeps the oracle's
     per-step full recounts tractable (see _trussness_oracle); the
     FULL-graph decomposition is exercised by the stress ledger and by
     per-k slice equality with ktruss(k) + brute-force trussness in
     tests/test_graph.py::test_truss_decomposition_*. At sf0.01 the
-    slice has 30,580 edges, max trussness 13, 28 peel rounds."""
+    slice has 59,385 edges, max trussness 13, 46 peel steps."""
     from panditya_spark.operators.graph import truss_decomposition
 
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 2 == 0)
     lp = li.select("l_orderkey", "l_partkey").distinct()
     x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
