@@ -596,13 +596,21 @@ def session_window_agg_stream(
     watermark span — a session's window stays in the store from its
     first event until the watermark passes last-event + gap — so:
 
-    - ``watermark_delay`` is the dominant knob: tightening it evicts
-      closed sessions sooner, and peak state scales ~linearly with
-      (delay + gap) over the event-time span covered (the sf10 stress
-      measure: 2.41M open-session rows / 2.1 GB at a 1-hour delay over
-      a fixed-range 10M-event replay — a deployment that cannot afford
-      that peak tightens the delay, at the price of dropping later
-      arrivals).
+    - ``watermark_delay`` is the eviction knob, but the EFFECTIVE
+      horizon is max(delay, micro-batch event-time span): the
+      watermark only advances between batches, so state cannot evict
+      finer than one batch's worth of event time regardless of the
+      delay. Measured both ways at the sf10 stress tier (100x keys,
+      10M events replayed in 7 time-split batches): at that batch
+      granularity the peak is batch-bound — 2,410,900 rows / 2.1 GB at
+      a 1-hour delay vs 2,396,900 / 2.09 GB at 2 minutes (and the
+      tight delay WORSENS wall 52.2 → 108.1s on extra eviction/commit
+      work per batch) — while with fine-grained batches (hourly files,
+      tests/test_streaming.py::test_session_window_state_vs_watermark)
+      the same 2-minute delay cuts peak state >2x with identical
+      output. Production rule: size state to open sessions per
+      max(delay, trigger span); tightening the delay below the
+      trigger granularity buys nothing and costs eviction churn.
     - ``gap_minutes`` both defines the session semantics and extends
       each session's state lifetime by the gap itself.
 
