@@ -1991,32 +1991,49 @@ def _broadcast_edge_cap(spark: SparkSession) -> int:
     return max(1_000_000, int(heap * 0.10) // 48)
 
 
+# Below this edge count the broadcast close beats the bloom close's
+# extra stages; above it the bloom's compact words table (cache-local
+# probes + ~95% map-side pruning) wins even where the closing set
+# STILL fits the broadcast budget. Same-session A/B (min-of-2,
+# identical triangle counts, .stress/ab_close.json): at 60k edges
+# broadcast 2.4s vs bloom 5.5s; at 1.2M edges bloom 3.5s vs broadcast
+# 5.6s; at 12M edges bloom 13.8s vs broadcast 43.8s (vs bucketed-B3
+# 167.3s). On a real cluster the same threshold is also the network
+# argument: a broadcast ships the closing set to EVERY executor
+# (n x executors), the bloom path exchanges O(n + survivors) once.
+_BLOOM_MIN_EDGES = 500_000
+
+
 def _close_strategy(n_edges: int, cap: int) -> tuple[str, int, int]:
     """Pick the closing-edge probe strategy for the triangle build,
     given the canonical edge count and the broadcast cap (both in
     edges). Returns (strategy, close_buckets, bloom_bits_per_edge).
 
-    - ``broadcast`` (n <= cap): the closing set broadcasts whole; the
-      wedge side never hits an exchange. The fast path.
-    - ``bloom`` (cap < n <= 16*cap): the round-14 replacement for the
-      bucket ladder as the FIRST above-cap path — a relational bloom
-      filter over xxhash64 of the composite (v, w) key prunes the
-      ~21/22 of wedges that close nothing map-side, then ONE ordinary
-      co-partitioned shuffle semi join settles exactness. Broadcast
-      payload is the packed bitmap-words table: n*bits/64 rows vs the
-      closing set's n, so the same heap budget reaches 16x further
-      (bits floors at 4). bits = 64*cap/n clamped to [4, 16]: just
-      above the cap the bloom gets 16 bits/edge (fpr ~0.5% at k=3
-      probes); at 16x the cap it degrades gracefully to 4 bits/edge
-      (fpr ~15% — still a ~5x wedge-exchange cut on a 22:1
-      wedge:triangle graph).
+    - ``broadcast`` (n <= min(cap, _BLOOM_MIN_EDGES)): the closing set
+      broadcasts whole; the wedge side never hits an exchange. The
+      fast path for SMALL graphs — measured above ~1M edges the bloom
+      close beats it even in-cap (see _BLOOM_MIN_EDGES).
+    - ``bloom`` (to 16*cap): introduced in round 14 as the above-cap
+      replacement for the bucket ladder, promoted to the default for
+      every non-small graph by the same round's A/B — a relational
+      bloom filter over xxhash64 of the composite (v, w) key prunes
+      the ~21/22 of wedges that close nothing map-side, then ONE
+      ordinary co-partitioned shuffle semi join settles exactness.
+      Broadcast payload is the packed bitmap-words table: n*bits/64
+      rows vs the closing set's n, so the same heap budget reaches
+      16x further (bits floors at 4). bits = 64*cap/n clamped to
+      [4, 16]: in-cap and just above it the bloom gets 16 bits/edge
+      (fpr ~0.5% at k=3 probes); at 16x the cap it degrades
+      gracefully to 4 bits/edge (fpr ~15% — still a ~5x
+      wedge-exchange cut on a 22:1 wedge:triangle graph, and still
+      8x faster than the B=3 ladder in the sf1 A/B).
     - ``bucketed`` (n > 16*cap): the retained last-resort — hash-split
       the closing set into cap-sized broadcast chunks, one probe pass
       per chunk (exact, but CPU grows with the chunk count; see
       triangle_list). Only reached when even a 4-bit/edge bitmap
       outgrows the broadcast budget.
     """
-    if n_edges <= cap:
+    if n_edges <= min(cap, _BLOOM_MIN_EDGES):
         return ("broadcast", 1, 0)
     if n_edges <= 16 * cap:
         return ("bloom", 1, min(16, max(4, (64 * cap) // max(n_edges, 1))))

@@ -897,6 +897,10 @@ def test_close_strategy_tiers():
     assert _close_strategy(10, 10) == ("broadcast", 1, 0)
     strat, buckets, bits = _close_strategy(11, 10)
     assert (strat, buckets) == ("bloom", 1) and bits == 16
+    # In-cap but past the measured bloom-vs-broadcast crossover:
+    # bloom even though the closing set would broadcast.
+    assert _close_strategy(600_000, 10_000_000) == ("bloom", 1, 16)
+    assert _close_strategy(400_000, 10_000_000) == ("broadcast", 1, 0)
     strat, _, bits = _close_strategy(160, 10)
     assert strat == "bloom" and bits == 4
     strat, buckets, _ = _close_strategy(161, 10)
