@@ -2669,8 +2669,18 @@ def truss_decomposition(
     cap = _broadcast_edge_cap(spark)
     # Above the cap: bloom close first, bucketed ladder last resort
     # (see _close_strategy / triangle_list) — the shuffle fallback's
-    # wedge exchange is the scale killer.
+    # wedge exchange is the scale killer. IN-cap, this operator keeps
+    # the broadcast close even past _BLOOM_MIN_EDGES (measured, same
+    # session, sf1: ktruss improved 80.5 -> 57.6s under the in-cap
+    # bloom build, but the full decomposition regressed 333 -> 413s —
+    # its 29-round recount loop localCheckpoints the shrinking
+    # triangle list every round, and the bloom build's pinned
+    # oriented/words blocks compete with that loop state in executor
+    # storage for the whole run; ktruss's victim-sized peel state has
+    # no such pressure).
     strat, buckets, bits = _close_strategy(n_edges, cap)
+    if strat == "bloom" and n_edges <= cap:
+        strat, buckets, bits = "broadcast", 1, 0
     tri = triangle_list(
         e,
         broadcast_close=strat == "broadcast",
