@@ -2004,7 +2004,9 @@ def _broadcast_edge_cap(spark: SparkSession) -> int:
 _BLOOM_MIN_EDGES = 500_000
 
 
-def _close_strategy(n_edges: int, cap: int) -> tuple[str, int, int]:
+def _close_strategy(
+    n_edges: int, cap: int, prefer_broadcast_in_cap: bool = False
+) -> tuple[str, int, int]:
     """Pick the closing-edge probe strategy for the triangle build,
     given the canonical edge count and the broadcast cap (both in
     edges). Returns (strategy, close_buckets, bloom_bits_per_edge).
@@ -2013,31 +2015,67 @@ def _close_strategy(n_edges: int, cap: int) -> tuple[str, int, int]:
       broadcasts whole; the wedge side never hits an exchange. The
       fast path for SMALL graphs — measured above ~1M edges the bloom
       close beats it even in-cap (see _BLOOM_MIN_EDGES).
+      ``prefer_broadcast_in_cap=True`` keeps the broadcast close for
+      the WHOLE in-cap range — the knob for loop-heavy callers whose
+      round state competes with the bloom's pinned blocks in executor
+      storage (truss_decomposition's measured regression, 333 -> 413s
+      sf1); encoding it here rather than at call sites keeps future
+      callers from silently inheriting the wrong default.
     - ``bloom`` (to 16*cap): introduced in round 14 as the above-cap
       replacement for the bucket ladder, promoted to the default for
       every non-small graph by the same round's A/B — a relational
-      bloom filter over xxhash64 of the composite (v, w) key prunes
-      the ~21/22 of wedges that close nothing map-side, then ONE
-      ordinary co-partitioned shuffle semi join settles exactness.
+      BLOCKED bloom filter over the composite (v, w) closing key
+      prunes the ~21/22 of wedges that close nothing map-side, then
+      ONE ordinary co-partitioned shuffle semi join settles exactness.
       Broadcast payload is the packed bitmap-words table: n*bits/64
       rows vs the closing set's n, so the same heap budget reaches
       16x further (bits floors at 4). bits = 64*cap/n clamped to
       [4, 16]: in-cap and just above it the bloom gets 16 bits/edge
-      (fpr ~0.5% at k=3 probes); at 16x the cap it degrades
-      gracefully to 4 bits/edge (fpr ~15% — still a ~5x
-      wedge-exchange cut on a 22:1 wedge:triangle graph, and still
-      8x faster than the B=3 ladder in the sf1 A/B).
-    - ``bucketed`` (n > 16*cap): the retained last-resort — hash-split
-      the closing set into cap-sized broadcast chunks, one probe pass
-      per chunk (exact, but CPU grows with the chunk count; see
-      triangle_list). Only reached when even a 4-bit/edge bitmap
-      outgrows the broadcast budget.
+      (fpr ~0.5%); at 16x the cap it degrades gracefully to 4
+      bits/edge (fpr ~15% — still a ~5x wedge-exchange cut on a 22:1
+      wedge:triangle graph). Since round 15 the filter is BLOCKED
+      (one word per key, all k=3 bits inside it — see triangle_list),
+      so exactly ONE hashed words relation is live during the probe:
+      the sizing needs no k-way concurrency discount.
+    - ``bloom_shuffle`` (n > 16*cap): round-15 — the same 4-bit
+      blocked bitmap, probed via a co-partitioned shuffle hash join
+      on the word index instead of a broadcast. The words table is
+      n/16 rows (16x smaller than the closing set) and the wedge side
+      exchanges ONCE on shiftright(hash, 6) — which it computes for
+      the bit test anyway — then the pruned survivors settle
+      exactness through the usual semi join. Linear in |E| at any
+      scale: this removes the O(|E|*B) bucket-ladder re-enumeration
+      from the default plan space entirely.
+    - ``bucketed``: the pre-round-15 last resort, kept ONLY behind
+      ``PANDITYA_TRIANGLE_LADDER=1`` (for A/B provenance): hash-split
+      the closing set into cap-sized broadcast chunks, one wedge
+      re-enumeration per chunk — exact, but CPU grows O(|E|*B) with
+      the chunk count, the super-linear shape the sf10 probe measured
+      as a 17.8x decade ratio before the bloom close replaced it.
     """
-    if n_edges <= min(cap, _BLOOM_MIN_EDGES):
+    import os
+
+    if n_edges <= min(cap, _BLOOM_MIN_EDGES) or (
+        prefer_broadcast_in_cap and n_edges <= cap
+    ):
         return ("broadcast", 1, 0)
     if n_edges <= 16 * cap:
         return ("bloom", 1, min(16, max(4, (64 * cap) // max(n_edges, 1))))
-    return ("bucketed", -(-n_edges // cap), 0)
+    if os.environ.get("PANDITYA_TRIANGLE_LADDER") == "1":
+        return ("bucketed", -(-n_edges // cap), 0)
+    return ("bloom_shuffle", 1, 4)
+
+
+def _close_kwargs(strat: str, buckets: int, bits: int) -> dict:
+    """Map a _close_strategy tuple onto triangle_list/_incidence
+    keyword arguments — one place instead of four call sites."""
+    return dict(
+        broadcast_close=strat == "broadcast",
+        close_buckets=buckets,
+        bloom_close=strat in ("bloom", "bloom_shuffle"),
+        bloom_probe="shuffle" if strat == "bloom_shuffle" else "broadcast",
+        bloom_bits=bits,
+    )
 
 
 def triangle_incidence(
@@ -2046,6 +2084,7 @@ def triangle_incidence(
     close_buckets: int = 1,
     bloom_close: bool = False,
     bloom_bits: int = 16,
+    bloom_probe: str = "broadcast",
     n_edges: int | None = None,
 ) -> DataFrame:
     """Triangle→edge incidence table over canonical edges (a < b):
@@ -2092,6 +2131,7 @@ def triangle_incidence(
         close_buckets=close_buckets,
         bloom_close=bloom_close,
         bloom_bits=bloom_bits,
+        bloom_probe=bloom_probe,
         n_edges=n_edges,
     ).select(F.array("ta", "tb", "tc").alias("t"))
     # Id assigned on the PRE-explode frame (its own select), so the 3
@@ -2120,6 +2160,7 @@ def triangle_list(
     close_buckets: int = 1,
     bloom_close: bool = False,
     bloom_bits: int = 16,
+    bloom_probe: str = "broadcast",
     n_edges: int | None = None,
 ) -> DataFrame:
     """Triangle LIST over canonical edges (a < b): one row per
@@ -2151,29 +2192,57 @@ def triangle_list(
     xxhash64(v, w) mixes columns from both legs of the wedge
     self-join, so it has no lineage to a single scan attribute and
     the rule degrades to near-useless per-column blooms — so the
-    bloom is expressed RELATIONALLY with public DataFrame ops:
+    bloom is expressed RELATIONALLY with public DataFrame ops.
 
-    1. The bitmap is a (word, mask) table — one ``bit_or`` aggregation
-       over k=3 independent hash positions per closing edge
-       (xxhash64 of (v,w), (w,v), (v,w,v) — three independent draws
-       without Kirsch-Mitzenmacher arithmetic, which would overflow
-       under ANSI mode), pmod into an m-bit space sized at
-       ``bloom_bits`` bits/edge. n*bits/64 rows — 8-16x smaller than
-       the closing set at the default 16 bits — so it broadcasts long
-       after the closing set itself cannot.
-    2. Each probe is a broadcast hash join on the word index plus a
-       bitwise-AND filter — map-side, whole-stage-codegen, zero
-       wedge exchange. A wedge survives only if all k probed bits
-       are set (missing word == no bits == dropped by the inner
-       join). fpr at 16 bits/k=3 is ~0.5%; at the 4-bit floor ~15%.
+    Since round 15 the filter is BLOCKED (Putze/Sanders/Singler 2007
+    cache-efficient blocked bloom, block = one 64-bit word — the same
+    layout Impala and Kudu use for their runtime filters):
+
+    1. The bitmap is a (word, mask) table: ONE salted hash
+       xxhash64(1, v, w) picks the edge's word among m = n*bits/64,
+       and k=3 further salted hashes xxhash64({2,3,4}, v, w) pick
+       bit positions INSIDE that word, OR-ed into a single 64-bit
+       mask; one ``bit_or`` aggregation per word builds the table
+       (salted draws are mutually independent — unlike the r14
+       column-permutation variant, where the third draw was a
+       deterministic function of the first and (v), costing pruning
+       efficiency). n*bits/64 rows — 8-16x smaller than the closing
+       set — so it broadcasts long after the closing set cannot.
+    2. The probe is a SINGLE join on the word index plus one fused
+       ``(bv & mask) = mask`` filter testing all k bits at once —
+       whole-stage-codegen, and exactly ONE hashed relation live
+       (the r14 shape ran k=3 separate broadcast joins whose hashed
+       relations were concurrently resident at ~3x the budget).
+       Expected word load at 16 bits/edge is 4 edges * 3 bits = 12
+       of 64 bits -> fpr ~0.5%; at the 4-bit floor, 48 draws ->
+       ~53% density -> fpr ~15% — the same operating points as the
+       classic filter at equal m, with one probe instead of three.
+       ``bloom_probe`` picks the join strategy:
+       - ``"broadcast"`` (default, n <= 16*cap): the words table
+         broadcasts; zero wedge exchange before the survivor join.
+       - ``"shuffle"`` (n > 16*cap — round 15, replacing the bucket
+         ladder as the default there): a co-partitioned shuffle hash
+         join on the word index. The wedge side exchanges ONCE on a
+         key it must compute for the bit test anyway; the words side
+         is n/16 rows at the 4-bit floor. Total exchange is
+         O(|wedges| + survivors + n) — linear at any scale, versus
+         the ladder's O(|E|*B) re-enumeration CPU. (A plain shuffle
+         semi join on (v, w) is also linear, but its exchanged rows
+         carry no pruning: the bloom variant's survivor leg is
+         ~5-20x thinner, and the word-probe leg exchanges the same
+         wedge count at similar width, so the bloom dominates
+         whenever the semi join would shuffle-sort both sides.)
     3. Survivors (true closers ~1/22 of wedges, plus fpr) make ONE
        shuffle semi join against the closing set — exact by
        construction (a bloom has no false negatives; the semi join
        removes false positives), with the wedge-side exchange cut
        ~10-20x versus the naive shuffle close.
 
-    ``close_buckets=B`` (B > 1) is the retained LAST-RESORT above the
-    gate (n > 16*cap — even the 4-bit bitmap outgrows one broadcast):
+    ``close_buckets=B`` (B > 1) is the pre-round-15 last resort above
+    16*cap, now reachable ONLY via ``PANDITYA_TRIANGLE_LADDER=1``
+    (the shuffle-probed bloom replaced it as the default there — it
+    is linear in |E| where the ladder is O(|E|*B); kept for A/B
+    provenance and as an escape hatch on exchange-starved hosts):
     the closing-edge set is hash-split on (v, w) into B chunks that
     each fit the broadcast budget, and the wedge side is probed once
     per chunk — every triangle's closing edge lands in exactly one
@@ -2248,56 +2317,52 @@ def triangle_list(
         )
     if bloom_close:
         n = n_edges if n_edges is not None else closing_b.count()
-        m_bits = max(64, ((max(n, 1) * bloom_bits + 63) // 64) * 64)
-        # k=3 independent hash draws per edge: xxhash64 over three
-        # distinct column arrangements (no h1 + i*h2 mixing — long
-        # addition overflows under ANSI mode).
-        hash_exprs = [
-            F.xxhash64("v", "w"),
-            F.xxhash64("w", "v"),
-            F.xxhash64("v", "w", "v"),
-        ]
-        # The bitmap as a relation: pmod each hash into the m-bit
-        # space, split into (word index, set-bit mask), bit_or the
-        # masks per word. Map-side partial aggregation keeps the one
-        # exchange word-count-sized; the pinned result feeds every
-        # probe below from a single small table.
-        word_parts = [
-            closing_b.select(F.pmod(h, F.lit(m_bits)).alias("p")).select(
-                F.shiftright(F.col("p"), 6).alias("bw"),
-                F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bb"),
-            )
-            for h in hash_exprs
-        ]
-        words = word_parts[0]
-        for wp in word_parts[1:]:
-            words = words.unionAll(wp)
+        m_words = max(1, (max(n, 1) * bloom_bits + 63) // 64)
+        # Blocked bloom: xxhash64(1, v, w) picks the word, the three
+        # further salted draws pick independent bits INSIDE it (no
+        # h1 + i*h2 Kirsch-Mitzenmacher mixing — long addition
+        # overflows under ANSI mode; distinct literal salts give
+        # genuinely decorrelated draws). The SAME two SQL expressions
+        # are used on the build and probe sides, which is the whole
+        # no-false-negative argument.
+        word_sql = f"pmod(xxhash64(1, v, w), {m_words}L)"
+        mask_sql = " | ".join(
+            f"shiftleft(1L, CAST(pmod(xxhash64({salt}, v, w), 64) AS INT))"
+            for salt in (2, 3, 4)
+        )
+        # The bitmap as a relation: bit_or the per-edge masks per
+        # word. Map-side partial aggregation keeps the one exchange
+        # word-count-sized; the pinned result feeds the probe from a
+        # single small table.
         words = (
-            words.groupBy("bw")
-            .agg(F.expr("bit_or(bb)").alias("bv"))
+            closing_b.select(
+                F.expr(word_sql).alias("bw"),
+                F.expr(mask_sql).alias("bm"),
+            )
+            .groupBy("bw")
+            .agg(F.expr("bit_or(bm)").alias("bv"))
             .localCheckpoint(eager=True)
         )
-        probed = wedge_b
-        for i, h in enumerate(hash_exprs):
-            probed = (
-                probed.withColumn(f"_p{i}", F.pmod(h, F.lit(m_bits)))
-                .join(
-                    F.broadcast(
-                        words.select(
-                            F.col("bw").alias(f"_w{i}"),
-                            F.col("bv").alias(f"_v{i}"),
-                        )
-                    ),
-                    F.shiftright(F.col(f"_p{i}"), 6) == F.col(f"_w{i}"),
-                )
-                .filter(
-                    F.expr(
-                        f"(_v{i} & shiftleft(1L, CAST(_p{i} % 64 AS INT)))"
-                        " != 0"
-                    )
-                )
-                .drop(f"_p{i}", f"_w{i}", f"_v{i}")
+        probed = wedge_b.withColumn(
+            "_bw", F.expr(word_sql)
+        ).withColumn("_bm", F.expr(mask_sql))
+        if bloom_probe == "shuffle":
+            # Past 16*cap the words table outgrows one broadcast:
+            # co-partitioned shuffle hash join on the word index
+            # (words side builds the per-partition hash table — it is
+            # the ~16x smaller relation), bit test fused after it.
+            wjoin = probed.join(
+                words.hint("shuffle_hash"), F.col("_bw") == F.col("bw")
             )
+        else:
+            wjoin = probed.join(
+                F.broadcast(words), F.col("_bw") == F.col("bw")
+            )
+        # One fused test of all k bits; a wedge whose word is absent
+        # carries no bits and was already dropped by the inner join.
+        survivors = wjoin.filter(F.expr("(bv & _bm) = _bm")).select(
+            "u", "v", "w"
+        )
         # Exactness: one ordinary shuffle semi join on the ~10-20x
         # smaller surviving wedge set (shuffle_hash — no sort needed,
         # the closing side builds the per-partition hash table). The
@@ -2306,7 +2371,7 @@ def triangle_list(
         # degree columns either way (verified: byte-identical sf10
         # shuffle with and without it).
         return _to_triangles(
-            probed.select("u", "v", "w").join(
+            survivors.join(
                 closing_b.hint("shuffle_hash"), ["v", "w"], "left_semi"
             )
         )
@@ -2413,13 +2478,14 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # anyway.
     n_edges = e.count()
     cap = _broadcast_edge_cap(edges.sparkSession)
-    # Above the cap: composite-key bloom close first (one wedge pass,
-    # one pruned exchange), bucketed chunk ladder only past 16x the
-    # cap — see _close_strategy. The old shuffle-semi fallback
-    # exchanged the WEDGE side, which the sf10 probe measured as a
-    # disk-filling ~144 GB at 120M edges.
+    # Above the cap: composite-key blocked-bloom close (one wedge
+    # pass, one pruned exchange), its words table broadcast to 16x
+    # the cap and shuffle-probed past that — see _close_strategy.
+    # The old shuffle-semi fallback exchanged the UNPRUNED wedge
+    # side, which the sf10 probe measured as a disk-filling ~144 GB
+    # at 120M edges.
     strat, buckets, bits = _close_strategy(n_edges, cap)
-    bc = strat == "broadcast"
+    close_kw = _close_kwargs(strat, buckets, bits)
     # PHASE 1 — full-graph support WITHOUT materializing incidence:
     # the exploded triangle rows stream straight into a map-side-
     # combinable groupBy (shuffle is edge-keyed partial aggregates,
@@ -2436,14 +2502,7 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # original round-2 state (recount == incremental decrement, the
     # equivalence the unrolled oracle pins).
     sup_full = (
-        triangle_incidence(
-            e,
-            broadcast_close=bc,
-            close_buckets=buckets,
-            bloom_close=strat == "bloom",
-            bloom_bits=bits,
-            n_edges=n_edges,
-        )
+        triangle_incidence(e, n_edges=n_edges, **close_kw)
         .groupBy("ea", "eb")
         .agg(F.count(F.lit(1)).alias("support"))
         .localCheckpoint(eager=True)
@@ -2478,12 +2537,7 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     n_surv = e2.count()
     strat2, buckets2, bits2 = _close_strategy(n_surv, cap)
     te = triangle_incidence(
-        e2,
-        broadcast_close=strat2 == "broadcast",
-        close_buckets=buckets2,
-        bloom_close=strat2 == "bloom",
-        bloom_bits=bits2,
-        n_edges=n_surv,
+        e2, n_edges=n_surv, **_close_kwargs(strat2, buckets2, bits2)
     )
     te_by_edge = te.repartition("ea", "eb").localCheckpoint(eager=True)
     te_by_tri = te_by_edge.repartition("tri").localCheckpoint(eager=True)
@@ -2600,9 +2654,33 @@ def _local_truss_tail(
     return out
 
 
+def _local_tail_cap(spark: SparkSession) -> int:
+    """Default alive-edge gate for truss_decomposition's sequential
+    tail peel, derived from driver heap the way _broadcast_edge_cap
+    is: the local peel's Python dict/heap state costs ~300 B/edge
+    (measured ~0.3 GB at 1M edges), the gate budgets 3% of heap, and
+    the result is clamped to [100k, 1M] — the 1M ceiling is the
+    MEASURED wall-clock crossover on this host (VERDICT r13 #6:
+    ~10-17 us/edge single-threaded vs 3 distributed jobs per tail
+    round), past which collecting more stops paying even with the
+    memory to spare. A 1g driver lands at ~107k instead of inheriting
+    a constant sized for the 48g stress harness."""
+    import re
+
+    mem = spark.conf.get("spark.driver.memory", "1g") or "1g"
+    m = re.fullmatch(r"(\d+)([kmgt]?)b?", mem.strip().lower())
+    if not m:
+        heap = 1 << 30
+    else:
+        heap = int(m.group(1)) * (
+            1 << {"": 0, "k": 10, "m": 20, "g": 30, "t": 40}[m.group(2)]
+        )
+    return min(1_000_000, max(100_000, int(heap * 0.03) // 300))
+
+
 def truss_decomposition(
     edges: DataFrame,
-    local_tail_edges: int = 1_000_000,
+    local_tail_edges: int | None = None,
     max_rounds: int = 4096,
     stats_out: dict | None = None,
 ) -> DataFrame:
@@ -2642,8 +2720,11 @@ def truss_decomposition(
     3-jobs-per-round distributed latency of a mere handful of tail
     rounds, and every round skipped in the 1M→200k window was pure
     overhead under the old 200k gate. Memory stays modest (~0.3 GB of
-    dict/heap state at 1M edges); the knob exists for drivers where
-    either bound differs. Triangle-free edges short-circuit to
+    dict/heap state at 1M edges), and since round 15 the DEFAULT gate
+    is derived from the configured driver heap (_local_tail_cap —
+    clamped to the measured 1M crossover ceiling) instead of assuming
+    the stress harness's heap; the knob still overrides, and 0 forces
+    every round distributed. Triangle-free edges short-circuit to
     trussness 2 before the loop.
 
     Value-checked against the unrolled level-peel SQL oracle
@@ -2656,6 +2737,11 @@ def truss_decomposition(
 
     t_start = _time.time()
     spark = edges.sparkSession
+    if local_tail_edges is None:
+        # Heap-derived default (see _local_tail_cap): constrained
+        # drivers get a proportionally smaller collect gate without
+        # touching the knob; 0 still forces every round distributed.
+        local_tail_edges = _local_tail_cap(spark)
     e = (
         edges.select(
             F.least(F.col("src"), F.col("dst")).alias("a"),
@@ -2678,16 +2764,11 @@ def truss_decomposition(
     # oriented/words blocks compete with that loop state in executor
     # storage for the whole run; ktruss's victim-sized peel state has
     # no such pressure).
-    strat, buckets, bits = _close_strategy(n_edges, cap)
-    if strat == "bloom" and n_edges <= cap:
-        strat, buckets, bits = "broadcast", 1, 0
+    strat, buckets, bits = _close_strategy(
+        n_edges, cap, prefer_broadcast_in_cap=True
+    )
     tri = triangle_list(
-        e,
-        broadcast_close=strat == "broadcast",
-        close_buckets=buckets,
-        bloom_close=strat == "bloom",
-        bloom_bits=bits,
-        n_edges=n_edges,
+        e, n_edges=n_edges, **_close_kwargs(strat, buckets, bits)
     ).localCheckpoint(eager=True)
     member_edges = F.explode(
         _tri_edge_structs(F.array("ta", "tb", "tc"))

@@ -295,27 +295,49 @@ def _build_ktruss_round(spark, sf_dir):
     return triangle_incidence(e)
 
 
-def _build_bloom_close(spark, sf_dir):
-    """The above-cap bloom close, forced regardless of edge count:
-    the relational-bitmap probe chain + one exact shuffle semi that
-    replaces the bucket ladder (operators/graph.py:triangle_list,
-    round 14)."""
+def _bloom_close_edges(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from panditya_spark.operators.graph import triangle_list
     from panditya_spark.plans.graph_queries import _t
 
     li = _t(spark, sf_dir, "lineitem")
     lp = li.select("l_orderkey", "l_partkey").distinct()
     x = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     y = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    e = (
+    return (
         x.join(y, "k")
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .distinct()
     )
+
+
+def _build_bloom_close(spark, sf_dir):
+    """The above-cap bloom close, forced regardless of edge count:
+    the blocked-bitmap single probe + one exact shuffle semi that
+    replaces the bucket ladder (operators/graph.py:triangle_list,
+    rounds 14-15)."""
+    from panditya_spark.operators.graph import triangle_list
+
+    e = _bloom_close_edges(spark, sf_dir)
     return triangle_list(e, bloom_close=True, bloom_bits=16, n_edges=e.count())
+
+
+def _build_bloom_shuffle_close(spark, sf_dir):
+    """The past-16x-cap close (round 15): the same blocked bitmap,
+    probed via a co-partitioned shuffle hash join on the word index
+    instead of a broadcast — the tier that removed the O(|E|*B)
+    bucket ladder from the default plan space."""
+    from panditya_spark.operators.graph import triangle_list
+
+    e = _bloom_close_edges(spark, sf_dir)
+    return triangle_list(
+        e,
+        bloom_close=True,
+        bloom_bits=4,
+        bloom_probe="shuffle",
+        n_edges=e.count(),
+    )
 
 
 CHECKS = [
@@ -677,20 +699,37 @@ CHECKS = [
     (
         ("g17_ktruss/bloom_close", _build_bloom_close),
         [
-            # The above-cap close: every wedge probes the broadcast
-            # bitmap-words table (bitwise test fused into the join
-            # condition), never an exchange of the raw wedge set; the
-            # pruned survivors settle exactness through one shuffled
-            # LEFT-SEMI against the closing edges.
-            ("k=3 broadcast word probes (bitwise test in join cond)",
-             ("count>=", "BroadcastHashJoin", 3)),
-            ("bit test fused JVM-side", r"shiftleft\(1, cast"),
+            # The above-cap close (blocked bloom, round 15): every
+            # wedge probes ONE broadcast bitmap-words join — all k=3
+            # bits live in the probed word, tested by a single fused
+            # (bv & mask) = mask predicate — never an exchange of the
+            # raw wedge set; the pruned survivors settle exactness
+            # through one shuffled LEFT-SEMI against closing edges.
+            ("exactly ONE broadcast word probe (formatted plans print"
+             " each node twice)",
+             ("count<=", "BroadcastHashJoin", 2)),
+            ("word probe present", ("count>=", "BroadcastHashJoin", 2)),
+            ("salted in-word bit draws fused JVM-side",
+             r"shiftleft\(1, cast\(pmod\(xxhash64\(2"),
             ("exact semi join settles false positives", r"LeftSemi"),
-            # Only the pruned survivors + the closing set may shuffle
-            # (the wedge self-join rides the pinned u-partitioning or
-            # broadcasts at small sf).
-            ("at most 3 hash exchanges (pruned survivors + closing)",
-             ("count<=", "Exchange hashpartitioning", 3)),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct"])),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
+        ("g17_ktruss/bloom_shuffle_close", _build_bloom_shuffle_close),
+        [
+            # Past 16x the cap: the word probe becomes a
+            # co-partitioned SHUFFLED hash join (words side builds the
+            # table) — no broadcast anywhere in the close, no ladder
+            # re-enumeration; survivors settle through the semi join.
+            ("word probe + survivor semi are shuffled hash joins",
+             ("count>=", "ShuffledHashJoin", 4)),
+            ("nothing broadcast in the shuffle tier",
+             ("absent", ["BroadcastHashJoin", "BroadcastExchange"])),
+            ("salted in-word bit draws fused JVM-side",
+             r"shiftleft\(1, cast\(pmod\(xxhash64\(2"),
+            ("exact semi join settles false positives", r"LeftSemi"),
             ("no cartesian/nested-loop join", ("absent", ["CartesianProduct"])),
             ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
         ],

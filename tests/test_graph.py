@@ -880,20 +880,30 @@ def test_triangle_list_bloom_close_matches_broadcast(spark):
     e = spark.createDataFrame(edges, ["a", "b"])
     want = sorted(map(tuple, triangle_list(e, broadcast_close=True).collect()))
     for bits in (4, 16):
-        got = sorted(
-            map(
-                tuple,
-                triangle_list(e, bloom_close=True, bloom_bits=bits).collect(),
+        for probe in ("broadcast", "shuffle"):
+            got = sorted(
+                map(
+                    tuple,
+                    triangle_list(
+                        e,
+                        bloom_close=True,
+                        bloom_bits=bits,
+                        bloom_probe=probe,
+                    ).collect(),
+                )
             )
-        )
-        assert got == want, bits
+            assert got == want, (bits, probe)
 
 
-def test_close_strategy_tiers():
-    """broadcast under the cap, bloom to 16x the cap (bits clamped to
-    [4, 16]), bucketed chunks past that."""
+def test_close_strategy_tiers(monkeypatch):
+    """broadcast under the cap, broadcast-probed bloom to 16x the cap
+    (bits clamped to [4, 16]), shuffle-probed bloom past that; the
+    bucket ladder only behind PANDITYA_TRIANGLE_LADDER=1; the
+    prefer_broadcast_in_cap flag keeps broadcast for the whole in-cap
+    range (truss_decomposition's loop-pressure knob)."""
     from panditya_spark.operators.graph import _close_strategy
 
+    monkeypatch.delenv("PANDITYA_TRIANGLE_LADDER", raising=False)
     assert _close_strategy(10, 10) == ("broadcast", 1, 0)
     strat, buckets, bits = _close_strategy(11, 10)
     assert (strat, buckets) == ("bloom", 1) and bits == 16
@@ -901,8 +911,21 @@ def test_close_strategy_tiers():
     # bloom even though the closing set would broadcast.
     assert _close_strategy(600_000, 10_000_000) == ("bloom", 1, 16)
     assert _close_strategy(400_000, 10_000_000) == ("broadcast", 1, 0)
+    # ... unless the caller asked to keep broadcast for the whole
+    # in-cap range; above the cap the flag changes nothing.
+    assert _close_strategy(
+        600_000, 10_000_000, prefer_broadcast_in_cap=True
+    ) == ("broadcast", 1, 0)
+    strat, _, _ = _close_strategy(
+        600_000, 100_000, prefer_broadcast_in_cap=True
+    )
+    assert strat == "bloom"
     strat, _, bits = _close_strategy(160, 10)
     assert strat == "bloom" and bits == 4
+    # Past 16x the cap: shuffle-probed bloom at the 4-bit floor is
+    # the default; the ladder needs the env flag.
+    assert _close_strategy(161, 10) == ("bloom_shuffle", 1, 4)
+    monkeypatch.setenv("PANDITYA_TRIANGLE_LADDER", "1")
     strat, buckets, _ = _close_strategy(161, 10)
     assert strat == "bucketed" and buckets == 17
 
@@ -949,6 +972,39 @@ def test_truss_decomposition_bloom_close_matches(spark, monkeypatch):
     assert got == _brute_trussness(edges)
 
 
+def test_ktruss_bloom_shuffle_close_matches_bruteforce(spark, monkeypatch):
+    """Force n > 16*cap so _close_strategy naturally selects the
+    round-15 shuffle-probed bloom (the tier that replaced the bucket
+    ladder as the default), and pin end-to-end ktruss AND the full
+    decomposition to brute force. cap=0 puts EVERY edge count past
+    16*cap, so both ktruss phases (full-graph support + survivor
+    incidence) and the decomposition's one-time build all run the
+    shuffle probe."""
+    from panditya_spark.operators import graph as G
+
+    monkeypatch.delenv("PANDITYA_TRIANGLE_LADDER", raising=False)
+    monkeypatch.setattr(G, "_broadcast_edge_cap", lambda spark: 0)
+    assert G._close_strategy(15, 0)[0] == "bloom_shuffle"
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"),
+        ("h", "i"), ("i", "j"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (3, 4):
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in G.ktruss(df, k=k).collect()
+        }
+        assert got == _brute_ktruss(edges, k), k
+    dec = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in G.truss_decomposition(df).collect()
+    }
+    assert dec == _brute_trussness(edges)
+
+
 def test_ktruss_bucketed_close_matches_bruteforce(spark, monkeypatch):
     """Force the bucketed-close LAST-RESORT path end-to-end (phase-1
     support + phase-2 survivor incidence) — _close_strategy now
@@ -959,7 +1015,7 @@ def test_ktruss_bucketed_close_matches_bruteforce(spark, monkeypatch):
     monkeypatch.setattr(
         G,
         "_close_strategy",
-        lambda n, cap: ("bucketed", max(2, -(-n // max(cap, 1))), 0),
+        lambda n, cap, **kw: ("bucketed", max(2, -(-n // max(cap, 1))), 0),
     )
     monkeypatch.setattr(G, "_broadcast_edge_cap", lambda spark: 4)
     edges = [
@@ -983,7 +1039,7 @@ def test_truss_decomposition_bucketed_close_matches(spark, monkeypatch):
     monkeypatch.setattr(
         G,
         "_close_strategy",
-        lambda n, cap: ("bucketed", max(2, -(-n // max(cap, 1))), 0),
+        lambda n, cap, **kw: ("bucketed", max(2, -(-n // max(cap, 1))), 0),
     )
     monkeypatch.setattr(G, "_broadcast_edge_cap", lambda spark: 4)
     edges = [
