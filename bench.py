@@ -205,10 +205,28 @@ def main() -> int:
         reps = max(reps, 3)
     load_before = os.getloadavg()
 
+    # External cross-engine anchor (VERDICT r8 #7): time the DuckDB
+    # oracle for every SQL-expressible headline query on the SAME
+    # parquet at the SAME sf. No gate — a single-node columnar engine
+    # is the natural small-scale floor, and the ratio guards the bench
+    # trend against being self-referential. Since round 15 each
+    # query's anchor runs IMMEDIATELY AFTER its own Spark reps
+    # (VERDICT r14 #4): the r14 cooling-window experiment measured the
+    # end-of-run protocol's failure mode exactly — Spark timed under
+    # loadavg 11.4, the anchor after on a quiet host, ratio 5.52 vs
+    # 3.65 for identical code — adjacent timing makes the ratio robust
+    # to INTRA-run weather drift, not just start-of-run contamination.
+    # (No oracle reads Spark-written side outputs — scanned: 0 of 159
+    # oracle strings touch the filesystem — so per-query ordering is
+    # safe.) Budget-capped so a pathological oracle can never stall
+    # the round's bench.
+    anchor = _DuckAnchor(sf_dir)
+
     timings: dict[str, float] = {}
     partial: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    duckdb_sec: dict[str, object] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         samples: list[float] = []
@@ -234,16 +252,9 @@ def main() -> int:
                 partial[name] = min(samples)
             else:
                 timings[name] = min(samples)
-
-    # External cross-engine anchor (VERDICT r8 #7): time the DuckDB
-    # oracle for every SQL-expressible headline query on the SAME
-    # parquet at the SAME sf. No gate — a single-node columnar engine
-    # is the natural small-scale floor, and the ratio guards the bench
-    # trend against being self-referential. Runs AFTER the Spark
-    # timings so oracles that replay Spark-written side outputs (shard
-    # manifests, partitioned layouts) see them. Budget-capped so a
-    # pathological oracle can never stall the round's bench.
-    duckdb_sec = _time_duckdb_oracles(sf_dir, list(timings))
+                # Anchor adjacent to the Spark reps it normalizes.
+                duckdb_sec[name] = anchor.time_one(name)
+    anchor.close()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_after = os.getloadavg()
@@ -287,6 +298,9 @@ def main() -> int:
         out["spark_over_duckdb_ratio"] = round(
             spark_covered / sum(ok_duck), 2
         )
+        # r15+: anchors timed adjacent to their Spark reps; r8-r14
+        # artifacts timed all anchors after the full Spark pass.
+        out["anchor_protocol"] = "interleaved"
     if errors:
         out["errors_n"] = len(errors)
         # skipped = queries with NO successful rep at all; partial =
@@ -326,57 +340,71 @@ def main() -> int:
     return 0
 
 
-def _time_duckdb_oracles(
-    sf_dir: str, names: list[str], per_query_cap: float = 60.0,
-    total_budget: float = 300.0,
-) -> dict[str, object]:
-    """Wall-time each headline query's DuckDB oracle over the sf_dir
-    parquet. Returns {name: sec | "no_oracle" | "error:..." |
-    "interrupted" | "skipped:budget"}. Interrupt-guarded per query and
-    budget-capped overall so this anchor can never dominate the bench.
-    """
-    import threading
+class _DuckAnchor:
+    """Per-query DuckDB oracle timer, interleaved with the Spark reps
+    (one time_one call right after each query's reps — see the anchor
+    comment in main). Interrupt-guarded per query and budget-capped
+    overall so the anchor can never dominate the bench; failure to
+    import or connect degrades to "no anchor", never a bench error.
+    Returns per query: sec | "no_oracle" | "error:..." |
+    "interrupted" | "skipped:budget"."""
 
-    try:
-        import duckdb
-    except ImportError:
-        return {}
-    from panditya_spark.plans import ORACLES
+    def __init__(self, sf_dir: str, per_query_cap: float = 60.0,
+                 total_budget: float = 300.0):
+        self.cap = per_query_cap
+        self.budget = total_budget
+        self.spent = 0.0
+        self.con = None
+        try:
+            import duckdb
 
-    tables = ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings")
-    con = duckdb.connect()
-    for t in tables:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
-    out: dict[str, object] = {}
-    spent = 0.0
-    for name in names:
-        sql = ORACLES.get(name)
+            self._duckdb = duckdb
+            self.con = duckdb.connect()
+            tables = ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings")
+            for t in tables:
+                path = os.path.join(sf_dir, f"{t}.parquet")
+                if os.path.exists(path):
+                    self.con.execute(
+                        f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{path}')"
+                    )
+            from panditya_spark.plans import ORACLES
+
+            self._oracles = ORACLES
+        except Exception as exc:  # noqa: BLE001 — anchor is best-effort
+            print(f"duckdb anchor unavailable: {exc!r}", file=sys.stderr)
+            self.con = None
+
+    def time_one(self, name: str) -> object:
+        if self.con is None:
+            return "no_anchor"
+        sql = self._oracles.get(name)
         if sql is None:
-            out[name] = "no_oracle"
-            continue
-        if spent >= total_budget:
-            out[name] = "skipped:budget"
-            continue
-        timer = threading.Timer(per_query_cap, con.interrupt)
+            return "no_oracle"
+        if self.spent >= self.budget:
+            return "skipped:budget"
+        import threading
+
+        timer = threading.Timer(self.cap, self.con.interrupt)
         timer.start()
         t0 = time.time()
         try:
-            con.execute(sql).fetchall()
-            out[name] = round(time.time() - t0, 3)
-        except duckdb.InterruptException:
-            out[name] = "interrupted"
-        except Exception as exc:  # noqa: BLE001 — anchor must not fail bench
-            out[name] = f"error:{type(exc).__name__}"[:80]
+            self.con.execute(sql).fetchall()
+            out: object = round(time.time() - t0, 3)
+        except self._duckdb.InterruptException:
+            out = "interrupted"
+        except Exception as exc:  # noqa: BLE001 — must not fail bench
+            out = f"error:{type(exc).__name__}"[:80]
         finally:
             timer.cancel()
-        spent += time.time() - t0
-    con.close()
-    return out
+        self.spent += time.time() - t0
+        return out
+
+    def close(self) -> None:
+        if self.con is not None:
+            self.con.close()
 
 
 if __name__ == "__main__":

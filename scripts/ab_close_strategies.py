@@ -1,11 +1,15 @@
-"""A/B/C the triangle-close strategies on ONE graph in ONE session
-(round 14): broadcast (the in-cap reference), the relational-bloom
-close (the first above-cap path), and the bucketed chunk ladder (the
-last resort), each FORCED via triangle_list's explicit flags on the
+"""A/B the triangle-close strategies on ONE graph in ONE session:
+broadcast (the in-cap reference), the blocked-bloom close at 16 and 4
+bits/edge (broadcast word probe — the first above-cap path), the
+round-15 SHUFFLE-probed bloom (the past-16x-cap tier), and the
+bucketed chunk ladder (the pre-r15 last resort, now env-gated in
+production), each FORCED via triangle_list's explicit flags on the
 same pinned co-purchase edge set — so the comparison isolates the
-close, not the round's weather or a code delta (the sf10 ledger's
-1,256 -> 445s k-truss comparison spans two rounds; this is the
-same-session control). Writes .stress/ab_close.json.
+close, not the round's weather or a code delta. Results MERGE into
+.stress/ab_close.json keyed by "<sf_tag>:<edge_count>edges" (round-15
+fix: the r14 script overwrote the file per run, leaving the
+multi-scale claims in graph.py's docstring without committed
+provenance).
 
 Usage: python scripts/ab_close_strategies.py [sf_dir] [bucket_B]
 Env: STRESS_REPS (default 2) -> min-of-N per mode.
@@ -100,8 +104,11 @@ def main() -> int:
 
     modes = {
         "broadcast": dict(broadcast_close=True),
-        "bloom_b16k3": dict(bloom_close=True, bloom_bits=16, n_edges=n),
-        "bloom_b4k3": dict(bloom_close=True, bloom_bits=4, n_edges=n),
+        "bloom_b16": dict(bloom_close=True, bloom_bits=16, n_edges=n),
+        "bloom_b4": dict(bloom_close=True, bloom_bits=4, n_edges=n),
+        "bloom_shuffle_b4": dict(
+            bloom_close=True, bloom_bits=4, bloom_probe="shuffle", n_edges=n
+        ),
         f"bucketed_B{bucket_b}": dict(close_buckets=bucket_b),
     }
     result = {
@@ -134,11 +141,24 @@ def main() -> int:
         }
         print(name, result[name], flush=True)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    # Merge under a per-scale key so multi-tier sweeps accumulate.
+    book = {}
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            book = json.load(fh)
+        if "edges" in book:  # legacy single-run layout (r14)
+            legacy_key = (
+                f"{os.path.basename(book.get('sf_dir', '?'))}"
+                f":{book['edges']}edges"
+            )
+            book = {legacy_key: book}
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}:{n}edges"
+    book[key] = result
     tmp = OUT + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(result, fh, indent=1)
+        json.dump(book, fh, indent=1)
     os.replace(tmp, OUT)
-    print("wrote", OUT)
+    print("wrote", OUT, "key", key)
     return 0
 
 
