@@ -1994,14 +1994,29 @@ def _broadcast_edge_cap(spark: SparkSession) -> int:
 # Below this edge count the broadcast close beats the bloom close's
 # extra stages; above it the bloom's compact words table (cache-local
 # probes + ~95% map-side pruning) wins even where the closing set
-# STILL fits the broadcast budget. Same-session A/B (min-of-2,
-# identical triangle counts, .stress/ab_close.json): at 60k edges
-# broadcast 2.4s vs bloom 5.5s; at 1.2M edges bloom 3.5s vs broadcast
-# 5.6s; at 12M edges bloom 13.8s vs broadcast 43.8s (vs bucketed-B3
-# 167.3s). On a real cluster the same threshold is also the network
-# argument: a broadcast ships the closing set to EVERY executor
-# (n x executors), the bloom path exchanges O(n + survivors) once.
+# STILL fits the broadcast budget. Round-15 same-session A/B of all
+# five strategies (min-of-2, identical triangle counts, keyed entries
+# in .stress/ab_close.json): at 116k edges broadcast 1.3s vs best
+# bloom 2.8s; at 1.2M edges bloom-b4 3.8s vs broadcast 4.4s (ladder
+# 13.9s); at 12M edges SHUFFLE-probed bloom 35.6s vs bloom-b4 53.3s
+# vs broadcast 63.3s vs ladder-B3 208.2s. On a real cluster the same
+# threshold is also the network argument: a broadcast ships the
+# closing set to EVERY executor (n x executors), the bloom path
+# exchanges O(n + survivors) once.
 _BLOOM_MIN_EDGES = 500_000
+
+# Above this edge count the SHUFFLE word probe beats the broadcast
+# word probe even where the bitmap still fits one broadcast (the 12M
+# A/B row above: 35.6s vs 53.3s): past ~10^7 edges the words table is
+# tens of MB — probing one resident copy from every task loses to
+# co-partitioned per-partition hash tables that stay cache-local, and
+# the wedge side's one exchange rides a column it computes anyway.
+# At 1.2M the two tie (3.9 vs 3.8s); 8M splits the measured decade
+# conservatively. Bits floor to 4 here: the same A/B has b4 >= b16 at
+# every tier on this 22:1 wedge:triangle family (smaller resident
+# bitmap beats the fpr gap once the exact semi join is paying for
+# false positives anyway).
+_BLOOM_SHUFFLE_MIN_EDGES = 8_000_000
 
 
 def _close_strategy(
@@ -2037,15 +2052,18 @@ def _close_strategy(
       (one word per key, all k=3 bits inside it — see triangle_list),
       so exactly ONE hashed words relation is live during the probe:
       the sizing needs no k-way concurrency discount.
-    - ``bloom_shuffle`` (n > 16*cap): round-15 — the same 4-bit
-      blocked bitmap, probed via a co-partitioned shuffle hash join
-      on the word index instead of a broadcast. The words table is
-      n/16 rows (16x smaller than the closing set) and the wedge side
-      exchanges ONCE on shiftright(hash, 6) — which it computes for
-      the bit test anyway — then the pruned survivors settle
-      exactness through the usual semi join. Linear in |E| at any
-      scale: this removes the O(|E|*B) bucket-ladder re-enumeration
-      from the default plan space entirely.
+    - ``bloom_shuffle`` (n > 16*cap, AND anywhere past
+      _BLOOM_SHUFFLE_MIN_EDGES — the r15 A/B measured the shuffle
+      probe beating the broadcast probe from ~10^7 edges even with
+      the bitmap comfortably broadcastable): the same 4-bit blocked
+      bitmap, probed via a co-partitioned shuffle hash join on the
+      word index instead of a broadcast. The words table is n/16
+      rows (16x smaller than the closing set) and the wedge side
+      exchanges ONCE on the word index — which it computes for the
+      bit test anyway — then the pruned survivors settle exactness
+      through the usual semi join. Linear in |E| at any scale: this
+      removes the O(|E|*B) bucket-ladder re-enumeration from the
+      default plan space entirely.
     - ``bucketed``: the pre-round-15 last resort, kept ONLY behind
       ``PANDITYA_TRIANGLE_LADDER=1`` (for A/B provenance): hash-split
       the closing set into cap-sized broadcast chunks, one wedge
@@ -2060,6 +2078,8 @@ def _close_strategy(
     ):
         return ("broadcast", 1, 0)
     if n_edges <= 16 * cap:
+        if n_edges >= _BLOOM_SHUFFLE_MIN_EDGES:
+            return ("bloom_shuffle", 1, 4)
         return ("bloom", 1, min(16, max(4, (64 * cap) // max(n_edges, 1))))
     if os.environ.get("PANDITYA_TRIANGLE_LADDER") == "1":
         return ("bucketed", -(-n_edges // cap), 0)
@@ -2682,6 +2702,7 @@ def truss_decomposition(
     edges: DataFrame,
     local_tail_edges: int | None = None,
     max_rounds: int = 4096,
+    decrement_frac: float = 0.1,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """FULL truss decomposition: every canonical edge labeled with its
@@ -2815,9 +2836,15 @@ def truss_decomposition(
     rounds = 0
     local_n = 0
     local_rows: list[tuple[int, int, int]] = []
+    rounds_dec = 0
     for _ in range(max_rounds):
+        # sum(support) rides the same one-pass agg: every alive
+        # triangle contributes 3 to it, so the alive-triangle count
+        # the hybrid gate below needs is free — no extra job.
         stats = sup.agg(
-            F.min("support").alias("m"), F.count(F.lit(1)).alias("n")
+            F.min("support").alias("m"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("support").alias("s"),
         ).first()
         if stats["n"] == 0:
             converged = True
@@ -2845,29 +2872,41 @@ def truss_decomposition(
             .write.mode("append")
             .parquet(acc_dir)
         )
-        # Recount over the SHRINKING triangle LIST — the triangles are
-        # loop state, unlike the single-k peel's static incidence:
-        # decomposition victims are a large FRACTION of the alive set
-        # on the bulk levels (everything below the rising level goes),
-        # so ktruss's victim-keyed decrement machinery would churn
-        # nearly the whole incidence through ~5 shuffles per round.
-        # Invariant: every row of tri is a triangle fully alive at
-        # round start, so a triangle survives the round iff NONE of
-        # its 3 member edges is a victim — three LEFT-ANTI probes
-        # against the VICTIM set (broadcast: victims per round are
-        # bounded by one level bucket + cascade, far smaller than the
-        # alive set, so the triangle side never hits an exchange and
-        # the broadcast build is victim-sized, not graph-sized). The
-        # recount then explodes the survivors' member edges into a
-        # map-side-combined groupBy — the round's only shuffle,
-        # pre-aggregated to edge-sized. One row per triangle (not 3),
-        # materialized as next-round state: per-round volume tracks
-        # the CURRENT subgraph and shrinks geometrically as levels
-        # rise. Recount == decrement exactness: support within the
-        # survivor subgraph (the equivalence the single-k unrolled
-        # oracle pins).
-        alive2 = sup.filter(F.col("support") > level).select("ea", "eb")
-        bc_victims = victims.count() <= cap  # cheap: filter on pinned sup
+        # Support update over the SHRINKING triangle LIST — the
+        # triangles are loop state, unlike the single-k peel's static
+        # incidence. Survival invariant either branch: every row of
+        # tri is a triangle fully alive at round start, so a triangle
+        # survives the round iff NONE of its 3 member edges is a
+        # victim — three LEFT-ANTI probes against the VICTIM set
+        # (broadcast: victims per round are bounded by one level
+        # bucket + cascade, far smaller than the alive set, so the
+        # triangle side never hits an exchange and the broadcast
+        # build is victim-sized, not graph-sized). The support update
+        # is then HYBRID (gate below): bulk levels — victims a large
+        # fraction of the alive set, everything below the rising
+        # level goes — RECOUNT by exploding all survivors' member
+        # edges into one map-side-combined groupBy; sparse-victim
+        # levels DECREMENT by exploding only the hit triangles.
+        # Per-round volume tracks the CURRENT subgraph either way and
+        # shrinks geometrically as levels rise.
+        n_vic = victims.count()  # cheap: filter on pinned sup
+        bc_victims = n_vic <= cap
+        # Round-15 hybrid gate (VERDICT r14 #5): on SPARSE-victim
+        # rounds — this round's victims under decrement_frac of the
+        # alive triangles (count carried free in stats.s/3) — a
+        # victim-KEYED decrement beats recounting the whole shrinking
+        # list: only triangles touching a victim (the "hits") are
+        # exploded, instead of all survivors. Bulk levels (victims a
+        # large fraction) keep the recount, whose one full-explode
+        # shuffle beats per-hit bookkeeping there. Exactness is the
+        # same invariant either way: every tri row is fully alive at
+        # round start, a triangle dies iff one of its 3 member edges
+        # is a victim, and support = alive-triangle membership count
+        # (decrement == recount, the equivalence the unrolled oracle
+        # pins; also pinned directly by
+        # test_truss_decomposition_decrement_matches_recount).
+        n_tri_alive = int(stats["s"] or 0) // 3
+        use_dec = bc_victims and n_vic < decrement_frac * n_tri_alive
         tri_next = tri
         for cols in (("ta", "tb"), ("tb", "tc"), ("ta", "tc")):
             probe = victims.select(
@@ -2877,23 +2916,64 @@ def truss_decomposition(
                 probe = F.broadcast(probe)
             tri_next = tri_next.join(probe, list(cols), "anti")
         # Materialize the survivors FIRST (state.minor), so the
-        # recount below reads the pinned RDD instead of replaying the
-        # three probes.
+        # recount/decrement below reads the pinned RDD instead of
+        # replaying the three probes.
         tri_next = state.minor(tri_next)
-        cnt = (
-            tri_next.select(member_edges)
-            .select(F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
-            .groupBy("ea", "eb")
-            .agg(F.count(F.lit(1)).alias("support"))
-        )
-        sup_next = (
-            alive2.join(cnt, ["ea", "eb"], "left_outer")
-            .select(
-                "ea",
-                "eb",
-                F.coalesce("support", F.lit(0)).alias("support"),
+        if use_dec:
+            rounds_dec += 1
+            # Hit triangles: ≥1 member edge is a victim — 3 broadcast
+            # SEMI probes (victim-sized builds, zero triangle
+            # exchange), dedup by the triple (a triangle may hold 2-3
+            # victim edges). The distinct + explode shuffle is
+            # HIT-sized; the recount's is alive-sized.
+            hit_parts = []
+            for cols in (("ta", "tb"), ("tb", "tc"), ("ta", "tc")):
+                probe = F.broadcast(
+                    victims.select(
+                        F.col("ea").alias(cols[0]),
+                        F.col("eb").alias(cols[1]),
+                    )
+                )
+                hit_parts.append(tri.join(probe, list(cols), "semi"))
+            hits = (
+                hit_parts[0]
+                .unionAll(hit_parts[1])
+                .unionAll(hit_parts[2])
+                .distinct()
             )
-        )
+            dec = (
+                hits.select(member_edges)
+                .select(F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
+                .groupBy("ea", "eb")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            sup_next = (
+                sup.filter(F.col("support") > level)
+                .join(dec, ["ea", "eb"], "left_outer")
+                .select(
+                    "ea",
+                    "eb",
+                    (
+                        F.col("support") - F.coalesce(F.col("d"), F.lit(0))
+                    ).alias("support"),
+                )
+            )
+        else:
+            alive2 = sup.filter(F.col("support") > level).select("ea", "eb")
+            cnt = (
+                tri_next.select(member_edges)
+                .select(F.col("ed.ea").alias("ea"), F.col("ed.eb").alias("eb"))
+                .groupBy("ea", "eb")
+                .agg(F.count(F.lit(1)).alias("support"))
+            )
+            sup_next = (
+                alive2.join(cnt, ["ea", "eb"], "left_outer")
+                .select(
+                    "ea",
+                    "eb",
+                    F.coalesce("support", F.lit(0)).alias("support"),
+                )
+            )
         old_tri = tri
         (tri, sup) = state.round_end(tri_next, sup_next)
         if old_tri is not tri:
@@ -2911,6 +2991,7 @@ def truss_decomposition(
     if stats_out is not None:
         stats_out.update(
             distributed_rounds=rounds,
+            decrement_rounds=rounds_dec,
             final_level=level,
             local_tail_n=local_n,
             sec_build=round(t_build - t_start, 1),

@@ -922,6 +922,12 @@ def test_close_strategy_tiers(monkeypatch):
     assert strat == "bloom"
     strat, _, bits = _close_strategy(160, 10)
     assert strat == "bloom" and bits == 4
+    # In the bloom tier but past the measured broadcast-vs-shuffle
+    # probe crossover: shuffle probe even though the bitmap would
+    # broadcast (12M-edge A/B row in .stress/ab_close.json).
+    assert _close_strategy(9_000_000, 100_000_000) == (
+        "bloom_shuffle", 1, 4,
+    )
     # Past 16x the cap: shuffle-probed bloom at the 4-bit floor is
     # the default; the ladder needs the env flag.
     assert _close_strategy(161, 10) == ("bloom_shuffle", 1, 4)
@@ -970,6 +976,45 @@ def test_truss_decomposition_bloom_close_matches(spark, monkeypatch):
         for r in G.truss_decomposition(df).collect()
     }
     assert got == _brute_trussness(edges)
+
+
+def test_truss_decomposition_decrement_matches_recount(spark):
+    """The round-15 hybrid support update: decrement_frac=1e9 forces
+    the victim-keyed DECREMENT branch on every distributed round,
+    decrement_frac=0.0 forces the original full RECOUNT —
+    local_tail_edges=0 keeps every round distributed so both branches
+    actually run. Results must be identical to each other and to
+    brute force (support = alive-triangle membership, the invariant
+    both branches maintain)."""
+    from panditya_spark.operators import graph as G
+
+    # Two overlapping cliques + a pendant chain: multiple peel levels
+    # with both bulk and sparse-victim rounds.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+        ("d", "e"),
+        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"), ("g", "i"),
+        ("h", "i"), ("i", "j"), ("j", "k"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    want = _brute_trussness(edges)
+    for frac in (0.0, 1e9):
+        stats: dict = {}
+        got = {
+            (r["a"], r["b"]): r["trussness"]
+            for r in G.truss_decomposition(
+                df,
+                local_tail_edges=0,
+                decrement_frac=frac,
+                stats_out=stats,
+            ).collect()
+        }
+        assert got == want, frac
+        if frac == 0.0:
+            assert stats["decrement_rounds"] == 0
+        else:
+            assert stats["decrement_rounds"] == stats["distributed_rounds"]
 
 
 def test_ktruss_bloom_shuffle_close_matches_bruteforce(spark, monkeypatch):
