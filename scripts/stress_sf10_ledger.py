@@ -87,6 +87,41 @@ def _state_store_peak() -> dict | None:
     }
 
 
+class _ScratchPeak:
+    """Peak scratch-disk growth during a timed query (VERDICT r14 #6:
+    the sf10 k-truss run's 29.9 GB shuffle write needs a measured
+    margin against sandbox capacity). Samples shutil.disk_usage of
+    the Spark local dir's filesystem every 2s; peak = max(used -
+    baseline) — shuffle/spill scratch plus anything else on the fs,
+    an upper bound on the query's own footprint."""
+
+    def __init__(self, path: str = "/tmp"):
+        import shutil
+        import threading
+
+        self._shutil = shutil
+        self.path = path
+        self.base = shutil.disk_usage(path).used
+        self.free_at_start = shutil.disk_usage(path).free
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while not self._stop.wait(2.0):
+            used = self._shutil.disk_usage(self.path).used
+            self.peak = max(self.peak, used - self.base)
+
+    def finish(self) -> dict:
+        self._stop.set()
+        self._t.join(timeout=5)
+        return {
+            "scratch_peak_mb": round(self.peak / 2**20, 1),
+            "fs_free_at_start_mb": round(self.free_at_start / 2**20, 1),
+        }
+
+
 def _prep(spark, sf_dir: str) -> None:
     try:
         from panditya_spark.plans.streaming_queries import _upsert_stream_input
@@ -169,7 +204,11 @@ def main() -> int:
             )
             before = _metrics_snapshot()
             windows.LAST_PROGRESS.clear()
+            scratch = _ScratchPeak()
             sf10_samples = [_timed(mat, fn, spark, SF10)]
+            row.update(
+                {f"sf10_{k}": v for k, v in scratch.finish().items()}
+            )
             after = _metrics_snapshot()
             sf10_samples += [
                 _timed(mat, fn, spark, SF10) for _ in range(reps - 1)
