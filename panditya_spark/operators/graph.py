@@ -2018,9 +2018,44 @@ _BLOOM_MIN_EDGES = 500_000
 # false positives anyway).
 _BLOOM_SHUFFLE_MIN_EDGES = 8_000_000
 
+# ... but the shuffle probe's one wedge exchange MUST fit local
+# scratch, which the broadcast probe never touches: the first r15
+# sf10 attempt picked the shuffle probe at 120M edges and died with
+# [No space left on device] — the wedge exchange extrapolates to
+# ~100 GB there (measured 800 B/edge at 12M: 9.1 GB shuffle write per
+# run, .stress/ab_close.json) against 78 GB free. The strategy now
+# requires a measured scratch-free figure and budgets 2 KB/edge
+# (2.5x the measured rate) before preferring the exchange-paying
+# tier; callers pass _scratch_free_bytes(spark). On a real cluster
+# the same guard holds per-executor: scratch scales with the fleet,
+# so the budget passes exactly where the exchange is actually safe.
+_WEDGE_EXCHANGE_BYTES_PER_EDGE = 2048
+
+
+def _scratch_free_bytes(spark: SparkSession) -> int | None:
+    """Free bytes on the filesystem backing Spark's local scratch
+    (first spark.local.dir entry; Spark's default is the system tmp
+    dir). None when unreadable — callers treat that as 'unknown', and
+    _close_strategy then never prefers an exchange-paying tier over a
+    broadcast-probe one."""
+    import shutil
+
+    try:
+        local = (
+            spark.conf.get("spark.local.dir", None)
+            or spark.sparkContext.getConf().get("spark.local.dir", None)
+            or "/tmp"
+        )
+        return shutil.disk_usage(local.split(",")[0]).free
+    except Exception:  # noqa: BLE001 — unknown beats a wrong number
+        return None
+
 
 def _close_strategy(
-    n_edges: int, cap: int, prefer_broadcast_in_cap: bool = False
+    n_edges: int,
+    cap: int,
+    prefer_broadcast_in_cap: bool = False,
+    scratch_free_bytes: int | None = None,
 ) -> tuple[str, int, int]:
     """Pick the closing-edge probe strategy for the triangle build,
     given the canonical edge count and the broadcast cap (both in
@@ -2073,15 +2108,30 @@ def _close_strategy(
     """
     import os
 
+    # The shuffle probe pays one wedge exchange the broadcast probe
+    # never does; prefer it ONLY when that exchange measurably fits
+    # local scratch (see _WEDGE_EXCHANGE_BYTES_PER_EDGE — the first
+    # r15 sf10 run died on disk without this guard). Unknown scratch
+    # (None) fails the guard wherever a broadcast-probe tier exists.
+    shuffle_fits = (
+        scratch_free_bytes is not None
+        and n_edges * _WEDGE_EXCHANGE_BYTES_PER_EDGE <= scratch_free_bytes
+    )
     if n_edges <= min(cap, _BLOOM_MIN_EDGES) or (
         prefer_broadcast_in_cap and n_edges <= cap
     ):
         return ("broadcast", 1, 0)
     if n_edges <= 16 * cap:
-        if n_edges >= _BLOOM_SHUFFLE_MIN_EDGES:
+        if n_edges >= _BLOOM_SHUFFLE_MIN_EDGES and shuffle_fits:
             return ("bloom_shuffle", 1, 4)
         return ("bloom", 1, min(16, max(4, (64 * cap) // max(n_edges, 1))))
     if os.environ.get("PANDITYA_TRIANGLE_LADDER") == "1":
+        return ("bucketed", -(-n_edges // cap), 0)
+    if scratch_free_bytes is not None and not shuffle_fits:
+        # Past 16x the cap the only exchange-free alternative is the
+        # ladder: super-linear CPU, but it completes where the wedge
+        # exchange provably cannot fit. Reached only with a MEASURED
+        # scratch shortfall, never on unknown.
         return ("bucketed", -(-n_edges // cap), 0)
     return ("bloom_shuffle", 1, 4)
 
@@ -2504,7 +2554,10 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # The old shuffle-semi fallback exchanged the UNPRUNED wedge
     # side, which the sf10 probe measured as a disk-filling ~144 GB
     # at 120M edges.
-    strat, buckets, bits = _close_strategy(n_edges, cap)
+    scratch_free = _scratch_free_bytes(edges.sparkSession)
+    strat, buckets, bits = _close_strategy(
+        n_edges, cap, scratch_free_bytes=scratch_free
+    )
     close_kw = _close_kwargs(strat, buckets, bits)
     # PHASE 1 — full-graph support WITHOUT materializing incidence:
     # the exploded triangle rows stream straight into a map-side-
@@ -2555,7 +2608,9 @@ def ktruss(edges: DataFrame, k: int, max_iter: int = 64) -> DataFrame:
     # gate from THEIR count (cheap: e2 filters the pinned sup_full) —
     # a graph too big to broadcast whole often fits after phase 1.
     n_surv = e2.count()
-    strat2, buckets2, bits2 = _close_strategy(n_surv, cap)
+    strat2, buckets2, bits2 = _close_strategy(
+        n_surv, cap, scratch_free_bytes=scratch_free
+    )
     te = triangle_incidence(
         e2, n_edges=n_surv, **_close_kwargs(strat2, buckets2, bits2)
     )
@@ -2786,7 +2841,10 @@ def truss_decomposition(
     # storage for the whole run; ktruss's victim-sized peel state has
     # no such pressure).
     strat, buckets, bits = _close_strategy(
-        n_edges, cap, prefer_broadcast_in_cap=True
+        n_edges,
+        cap,
+        prefer_broadcast_in_cap=True,
+        scratch_free_bytes=_scratch_free_bytes(spark),
     )
     tri = triangle_list(
         e, n_edges=n_edges, **_close_kwargs(strat, buckets, bits)
@@ -2934,11 +2992,20 @@ def truss_decomposition(
                         F.col("eb").alias(cols[1]),
                     )
                 )
-                hit_parts.append(tri.join(probe, list(cols), "semi"))
+                # A USING semi join moves its join columns FIRST
+                # (e.g. the (tb, tc) probe yields columns
+                # [tb, tc, ta]); re-project to the canonical order or
+                # the positional union below scrambles the triples —
+                # the round-15 bug the sf0.1 checksum caught.
+                hit_parts.append(
+                    tri.join(probe, list(cols), "semi").select(
+                        "ta", "tb", "tc"
+                    )
+                )
             hits = (
                 hit_parts[0]
-                .unionAll(hit_parts[1])
-                .unionAll(hit_parts[2])
+                .unionByName(hit_parts[1])
+                .unionByName(hit_parts[2])
                 .distinct()
             )
             dec = (

@@ -109,17 +109,18 @@ def main() -> int:
             "stats": best_stats,
         }
         print(name, result[name], flush=True)
-
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    book = {}
-    if os.path.exists(OUT):
-        with open(OUT) as fh:
-            book = json.load(fh)
-    book[os.path.basename(sf_dir.rstrip("/"))] = result
-    tmp = OUT + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(book, fh, indent=1)
-    os.replace(tmp, OUT)
+        # Incremental write per arm: a crash in a later arm must not
+        # erase an earlier arm's evidence.
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        book = {}
+        if os.path.exists(OUT):
+            with open(OUT) as fh:
+                book = json.load(fh)
+        book[os.path.basename(sf_dir.rstrip("/"))] = result
+        tmp = OUT + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(book, fh, indent=1)
+        os.replace(tmp, OUT)
     print("wrote", OUT)
     return 0
 

@@ -923,14 +923,27 @@ def test_close_strategy_tiers(monkeypatch):
     strat, _, bits = _close_strategy(160, 10)
     assert strat == "bloom" and bits == 4
     # In the bloom tier but past the measured broadcast-vs-shuffle
-    # probe crossover: shuffle probe even though the bitmap would
-    # broadcast (12M-edge A/B row in .stress/ab_close.json).
-    assert _close_strategy(9_000_000, 100_000_000) == (
-        "bloom_shuffle", 1, 4,
-    )
+    # probe crossover: shuffle probe ONLY with measured scratch room
+    # for its wedge exchange (12M-edge A/B row in
+    # .stress/ab_close.json; the guard is the r15 sf10 disk-death
+    # lesson — 2 KB/edge budget vs scratch free).
+    assert _close_strategy(
+        9_000_000, 100_000_000, scratch_free_bytes=1 << 40
+    ) == ("bloom_shuffle", 1, 4)
+    # Unknown scratch, or a measured shortfall: broadcast-probe bloom.
+    assert _close_strategy(9_000_000, 100_000_000)[0] == "bloom"
+    assert _close_strategy(
+        9_000_000, 100_000_000, scratch_free_bytes=1 << 30
+    )[0] == "bloom"
     # Past 16x the cap: shuffle-probed bloom at the 4-bit floor is
-    # the default; the ladder needs the env flag.
+    # the default (unknown scratch included — no broadcast-probe
+    # alternative exists there); a MEASURED shortfall falls back to
+    # the ladder; the env flag forces the ladder outright.
     assert _close_strategy(161, 10) == ("bloom_shuffle", 1, 4)
+    assert _close_strategy(
+        161, 10, scratch_free_bytes=1 << 40
+    ) == ("bloom_shuffle", 1, 4)
+    assert _close_strategy(161, 10, scratch_free_bytes=1)[0] == "bucketed"
     monkeypatch.setenv("PANDITYA_TRIANGLE_LADDER", "1")
     strat, buckets, _ = _close_strategy(161, 10)
     assert strat == "bucketed" and buckets == 17
@@ -988,15 +1001,19 @@ def test_truss_decomposition_decrement_matches_recount(spark):
     both branches maintain)."""
     from panditya_spark.operators import graph as G
 
-    # Two overlapping cliques + a pendant chain: multiple peel levels
-    # with both bulk and sparse-victim rounds.
-    edges = [
-        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
-        ("b", "c"), ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
-        ("d", "e"),
-        ("e", "f"), ("f", "g"), ("g", "h"), ("f", "h"), ("g", "i"),
-        ("h", "i"), ("i", "j"), ("j", "k"),
-    ]
+    # Deterministic pseudo-random graph, dense enough that hit
+    # triangles arrive through ALL THREE member-edge probes — the
+    # shape that exposed the USING-join column-reorder bug the tiny
+    # hand graph missed (a semi join on (tb, tc) returns columns
+    # [tb, tc, ta]; a positional union then scrambles triples).
+    edges = sorted(
+        {
+            tuple(sorted((i, (i * i + 3 * i + j * j) % 37)))
+            for i in range(37)
+            for j in range(9)
+        }
+    )
+    edges = [(f"n{a:02d}", f"n{b:02d}") for a, b in edges if a != b]
     df = spark.createDataFrame(edges, ["src", "dst"])
     want = _brute_trussness(edges)
     for frac in (0.0, 1e9):
