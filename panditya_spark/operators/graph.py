@@ -1996,10 +1996,11 @@ def _broadcast_edge_cap(spark: SparkSession) -> int:
 # probes + ~95% map-side pruning) wins even where the closing set
 # STILL fits the broadcast budget. Round-15 same-session A/B of all
 # five strategies (min-of-2, identical triangle counts, keyed entries
-# in .stress/ab_close.json): at 116k edges broadcast 1.3s vs best
-# bloom 2.8s; at 1.2M edges bloom-b4 3.8s vs broadcast 4.4s (ladder
-# 13.9s); at 12M edges SHUFFLE-probed bloom 35.6s vs bloom-b4 53.3s
-# vs broadcast 63.3s vs ladder-B3 208.2s. On a real cluster the same
+# in .stress/ab_close.json, clean HEAD 720ba8b): at 116k edges
+# broadcast 1.5s vs best bloom 3.0s; at 1.2M edges bloom-b4 4.6s vs
+# broadcast 7.0s (ladder 12.5s); at 12M edges SHUFFLE-probed bloom
+# 30.3s vs bloom-b4 65.0s vs broadcast 79.8s vs ladder-B3 125.0s. On
+# a real cluster the same
 # threshold is also the network argument: a broadcast ships the
 # closing set to EVERY executor (n x executors), the bloom path
 # exchanges O(n + survivors) once.
@@ -2007,12 +2008,13 @@ _BLOOM_MIN_EDGES = 500_000
 
 # Above this edge count the SHUFFLE word probe beats the broadcast
 # word probe even where the bitmap still fits one broadcast (the 12M
-# A/B row above: 35.6s vs 53.3s): past ~10^7 edges the words table is
+# A/B row above: 30.3s vs 65.0s): past ~10^7 edges the words table is
 # tens of MB — probing one resident copy from every task loses to
 # co-partitioned per-partition hash tables that stay cache-local, and
 # the wedge side's one exchange rides a column it computes anyway.
-# At 1.2M the two tie (3.9 vs 3.8s); 8M splits the measured decade
-# conservatively. Bits floor to 4 here: the same A/B has b4 >= b16 at
+# At 1.2M the broadcast probe still wins (4.6 vs 5.5s); 8M splits the
+# measured decade conservatively. Bits floor to 4 here: the same A/B
+# has b4 >= b16 at
 # every tier on this 22:1 wedge:triangle family (smaller resident
 # bitmap beats the fpr gap once the exact semi join is paying for
 # false positives anyway).
