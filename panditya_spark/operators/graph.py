@@ -2234,6 +2234,7 @@ def triangle_list(
     bloom_bits: int = 16,
     bloom_probe: str = "broadcast",
     n_edges: int | None = None,
+    probe_plan_only: bool = False,
 ) -> DataFrame:
     """Triangle LIST over canonical edges (a < b): one row per
     triangle, columns (ta, tb, tc) with ta < tb < tc — the pre-explode
@@ -2435,13 +2436,36 @@ def triangle_list(
         survivors = wjoin.filter(F.expr("(bv & _bm) = _bm")).select(
             "u", "v", "w"
         )
+        if probe_plan_only:
+            # Audit hook (scripts/explain_audit.py): expose the probe
+            # stage BEFORE the barrier below, so its plan shape — word
+            # join, fused bit test, and critically the ABSENCE of the
+            # exactness LeftSemi (see the barrier comment) — can be
+            # gated. Production always takes the barrier path.
+            return survivors
+        # OPTIMIZER BARRIER — load-bearing, do not remove. Without
+        # it Catalyst's PushDownLeftSemiAntiJoin pushes the exactness
+        # semi join BELOW the word join (its (v, w) keys exist on the
+        # probed leg), so the bit-test filter runs AFTER the semi's
+        # exchange and the "pruned survivor" exchange silently
+        # carries the FULL wedge set — measured at sf1 as 410.9M
+        # rows / 7.8 GB written by the close stage (vs 22.0M actual
+        # survivors), and at sf10 as a >73 GB disk-filling exchange
+        # that ENOSPC'd the sandbox (the round-15 g17 ledger
+        # failures). A non-deterministic projection is NOT a
+        # sufficient barrier (column pruning deletes the unused
+        # column and the barrier with it); the lazy localCheckpoint
+        # compiles the pruned survivors to a LogicalRDD no optimizer
+        # rule can reorder across, at the bounded cost of storing the
+        # ~10-20x-pruned survivor set once (MEMORY_AND_DISK, spilled
+        # blocks freed with the plan).
+        survivors = survivors.localCheckpoint(eager=False)
         # Exactness: one ordinary shuffle semi join on the ~10-20x
         # smaller surviving wedge set (shuffle_hash — no sort needed,
         # the closing side builds the per-partition hash table). The
         # explicit (u, v, w) projection states the exchange width in
         # the code; Catalyst's column pruning already drops the spent
-        # degree columns either way (verified: byte-identical sf10
-        # shuffle with and without it).
+        # degree columns either way.
         return _to_triangles(
             survivors.join(
                 closing_b.hint("shuffle_hash"), ["v", "w"], "left_semi"

@@ -340,6 +340,45 @@ def _build_bloom_shuffle_close(spark, sf_dir):
     )
 
 
+def _build_bloom_probe_stage(spark, sf_dir):
+    """The broadcast-probed bloom's PROBE STAGE, pre-barrier
+    (triangle_list(probe_plan_only=True)): the plan whose shape the
+    survivor barrier protects. The load-bearing gate is the ABSENCE
+    of the exactness LeftSemi here — Catalyst's
+    PushDownLeftSemiAntiJoin used to leapfrog it below the word join
+    (its (v, w) keys exist on the probed leg), which put the bit test
+    AFTER the semi's exchange and made the 'pruned' exchange carry
+    the FULL wedge set (measured: 410.9M rows / 7.8 GB at sf1 vs
+    22.0M actual survivors; a >73 GB ENOSPC at sf10)."""
+    from panditya_spark.operators.graph import triangle_list
+
+    e = _bloom_close_edges(spark, sf_dir)
+    return triangle_list(
+        e,
+        bloom_close=True,
+        bloom_bits=16,
+        n_edges=e.count(),
+        probe_plan_only=True,
+    )
+
+
+def _build_bloom_shuffle_probe_stage(spark, sf_dir):
+    """The shuffle-probed variant's probe stage, pre-barrier — same
+    LeftSemi-absence gate as the broadcast probe, plus the
+    co-partitioned word-index join shape."""
+    from panditya_spark.operators.graph import triangle_list
+
+    e = _bloom_close_edges(spark, sf_dir)
+    return triangle_list(
+        e,
+        bloom_close=True,
+        bloom_bits=4,
+        bloom_probe="shuffle",
+        n_edges=e.count(),
+        probe_plan_only=True,
+    )
+
+
 CHECKS = [
     # (query, [(description, regex)])
     (
@@ -699,19 +738,41 @@ CHECKS = [
     (
         ("g17_ktruss/bloom_close", _build_bloom_close),
         [
-            # The above-cap close (blocked bloom, round 15): every
-            # wedge probes ONE broadcast bitmap-words join — all k=3
-            # bits live in the probed word, tested by a single fused
-            # (bv & mask) = mask predicate — never an exchange of the
-            # raw wedge set; the pruned survivors settle exactness
-            # through one shuffled LEFT-SEMI against closing edges.
-            ("exactly ONE broadcast word probe (formatted plans print"
-             " each node twice)",
-             ("count<=", "BroadcastHashJoin", 2)),
-            ("word probe present", ("count>=", "BroadcastHashJoin", 2)),
+            # The production close AFTER the survivor barrier
+            # (round 15): the probe stage is compiled behind a lazy
+            # localCheckpoint, so this plan is ONLY the exactness
+            # semi join over the two pinned sides — which is exactly
+            # the guarantee: the semi's exchange can carry nothing
+            # but the pruned survivors.
+            ("exact semi join settles false positives", r"LeftSemi"),
+            ("semi is a shuffled hash join (no sort)",
+             ("count>=", "ShuffledHashJoin", 2)),
+            ("survivor side enters through the barrier",
+             r"Scan ExistingRDD"),
+            ("probe machinery lives BEHIND the barrier (no hash"
+             " exprs in the exactness plan)",
+             ("absent", ["xxhash64"])),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct"])),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
+        ("g17_ktruss/bloom_probe_stage", _build_bloom_probe_stage),
+        [
+            # The probe stage the barrier protects, explained
+            # PRE-barrier via triangle_list(probe_plan_only=True).
+            # Load-bearing: the exactness LeftSemi must be ABSENT
+            # here — PushDownLeftSemiAntiJoin used to push it below
+            # the word join, running the bit test after the semi's
+            # exchange and shipping the FULL wedge set (410.9M rows
+            # at sf1; ENOSPC at sf10).
+            ("the exactness semi has NOT been pushed into the probe",
+             ("absent", ["LeftSemi"])),
+            ("word probe is ONE broadcast join",
+             ("count>=", "BroadcastHashJoin", 2)),
             ("salted in-word bit draws fused JVM-side",
              r"shiftleft\(1, cast\(pmod\(xxhash64\(2"),
-            ("exact semi join settles false positives", r"LeftSemi"),
+            ("fused all-bits test", r"&.*_bm.*= _bm|\(bv.* & .*_bm"),
             ("no cartesian/nested-loop join", ("absent", ["CartesianProduct"])),
             ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
         ],
@@ -719,17 +780,32 @@ CHECKS = [
     (
         ("g17_ktruss/bloom_shuffle_close", _build_bloom_shuffle_close),
         [
-            # Past 16x the cap: the word probe becomes a
-            # co-partitioned SHUFFLED hash join (words side builds the
-            # table) — no broadcast anywhere in the close, no ladder
-            # re-enumeration; survivors settle through the semi join.
-            ("word probe + survivor semi are shuffled hash joins",
-             ("count>=", "ShuffledHashJoin", 4)),
+            # Past 16x the cap: same barrier guarantee as the
+            # broadcast-probed tier — the exactness plan sees only
+            # pinned survivors.
+            ("exact semi join settles false positives", r"LeftSemi"),
+            ("semi is a shuffled hash join (no sort)",
+             ("count>=", "ShuffledHashJoin", 2)),
+            ("survivor side enters through the barrier",
+             r"Scan ExistingRDD"),
+            ("nothing broadcast in the shuffle tier",
+             ("absent", ["BroadcastHashJoin", "BroadcastExchange"])),
+            ("no cartesian/nested-loop join", ("absent", ["CartesianProduct"])),
+            ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
+        ],
+    ),
+    (
+        ("g17_ktruss/bloom_shuffle_probe_stage",
+         _build_bloom_shuffle_probe_stage),
+        [
+            ("the exactness semi has NOT been pushed into the probe",
+             ("absent", ["LeftSemi"])),
+            ("word probe is a co-partitioned shuffled hash join",
+             ("count>=", "ShuffledHashJoin", 2)),
             ("nothing broadcast in the shuffle tier",
              ("absent", ["BroadcastHashJoin", "BroadcastExchange"])),
             ("salted in-word bit draws fused JVM-side",
              r"shiftleft\(1, cast\(pmod\(xxhash64\(2"),
-            ("exact semi join settles false positives", r"LeftSemi"),
             ("no cartesian/nested-loop join", ("absent", ["CartesianProduct"])),
             ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
         ],

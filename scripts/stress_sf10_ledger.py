@@ -122,6 +122,27 @@ class _ScratchPeak:
         }
 
 
+def _drain_scratch(spark) -> None:
+    """Between the sf1 and sf10 legs of one row: unpin caches and give
+    ContextCleaner a GC cycle so the sf1 leg's shuffle files and
+    localCheckpoint blocks are actually DELETED before the sf10 leg
+    measures its own scratch footprint. Without this, a shuffle-heavy
+    query's sf1 residue (tens of GB for g17_ktruss) stays on disk for
+    the whole app lifetime and eats the sf10 leg's headroom — the
+    second ENOSPC mode the round-15 g17 row hit after the in-query
+    exchange gate had already closed the first."""
+    import gc
+    import time as _time
+
+    spark.catalog.clearCache()
+    gc.collect()  # drop Python-side DataFrame refs -> JVM refs
+    try:
+        spark.sparkContext._jvm.System.gc()  # ContextCleaner wakes on GC
+        _time.sleep(5)  # let async shuffle/RDD deletions land on disk
+    except Exception:  # noqa: BLE001 — hygiene only, never fail the row
+        pass
+
+
 def _prep(spark, sf_dir: str) -> None:
     try:
         from panditya_spark.plans.streaming_queries import _upsert_stream_input
@@ -202,6 +223,7 @@ def main() -> int:
             row["sf1_sec"] = round(
                 min(_timed(mat, fn, spark, SF1) for _ in range(reps)), 1
             )
+            _drain_scratch(spark)
             before = _metrics_snapshot()
             windows.LAST_PROGRESS.clear()
             scratch = _ScratchPeak()
