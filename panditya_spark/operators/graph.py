@@ -1995,39 +1995,38 @@ def _broadcast_edge_cap(spark: SparkSession) -> int:
 # extra stages; above it the bloom's compact words table (cache-local
 # probes + ~95% map-side pruning) wins even where the closing set
 # STILL fits the broadcast budget. Round-15 same-session A/B of all
-# five strategies (min-of-2, identical triangle counts, keyed entries
-# in .stress/ab_close.json, clean HEAD 720ba8b): at 116k edges
-# broadcast 1.5s vs best bloom 3.0s; at 1.2M edges bloom-b4 4.6s vs
-# broadcast 7.0s (ladder 12.5s); at 12M edges SHUFFLE-probed bloom
-# 30.3s vs bloom-b4 65.0s vs broadcast 79.8s vs ladder-B3 125.0s. On
-# a real cluster the same
-# threshold is also the network argument: a broadcast ships the
-# closing set to EVERY executor (n x executors), the bloom path
-# exchanges O(n + survivors) once.
+# five strategies AFTER the survivor-barrier fix (identical triangle
+# counts, keyed entries in .stress/ab_close.json, clean HEAD
+# 57c4d13): at 116k edges broadcast 2.4s vs best bloom 4.2s; at 1.2M
+# edges bloom-b4 4.4s / bloom-b16 5.7s vs broadcast 10.5s (ladder
+# 13.5s); at 12M edges bloom-b16 23.5s vs broadcast 59.2s vs
+# bloom-b4 142.7s vs shuffle-probe 188.6s vs ladder-B3 213.5s. (The
+# pre-fix A/B had the shuffle probe winning the 12M row at 30.3s —
+# an artifact of the pushdown bug making BOTH probes pay a full
+# wedge exchange; with the broadcast probe exchanging only pruned
+# survivors, the shuffle probe's inherent full-wedge exchange loses
+# 8x.) On a real cluster the same threshold is also the network
+# argument: a broadcast ships the closing set to EVERY executor
+# (n x executors), the bloom path exchanges O(n + survivors) once.
 _BLOOM_MIN_EDGES = 500_000
 
-# Above this edge count the SHUFFLE word probe beats the broadcast
-# word probe even where the bitmap still fits one broadcast (the 12M
-# A/B row above: 30.3s vs 65.0s): past ~10^7 edges the words table is
-# tens of MB — probing one resident copy from every task loses to
-# co-partitioned per-partition hash tables that stay cache-local, and
-# the wedge side's one exchange rides a column it computes anyway.
-# At 1.2M the broadcast probe still wins (4.6 vs 5.5s); 8M splits the
-# measured decade conservatively. Bits floor to 4 here: the same A/B
-# has b4 >= b16 at
-# every tier on this 22:1 wedge:triangle family (smaller resident
-# bitmap beats the fpr gap once the exact semi join is paying for
-# false positives anyway).
-_BLOOM_SHUFFLE_MIN_EDGES = 8_000_000
+# The SHUFFLE word probe pays the one full-wedge exchange the
+# broadcast probe avoids entirely, so it is ONLY the last-resort
+# tier past 16x the broadcast cap, where the words table itself no
+# longer fits one broadcast (the post-fix 12M A/B row: shuffle
+# 188.6s vs broadcast-probed b16 23.5s — the pre-fix promotion of
+# the shuffle probe above 8M edges measured two equally-handicapped
+# plans and is withdrawn). Bits stay at the 4-bit floor there: past
+# 16x the cap the heap budget allows nothing more.
 
-# ... but the shuffle probe's one wedge exchange MUST fit local
-# scratch, which the broadcast probe never touches: the first r15
-# sf10 attempt picked the shuffle probe at 120M edges and died with
+# The shuffle probe's one wedge exchange MUST fit local scratch,
+# which the broadcast probe never touches: the first r15 sf10
+# attempt picked the shuffle probe at 120M edges and died with
 # [No space left on device] — the wedge exchange extrapolates to
-# ~100 GB there (measured 800 B/edge at 12M: 9.1 GB shuffle write per
-# run, .stress/ab_close.json) against 78 GB free. The strategy now
+# ~100 GB there (measured ~830 B/edge at 12M: 9.9 GB shuffle write
+# per run, .stress/ab_close.json) against 78 GB free. The strategy
 # requires a measured scratch-free figure and budgets 2 KB/edge
-# (2.5x the measured rate) before preferring the exchange-paying
+# (~2.5x the measured rate) before preferring the exchange-paying
 # tier; callers pass _scratch_free_bytes(spark). On a real cluster
 # the same guard holds per-executor: scratch scales with the fleet,
 # so the budget passes exactly where the exchange is actually safe.
@@ -2089,16 +2088,18 @@ def _close_strategy(
       (one word per key, all k=3 bits inside it — see triangle_list),
       so exactly ONE hashed words relation is live during the probe:
       the sizing needs no k-way concurrency discount.
-    - ``bloom_shuffle`` (n > 16*cap, AND anywhere past
-      _BLOOM_SHUFFLE_MIN_EDGES — the r15 A/B measured the shuffle
-      probe beating the broadcast probe from ~10^7 edges even with
-      the bitmap comfortably broadcastable): the same 4-bit blocked
-      bitmap, probed via a co-partitioned shuffle hash join on the
-      word index instead of a broadcast. The words table is n/16
-      rows (16x smaller than the closing set) and the wedge side
-      exchanges ONCE on the word index — which it computes for the
-      bit test anyway — then the pruned survivors settle exactness
-      through the usual semi join. Linear in |E| at any scale: this
+    - ``bloom_shuffle`` (ONLY n > 16*cap — the regime where the
+      words table itself outgrows one broadcast; the short-lived r15
+      promotion of this tier above 8M edges in-cap measured two
+      plans equally handicapped by the pushdown bug and is
+      withdrawn — post-fix the broadcast probe wins the 12M A/B row
+      8x because it never exchanges the wedge set at all): the same
+      4-bit blocked bitmap, probed via a co-partitioned shuffle hash
+      join on the word index instead of a broadcast. The words table
+      is n/16 rows (16x smaller than the closing set) and the wedge
+      side exchanges ONCE on the word index — which it computes for
+      the bit test anyway — then the pruned survivors settle
+      exactness through the usual semi join. Linear in |E|: this
       removes the O(|E|*B) bucket-ladder re-enumeration from the
       default plan space entirely.
     - ``bucketed``: the pre-round-15 last resort, kept ONLY behind
@@ -2124,8 +2125,6 @@ def _close_strategy(
     ):
         return ("broadcast", 1, 0)
     if n_edges <= 16 * cap:
-        if n_edges >= _BLOOM_SHUFFLE_MIN_EDGES and shuffle_fits:
-            return ("bloom_shuffle", 1, 4)
         return ("bloom", 1, min(16, max(4, (64 * cap) // max(n_edges, 1))))
     if os.environ.get("PANDITYA_TRIANGLE_LADDER") == "1":
         return ("bucketed", -(-n_edges // cap), 0)
