@@ -21,7 +21,7 @@ Semantics replicated from the reference:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as _W
 
@@ -171,8 +171,8 @@ class _LoopState:
         return out
 
     def round_end_probe(
-        self, df: DataFrame, flag_col: str
-    ) -> tuple[DataFrame, bool]:
+        self, df: DataFrame, flag_col: str, probe: Column | None = None
+    ) -> tuple[DataFrame, object]:
         """Finish a round with ONE state DataFrame and answer "is any
         row's boolean `flag_col` set" in the SAME Spark job: the state
         is marked for a LAZY localCheckpoint and the max(flag)
@@ -180,11 +180,35 @@ class _LoopState:
         round instead of an eager checkpoint plus a separate probe
         scan (VERDICT r5 'What's wrong #3'). On the parquet-spill
         cadence the write is its own job and the probe is a cheap
-        aggregate over the fresh file scan."""
+        aggregate over the fresh file scan.
+
+        probe: optional custom aggregate Column (e.g. F.max("dist"))
+        evaluated instead of max(flag_col); its RAW value is returned
+        so callers can fold any per-round scalar probe into the same
+        materializing job (the r16 job-count fusion).
+
+        r16 rework (guide §1.2 — remove passes): the probe is now an
+        `observe()` metric, computed as a task-side side effect of the
+        SAME action that materializes the round (the eager checkpoint
+        or the parquet spill write). The earlier lazy-checkpoint +
+        max-aggregate shape still paid one extra exchange and, under
+        AQE, an extra job per round; CollectMetrics adds neither (no
+        exchange, no job — measured: probe delivery < 1 ms after the
+        checkpoint job)."""
+        from pyspark.sql import Observation
+
+        agg_expr = (
+            probe if probe is not None else F.max(F.col(flag_col))
+        ).alias("probe")
+        obs = Observation()
+        df = df.observe(obs, agg_expr)
         self._round += 1
         if self._round % self.period == 0:
             out = _checkpoint(df)
-            flag = out.agg(F.max(F.col(flag_col))).first()[0]
+        else:
+            out = df.localCheckpoint(eager=True)
+        flag = obs.get["probe"]
+        if self._round % self.period == 0:
             for c in self._old_window:
                 _release(c)
             for s in self._old_spilled:
@@ -193,13 +217,9 @@ class _LoopState:
             self._old_spilled, self._spilled = self._spilled, [out]
             self._seen = {id(out)}
         else:
-            out = df.localCheckpoint(eager=False)
-            # The aggregate computes every partition, so the lazy
-            # checkpoint is fully materialized by this single action.
-            flag = out.agg(F.max(F.col(flag_col))).first()[0]
             self._window.append(out)
             self._seen.add(id(out))
-        return out, bool(flag)
+        return out, (flag if probe is not None else bool(flag))
 
     def finish(self, *keep: DataFrame) -> None:
         """Release every checkpoint this loop produced except the ones
@@ -271,8 +291,14 @@ def khop_bfs(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(depth))
         )
-        (visited,) = state.round_end(visited.union(nxt))
-        if visited.filter(F.col("dist") == depth).isEmpty():
+        # max(dist) == depth ⇔ this hop added at least one node; the
+        # probe rides the same job that materializes the round (the
+        # round_end_probe fusion — one job per hop instead of
+        # checkpoint + isEmpty).
+        visited, max_dist = state.round_end_probe(
+            visited.union(nxt), "dist", probe=F.max("dist")
+        )
+        if max_dist is None or max_dist < depth:
             break
 
     vnodes = visited.select("node").distinct()
@@ -428,10 +454,13 @@ def connected_components(
     # per-round structure is the right shape.
     state = _LoopState()
     for it in range(max_iter):
-        (labels,) = state.round_end(
-            round_plan(labels, use_delta=it >= 1)
+        # Materialization and the any-changed fixpoint probe share one
+        # job (round_end_probe): the former round_end + isEmpty pair
+        # was two jobs per round at ~150 ms fixed cost each (r16).
+        labels, any_changed = state.round_end_probe(
+            round_plan(labels, use_delta=it >= 1), "changed"
         )
-        if labels.filter("changed").isEmpty():
+        if not any_changed:
             break
     und.unpersist()
     state.finish(labels)
@@ -536,7 +565,9 @@ def _list_chain_depth(e: DataFrame, max_iter: int) -> DataFrame:
             F.col("ptr").alias("p_ptr"),
             F.col("chain_depth").alias("p_depth"),
         )
-        (t,) = state.round_end(
+        # One job per doubling round: the any-live-pointer probe rides
+        # the materializing aggregate (round_end_probe fusion).
+        t, any_ptr = state.round_end_probe(
             t.join(nxt, t.ptr == F.col("p_node"), "left_outer").select(
                 "node",
                 F.col("p_ptr").alias("ptr"),
@@ -545,9 +576,11 @@ def _list_chain_depth(e: DataFrame, max_iter: int) -> DataFrame:
                 )
                 .otherwise(F.col("chain_depth") + F.col("p_depth"))
                 .alias("chain_depth"),
-            )
+            ),
+            "ptr",
+            probe=F.max(F.col("ptr").isNotNull()),
         )
-        if t.filter(F.col("ptr").isNotNull()).isEmpty():
+        if not any_ptr:
             break
     state.finish(t)
     return t.select("node", "chain_depth")
@@ -1372,6 +1405,9 @@ def strongly_connected_components(
     # trim's first layer (deg0 is exactly the flag frame that layer
     # would recompute over the same union) — one shuffle job instead
     # of a distinct-nodes job plus a flags job.
+    from pyspark.sql import Observation
+
+    obs_deg0 = Observation()
     deg0 = (
         e.select(F.col("src").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i"))
         .unionByName(
@@ -1379,14 +1415,30 @@ def strongly_connected_components(
         )
         .groupBy("node")
         .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+        # Node census AND the outer-0 trim layer's on-cycle count ride
+        # the checkpoint job as observe() metrics — the separate
+        # deg0.count() job (and the layer-0 on_cycle count job) fold
+        # away (r16 job fusion, guide §1.2).
+        .observe(
+            obs_deg0,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                ((F.col("o") == 1) & (F.col("i") == 1)).cast("long")
+            ).alias("n_cyc"),
+        )
         .localCheckpoint(eager=True)
     )
-    n_all = deg0.count()
+    _m_deg0 = obs_deg0.get
+    n_all = int(_m_deg0["n"] or 0)
+    n_all_on_cycle = int(_m_deg0["n_cyc"] or 0)
     labels = deg0.select(
         "node", F.lit("0").alias("part"), F.lit(None).cast("string").alias("scc")
     )
     state = _LoopState()
     (labels,) = state.round_end(labels)
+    # Every node starts unsettled; an empty graph starts the loop with
+    # nothing to do. Updated by round_end_probe each outer round.
+    has_active = n_all > 0
 
     for outer in range(max_outer):
         # Ad-hoc checkpoints of this outer round (trim layers, the ae
@@ -1396,9 +1448,9 @@ def strongly_connected_components(
         # state (superseded PROPAGATION labels are released even
         # sooner, inside the loop).
         scratch: list[DataFrame] = [deg0] if outer == 0 else []
-        active = labels.filter(F.col("scc").isNull()).select("node", "part")
-        if active.isEmpty():
+        if not has_active:
             break
+        active = labels.filter(F.col("scc").isNull()).select("node", "part")
         if outer == 0:
             # Single part, every node active: the part-internal join
             # below would be an identity rewrite of e.
@@ -1443,6 +1495,9 @@ def strongly_connected_components(
                 ).select("node")
                 n_act = n_all
             else:
+                from pyspark.sql import Observation
+
+                obs_on = Observation()
                 on_cycle = (
                     ae_cur.select(
                         F.col("src").alias("node"),
@@ -1460,6 +1515,10 @@ def strongly_connected_components(
                     .agg(F.max("o").alias("o"), F.max("i").alias("i"))
                     .filter((F.col("o") == 1) & (F.col("i") == 1))
                     .select("node")
+                    # The layer count rides the checkpoint job as an
+                    # observe() metric — one job per peel layer where
+                    # eager-checkpoint + count() was two (r16 fusion).
+                    .observe(obs_on, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True)
                 )
                 scratch.append(on_cycle)
@@ -1467,7 +1526,11 @@ def strongly_connected_components(
             first_layer = False
             if n_act is None:
                 n_act = act.count()
-            n_on = on_cycle.count()
+            n_on = (
+                n_all_on_cycle
+                if via_deg0
+                else int(obs_on.get["n"])
+            )
             if n_on == n_act:
                 break
             if via_deg0:
@@ -1593,6 +1656,9 @@ def strongly_connected_components(
                 # blowup distributed SCC avoids by design. Rounds are
                 # therefore a DIAMETER bound, with the loud raise
                 # below instead of silent truncation.
+                from pyspark.sql import Observation
+
+                obs = Observation()
                 lab = (
                     lab.select("node", "dir", "val", F.lit(True).alias("is_old"))
                     .unionByName(cand)
@@ -1607,8 +1673,17 @@ def strongly_connected_components(
                         "node", "dir", "val",
                         (F.col("val") < F.col("_old")).alias("chg"),
                     )
+                    # The fixpoint probe rides the SAME job that
+                    # materializes the round: observe() computes
+                    # max(chg) (= OR) as a task-side metric of the
+                    # eager checkpoint — no extra exchange, no extra
+                    # job (r16 fusion; the former eager-checkpoint +
+                    # isEmpty pair was two jobs per propagation round,
+                    # each ~110 ms of fixed cost at sf0.1 — guide §1.2).
+                    .observe(obs, F.max("chg").alias("chg"))
                     .localCheckpoint(eager=True)
                 )
+                any_chg = bool(obs.get["chg"])
                 _release(prev_lab)
                 if (rnd + 1) % 8 == 0:
                     # Parquet spill cadence (the _LoopState discipline,
@@ -1624,7 +1699,7 @@ def strongly_connected_components(
                     spilled = _checkpoint(lab)
                     _release(lab)
                     lab = spilled
-                if lab.filter("chg").isEmpty():
+                if not any_chg:
                     converged = True
                     break
             scratch.append(lab)
@@ -1682,7 +1757,14 @@ def strongly_connected_components(
                 F.coalesce("new_part", "part").alias("part"),
                 F.coalesce("scc", "new_scc").alias("scc"),
             )
-        (labels,) = state.round_end(upd)
+        # round_end_probe folds next round's "any node still
+        # unsettled?" probe into the SAME job that materializes the
+        # label table (max over the flag column) — the former
+        # active.isEmpty() at the top of each outer round was one more
+        # full-frame job per round.
+        labels, has_active = state.round_end_probe(
+            upd.withColumn("unsettled", F.col("scc").isNull()), "unsettled"
+        )
         for c in scratch:
             _release(c)
     else:

@@ -79,7 +79,46 @@ def train_quality_classifier(
             ),
         ]
     )
-    return pipe.fit(features)
+    model = pipe.fit(features)
+    _strip_training_summary(model.stages[-1])
+    return model
+
+
+def _strip_training_summary(lr_model) -> None:
+    """Drop the fitted model's training summary before scoring.
+
+    The summary holds the predictions DataFrame, which holds the
+    SparkSession; scoring serializes the model into the task closure
+    (Java serialization walks `trainingSummary`, it is not transient),
+    so the session rides along. That worked by accident until any
+    `observe()` call in the session initializes the session's lazy
+    `ObservationManager` — a non-serializable field — after which
+    every scoring action dies with "Task not serializable" (found in
+    r16 when the iterative-loop fixpoint probes moved to observe()).
+    Nothing here reads the summary, so drop it: reflection clears the
+    field in-place (0 ms); if the JVM refuses (a future Spark renaming
+    the field), a model save/load round trip — which never persists
+    summaries — is the public-API fallback.
+    """
+    try:
+        jm = lr_model._java_obj
+        fld = jm.getClass().getDeclaredField("trainingSummary")
+        fld.setAccessible(True)
+        from pyspark import SparkContext
+
+        fld.set(jm, SparkContext._active_spark_context._jvm.scala.Option.empty())
+    except Exception:
+        import shutil
+        import tempfile
+
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        d = tempfile.mkdtemp(prefix="lr_strip_")
+        try:
+            lr_model.write().overwrite().save(d)
+            lr_model._java_obj = LogisticRegressionModel.load(d)._java_obj
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def score_quality(model, features: DataFrame, id_col: str) -> DataFrame:

@@ -447,7 +447,7 @@ def kmeans_assign(
         .withColumn("list_id", F.row_number().over(Window.orderBy("centvec")))
     )
 
-    def assign(cents: DataFrame) -> DataFrame:
+    def assign(cents: DataFrame, src: DataFrame, with_prev: bool) -> DataFrame:
         rows = cents.orderBy("list_id").collect()
         if not rows:
             # All-NULL vector column (or empty input) would otherwise
@@ -469,35 +469,45 @@ def kmeans_assign(
             # list_id, so ties break on the smaller id.
             return pd.Series(ids[np.argmax(sims, axis=1)])
 
-        return cand.select("kid", "kvec", best_list("kvec").alias("list_id"))
+        cols = ["kid", "kvec"]
+        if with_prev:
+            # Carry the previous assignment through the projection so
+            # the moved-probe needs no O(n) self-join by kid (r16: the
+            # former new⋈old probe was one full shuffle join + agg job
+            # per Lloyd round; a chained column comparison is free).
+            cols.append(F.col("list_id").alias("prev"))
+        return src.select(*cols, best_list("kvec").alias("list_id"))
+
+    from pyspark.sql import Observation
 
     from panditya_spark.operators.graph import _release
 
-    assigned = assign(cent).localCheckpoint(eager=True)
+    assigned = assign(cent, cand, with_prev=False).localCheckpoint(eager=True)
     for _ in range(max_iter):
         cent = _avg_vectors(assigned, "list_id", "kvec").withColumnRenamed(
             "kvec", "centvec"
         )
-        new = assign(cent).localCheckpoint(eager=False)
-        # ONE full-scan action materializes the lazy checkpoint AND
-        # answers the fixpoint probe (the SSSP round_end_probe shape:
-        # a max-aggregate, not isEmpty — isEmpty is a limit-1 probe
-        # that would short-circuit on the first moved row and leave
-        # the checkpoint partially materialized for the next job to
-        # recompute).
-        moved = bool(
-            new.alias("n")
-            .join(assigned.alias("o"), "kid")
-            .agg(
+        obs = Observation()
+        # Each round chains off the previous checkpointed assignment
+        # (same rows, same vectors — the cached cand would be an
+        # identical scan) and the moved-probe rides the checkpoint job
+        # as an observe() metric: one job per Lloyd round where
+        # checkpoint + probe-join-aggregate was two jobs and an extra
+        # shuffle (r16 fusion, guide §1.2/§2.4).
+        new = (
+            assign(cent, assigned, with_prev=True)
+            .observe(
+                obs,
                 F.max(
-                    (F.col("n.list_id") != F.col("o.list_id")).cast("int")
-                ).alias("m")
+                    (F.col("list_id") != F.col("prev")).cast("int")
+                ).alias("m"),
             )
-            .collect()[0]["m"]
+            .localCheckpoint(eager=True)
         )
-        # The moved-probe above consumed the old assignment for the
-        # last time (the centroid collect and the probe join are the
-        # only readers); release its pinned blocks so repeated
+        moved = bool(obs.get["m"])
+        # The round above consumed the old assignment for the last
+        # time (the centroid collect and the chained projection are
+        # the only readers); release its pinned blocks so repeated
         # invocations in one session don't accumulate block-manager
         # state (the round-10 SCC/HITS discipline).
         _release(assigned)
@@ -793,9 +803,20 @@ def pq_encode(
     through scan→project once and lands as m small ints per vector
     (~32x compression for 64-dim float32 at m=8). Ties take the first
     code (numpy argmin), matching the ADC LUT convention. Returns
-    (id, codes array<int>)."""
+    (id, codes array<int>).
+
+    spread_small_input (guide §2.6/§6 shape, the minhash precedent):
+    a 1-file embedding table otherwise runs this CPU-bearing Arrow
+    stage — and everything fused downstream of it (explode, ADC join,
+    partial aggregate) — as ONE task; the guarded round-robin is a
+    no-op at scale where the scan has >= cores splits. Map-only, so
+    the repartition cannot change any result (measured r16: the
+    ann_pq_sq exec leg 3.0 → 1.7s at sf0.1)."""
     from pyspark.sql.functions import pandas_udf
 
+    from panditya_spark.operators.relational import spread_small_input
+
+    df = spread_small_input(df)
     C = [np.asarray(cj, dtype=np.float64) for cj in codebook]
     m = len(C)
     sub = C[0].shape[1]

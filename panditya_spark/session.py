@@ -41,6 +41,19 @@ def get_spark(app_name: str = "panditya-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        # Long-lived sessions (the bench runs 35 queries × reps; a real
+        # deployment runs for days) accumulate broadcast/shuffle/RDD
+        # state that ContextCleaner only releases on a JVM GC; with a
+        # 12 GB heap, organic GC is rare and the block manager creeps
+        # ~120 MB per iterative-query rep until execution slows
+        # (measured r16: 8 back-to-back g14_scc runs degraded 9.2 →
+        # 21.0 s; with a 90 s periodic GC the same loop held 9.0-9.1 s
+        # on late reps). Default 30min is tuned for multi-hour cluster
+        # jobs; 90 s bounds the creep at a negligible full-GC cost.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
+        )
         .getOrCreate()
     )
     ensure_session_defaults(spark)

@@ -695,6 +695,45 @@ def test_quality_classifier_separates(spark):
     assert all(out[100 + i] == 0 for i in range(len(junk))), out
 
 
+def test_quality_scoring_survives_observe(spark):
+    """Regression (r16): once any query uses Observation/observe(),
+    the session's lazy ObservationManager (non-serializable) is live;
+    an ML model whose task closure drags the SparkSession along via
+    its training summary then dies with "Task not serializable" on
+    every scoring action. train_quality_classifier strips the summary
+    at fit time; this pins the observe-then-score sequence."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from panditya_spark.operators.ml import (
+        quality_feature_frame,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    obs = Observation()
+    spark.range(100).withColumn("f", F.col("id") % 2 == 0).observe(
+        obs, F.max("f").alias("m")
+    ).localCheckpoint(eager=True)
+    assert obs.get["m"] is True
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "markets rallied after the central bank met on tuesday"),
+         (100, "buy now " * 30), (101, "zzz " * 50)],
+        ["doc_id", "text"],
+    )
+    feats = quality_feature_frame(docs, "text", "doc_id")
+    model = train_quality_classifier(
+        feats.withColumn("label", (F.col("doc_id") < 100).cast("int")), "label"
+    )
+    assert not model.stages[-1].hasSummary
+    scored = score_quality(model, feats, "doc_id")
+    scored.write.format("noop").mode("overwrite").save()
+    out = {r["doc_id"]: r["keep"] for r in scored.collect()}
+    assert out[0] == 1 and out[100] == 0, out
+
+
 def test_kmeans_recovers_planted(spark):
     """On genuinely separated clusters (three orthogonal directions +
     small noise), distributed Lloyd recovers the planted partition
