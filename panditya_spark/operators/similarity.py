@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -440,6 +442,57 @@ def kmeans_assign(
         .select(F.col(id_col).alias("kid"), _dbl(F.col(vec_col)).alias("kvec"))
         .cache()
     )
+    # Small-input LOCAL TAIL (guide §1.2: the distributed Lloyd loop is
+    # 3+ driver-round jobs PER iteration — centroid collect, avg
+    # aggregate, assignment checkpoint — ~30 jobs at ~100-150 ms fixed
+    # cost each on a 16-cluster/4-iter run, pure scheduler overhead
+    # when the whole matrix fits one task). When the vector matrix is
+    # small enough, run the ENTIRE fixpoint as one applyInPandas group
+    # using the same numpy mirror the two-level refine already uses —
+    # arithmetic the kmeans_two_level_identity registry row value-
+    # checks against this very loop every round, so the tail is
+    # bit-identical by the same certification. Gated on matrix bytes
+    # AND per-iteration flops (n·k·d) so a wide-k run never lands a
+    # multi-Gflop matmul on one task; both bounds are env-tunable and
+    # scale-independent (a 100 TB run fails both and keeps the
+    # distributed loop).
+    n_rows = cand.count()
+    if n_rows == 0:
+        raise ValueError("kmeans_assign: no non-null vectors to cluster")
+    dim = len(cand.first()["kvec"])
+    local_bytes = int(
+        os.environ.get("PANDITYA_KMEANS_LOCAL_BYTES", str(64 << 20))
+    )
+    local_flops = int(
+        os.environ.get("PANDITYA_KMEANS_LOCAL_FLOPS", str(4_000_000_000))
+    )
+    if (
+        n_rows * dim * 8 <= local_bytes
+        and n_rows * k * dim * (max_iter + 1) <= local_flops
+    ):
+        id_type = df.schema[id_col].dataType.simpleString()
+        km_iters = max_iter
+
+        def local_fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["xxh", "kid"], kind="mergesort")
+            M = np.stack(pdf["kvec"].to_numpy()).astype(np.float64)
+            a = _lloyd_numpy(M, min(k, len(pdf)), km_iters)
+            return pd.DataFrame({"kid": pdf["kid"], "list_id": a})
+
+        assigned = (
+            cand.withColumn("xxh", F.xxhash64(F.col("kid").cast("string")))
+            .withColumn("_g", F.lit(1))
+            .groupBy("_g")
+            .applyInPandas(local_fit, f"kid {id_type}, list_id long")
+            # One computation regardless of downstream fan-out — the
+            # distributed path's per-round checkpoint gives the same
+            # guarantee (semantic_dedup reads the assignment 3×).
+            .localCheckpoint(eager=True)
+        )
+        cand.unpersist()
+        return assigned.select(
+            F.col("kid").alias(id_col), F.col("list_id").alias("cluster")
+        )
     cent = (
         cand.orderBy(F.xxhash64(F.col("kid").cast("string")))
         .limit(k)
@@ -589,36 +642,48 @@ def kmeans_assign_two_level(
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["xxh", "kid"], kind="mergesort")
         M = np.stack(pdf["kvec"].to_numpy()).astype(np.float64)
-        Mn = np.linalg.norm(M, axis=1)
-        Mn[Mn == 0] = 1.0
-        n = len(pdf)
-        k_eff = min(k2, n)
-        C0 = M[:k_eff]
-        # list ids 1..k_eff by lexicographic centroid order — the
-        # Window.orderBy("centvec") convention of kmeans_assign.
-        order = sorted(range(k_eff), key=lambda i: tuple(C0[i]))
-        C = C0[order]
-        ids = np.arange(1, k_eff + 1, dtype=np.int64)
-
-        def assign(C: np.ndarray, ids: np.ndarray) -> np.ndarray:
-            Cn = np.linalg.norm(C, axis=1)
-            Cn[Cn == 0] = 1.0
-            sims = np.round((M @ C.T) / np.outer(Mn, Cn), 6)
-            return ids[np.argmax(sims, axis=1)]
-
-        a = assign(C, ids)
-        for _ in range(max_iter):
-            present = np.unique(a)  # ascending, matching orderBy(list_id)
-            C = np.stack([M[a == c].mean(axis=0) for c in present])
-            new = assign(C, present)
-            moved = bool((new != a).any())
-            a = new
-            if not moved:
-                break
+        a = _lloyd_numpy(M, min(k2, len(pdf)), max_iter)
         base = (int(pdf["coarse"].iloc[0]) - 1) * k2
         return pd.DataFrame({id_col: pdf["kid"], "cluster": base + a})
 
     return cells.groupBy("coarse").applyInPandas(refine, out_schema)
+
+
+def _lloyd_numpy(M: "np.ndarray", k_eff: int, max_iter: int) -> "np.ndarray":
+    """Local numpy Lloyd over a hash-sorted vector matrix — the exact
+    arithmetic mirror of kmeans_assign, shared by the two-level refine
+    and kmeans_assign's small-input local tail (both equalities are
+    value-checked by the kmeans_two_level_identity registry row and
+    the local-tail pytest): init = first k_eff rows of the (xxh, id)-
+    sorted matrix relabeled 1..k_eff in lexicographic centroid order,
+    cosine rounded to 6 decimals before a first-max argmax, exact mean
+    updates over the ascending present-cluster ids, assignment
+    fixpoint or max_iter. Returns assignments aligned to M's rows."""
+    Mn = np.linalg.norm(M, axis=1)
+    Mn[Mn == 0] = 1.0
+    C0 = M[:k_eff]
+    # list ids 1..k_eff by lexicographic centroid order — the
+    # Window.orderBy("centvec") convention of kmeans_assign.
+    order = sorted(range(k_eff), key=lambda i: tuple(C0[i]))
+    C = C0[order]
+    ids = np.arange(1, k_eff + 1, dtype=np.int64)
+
+    def assign(C: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        Cn = np.linalg.norm(C, axis=1)
+        Cn[Cn == 0] = 1.0
+        sims = np.round((M @ C.T) / np.outer(Mn, Cn), 6)
+        return ids[np.argmax(sims, axis=1)]
+
+    a = assign(C, ids)
+    for _ in range(max_iter):
+        present = np.unique(a)  # ascending, matching orderBy(list_id)
+        C = np.stack([M[a == c].mean(axis=0) for c in present])
+        new = assign(C, present)
+        moved = bool((new != a).any())
+        a = new
+        if not moved:
+            break
+    return a
 
 
 def pairwise_cosine_udf():
@@ -705,19 +770,38 @@ def semantic_dedup(
         F.col(id_col).alias("sid"), _dbl(F.col(vec_col)).alias("svec")
     )
     a = assigned.select(F.col(id_col).alias("sid"), "cluster").join(v, "sid")
-    lhs = a.select(
-        "cluster", F.col("sid").alias("id1"), F.col("svec").alias("v1")
-    )
-    rhs = a.select(
-        "cluster", F.col("sid").alias("id2"), F.col("svec").alias("v2")
-    )
-    pcos = pairwise_cosine_udf()
-    dup_ids = (
-        lhs.join(rhs, "cluster")
-        .filter(F.col("id1") < F.col("id2"))
-        .filter(pcos(F.col("v1"), F.col("v2")) >= threshold)
-        .select(F.col("id2").alias("sid"))
-        .distinct()
+    # Within-cluster pair pass as ONE applyInPandas group per cluster
+    # (r16, guide §8 "decide with small rows"): the former
+    # lhs ⋈ rhs self-join materialized every (v1, v2) pair row in the
+    # JVM and shipped ~|cluster|× duplicated vector payloads through
+    # Arrow to the pairwise-cosine UDF (125k pair rows × 2 × 64 doubles
+    # at sf0.1 — the single heaviest job of the query). Grouping ships
+    # each vector ONCE and explodes to pairs only inside task-local
+    # numpy. The arithmetic is the einsum-on-gathered-pair-rows of
+    # pairwise_cosine_udf verbatim (same contraction, same dtype, same
+    # contiguous copies), so per-pair similarities are bit-identical;
+    # the Σ|cluster|² in-memory pair block is the same bound the join
+    # formulation already assumed per task.
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"sid": pdf["sid"][:0]})
+        ids = pdf["sid"].to_numpy()
+        M = np.stack(pdf["svec"].to_numpy()).astype(np.float64)
+        iu, ju = np.triu_indices(n, k=1)
+        swap = ids[iu] > ids[ju]
+        i2 = np.where(swap, iu, ju)
+        A = M[np.where(swap, ju, iu)]
+        B = M[i2]
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        den[den == 0] = 1.0
+        return pd.DataFrame({"sid": np.unique(ids[i2][(num / den) >= threshold])})
+
+    dup_ids = a.groupBy("cluster").applyInPandas(
+        _cluster_dups, f"sid {id_type}"
     )
     return (
         a.select("sid", "cluster")

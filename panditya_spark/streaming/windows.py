@@ -909,12 +909,42 @@ def record_highs(events: DataFrame) -> DataFrame:
         (user_id,) = key
         mx, n_rec = state.get if state.exists else (float("-inf"), 0)
         out = None
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            df = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts", "event_id"]
+        # Column-wise numpy extraction instead of pd.concat +
+        # sort_values: the function runs once PER KEY, so per-call
+        # pandas overhead (frame assembly, index plumbing, quicksort)
+        # multiplies by the key count — measured 8.5s summed update
+        # time per micro-batch at sf0.1 (1500 keys, ~5.7 ms/key),
+        # dominated by pandas frame ops on ~22-row groups (guide §4.2:
+        # hand batches to numpy, not row/frame-ish pandas paths).
+        # np.lexsort replaces the sort; (ts, event_id) is unique so
+        # stability is immaterial and the order is identical.
+        ts_parts: list = []
+        eid_parts: list = []
+        val_parts: list = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_parts.append(pdf["ts"].to_numpy(dtype="datetime64[us]"))
+                eid_parts.append(pdf["event_id"].to_numpy())
+                val_parts.append(pdf["value"].to_numpy(dtype=float))
+        if ts_parts:
+            ts = (
+                ts_parts[0]
+                if len(ts_parts) == 1
+                else np.concatenate(ts_parts)
             )
-            v = df["value"].to_numpy(dtype=float)
+            eid = (
+                eid_parts[0]
+                if len(eid_parts) == 1
+                else np.concatenate(eid_parts)
+            )
+            v = (
+                val_parts[0]
+                if len(val_parts) == 1
+                else np.concatenate(val_parts)
+            )
+            order = np.lexsort((eid, ts))
+            ts = ts[order]
+            v = v[order]
             # Vectorized record detection: a row is a record iff it
             # strictly exceeds the running max of (state ∪ prior rows).
             # Pure comparisons — same bit-exactness as the scalar fold.
@@ -924,14 +954,10 @@ def record_highs(events: DataFrame) -> DataFrame:
             mask = v > prior_max
             if mask.any():
                 seq = n_rec + np.cumsum(mask)[mask]
-                ts_us = (
-                    df["ts"].to_numpy(dtype="datetime64[us]")[mask]
-                    .astype("int64")
-                )
                 out = pd.DataFrame(
                     {
                         "user_id": int(user_id),
-                        "ts_us": ts_us,
+                        "ts_us": ts[mask].astype("int64"),
                         "value": v[mask],
                         "record_seq": seq,
                     }

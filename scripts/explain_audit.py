@@ -146,33 +146,30 @@ def _build_sssp_round(spark, sf_dir):
 
 def _build_semantic_dedup_pairs(spark, sf_dir):
     """The semantic-dedup within-cluster pair plan (the full operator
-    runs its k-means actions eagerly; the gated shape is the candidate
-    join): assignments ⋈ vectors, then the self-join ON THE CLUSTER ID
-    — candidates are bucketed, never an all-pairs product."""
+    runs its k-means actions eagerly; the gated shape is the pair
+    pass): since r16 the pairs are generated INSIDE one applyInPandas
+    group per cluster — each vector crosses the Python boundary once,
+    riding a single cluster-id exchange, instead of the former
+    lhs ⋈ rhs self-join that shipped |cluster|×-duplicated vector
+    payloads through Arrow (guide §8)."""
     from pyspark.sql import functions as F
 
     from panditya_spark.plans.data_pipeline_queries import _t
 
     emb = _t(spark, sf_dir, "embeddings")
     # A stand-in assignment with the real queries' shape (vec_id %
-    # n_clusters) keeps the gate load-independent — the join geometry
+    # n_clusters) keeps the gate load-independent — the group geometry
     # is identical to kmeans_assign's output.
     a = emb.select(
         F.col("vec_id").alias("sid"),
         (F.col("vec_id") % 8).alias("cluster"),
         F.col("embedding").alias("svec"),
     )
-    lhs = a.select("cluster", F.col("sid").alias("id1"), F.col("svec").alias("v1"))
-    rhs = a.select("cluster", F.col("sid").alias("id2"), F.col("svec").alias("v2"))
-    from panditya_spark.operators.similarity import pairwise_cosine_udf
 
-    pcos = pairwise_cosine_udf()
-    return (
-        lhs.join(rhs, "cluster")
-        .filter(F.col("id1") < F.col("id2"))
-        .filter(pcos(F.col("v1"), F.col("v2")) >= 0.999)
-        .select("id1", "id2")
-    )
+    def _dups(pdf):
+        return pdf[["sid"]].iloc[:0]
+
+    return a.groupBy("cluster").applyInPandas(_dups, "sid long")
 
 
 def _build_session_window_batch(spark, sf_dir):
@@ -931,10 +928,17 @@ CHECKS = [
     (
         ("dedup_semantic/cluster_pairs", _build_semantic_dedup_pairs),
         [
-            # SemDeDup's whole point: candidates ride the cluster-id
-            # equi-join, never an all-pairs product.
-            ("pair candidates are cluster-bucketed (equi join)",
-             r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+            # SemDeDup's whole point: candidates are cluster-bucketed —
+            # since r16 one applyInPandas group per cluster (vectors
+            # cross Arrow once), never an all-pairs product or a
+            # pair-row self-join.
+            ("pair pass is one per-cluster Python group",
+             r"FlatMapGroupsInPandas"),
+            ("groups ride a single cluster exchange",
+             ("count<=", "Exchange hashpartitioning(cluster", 1)),
+            ("no pair-row join left in the plan",
+             ("absent", ["SortMergeJoin", "ShuffledHashJoin",
+                         "BroadcastHashJoin"])),
             ("no cartesian/nested-loop join", ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
         ],
     ),

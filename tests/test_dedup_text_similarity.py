@@ -796,6 +796,37 @@ def test_kmeans_two_level_identity_coarse1(spark):
     assert two == single
 
 
+def test_kmeans_local_tail_matches_distributed(spark, monkeypatch):
+    """The r16 small-input local tail (one applyInPandas Lloyd) must be
+    bit-identical to the distributed per-round loop — this is the
+    load-bearing certification now that the two-level identity row
+    compares two numpy paths. The distributed arm is forced via the
+    byte-gate env override; same constructed geometry as the identity
+    test plus planted exact duplicates (the SemDeDup co-cluster
+    invariant) and a null vector (the drop contract)."""
+    import random
+
+    from panditya_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(90)]
+    rows.append((90, list(rows[3][1])))  # planted exact duplicate
+    rows.append((91, None))  # null vector: dropped on both paths
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    local = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, "vec_id", "embedding", k=8).collect()
+    }
+    monkeypatch.setenv("PANDITYA_KMEANS_LOCAL_BYTES", "0")
+    dist = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, "vec_id", "embedding", k=8).collect()
+    }
+    assert dist == local
+    assert 91 not in local and local[90] == local[3]
+
+
 def test_kmeans_two_level_past_cap_recovers_exact_duplicates(spark):
     """The escape hatch at work: k=5000 > SEMANTIC_DEDUP_MAX_K runs
     through coarse+refine (71×71 levels, both inside the cap) and
