@@ -76,38 +76,72 @@ def constraint_report(
       their own not_null check if desired, not here — SQL FK
       semantics: null references are not violations).
     """
+    # r16 (guide §1.2/§2.6): the suite used to run one DRIVER ACTION
+    # per constraint family — conditional-count first(), a first() per
+    # unique key, a count() per reference — then re-created a local
+    # DataFrame from the collected scalars. Serial actions pay the
+    # per-job driver fixed cost once EACH (measured ~2s of driver gap
+    # on a 3-action suite at sf0.1) and serialize stages that share no
+    # data. All legs now union into ONE lazy plan: a single action
+    # computes every constraint with the independent scans scheduled
+    # together, and nothing is collected to the driver at all.
     spark = df.sparkSession
-    results: list[tuple[str, int]] = []
+    legs: list[DataFrame] = []
     if checks:
-        row = _conditional_counts(df, checks).first()
-        results = [(name, row[i]) for i, (name, _) in enumerate(checks)]
+        kvs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("constraint_name"),
+                    F.col(f"c{i}").alias("n_violations"),
+                )
+                for i, (name, _) in enumerate(checks)
+            ]
+        )
+        legs.append(
+            _conditional_counts(df, checks)
+            .select(F.explode(kvs).alias("kv"))
+            .select("kv.constraint_name", "kv.n_violations")
+        )
 
     for keys in unique_keys or []:
-        dup = (
+        legs.append(
             df.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(
                 F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
                 .cast("bigint")
-                .alias("v")
+                .alias("n_violations")
             )
-            .first()["v"]
+            .select(
+                F.lit(f"unique({','.join(keys)})").alias("constraint_name"),
+                "n_violations",
+            )
         )
-        results.append((f"unique({','.join(keys)})", dup))
 
     for fk, dim, pk in references or []:
-        orphans = (
+        legs.append(
             df.filter(F.col(fk).isNotNull())
             .join(
                 dim.select(F.col(pk).alias(fk)).distinct(),
                 fk,
                 "left_anti",
             )
-            .count()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(
+                F.lit(f"ref({fk}->{pk})").alias("constraint_name"),
+                "n_violations",
+            )
         )
-        results.append((f"ref({fk}->{pk})", orphans))
 
-    return spark.createDataFrame(
-        [(name, int(v), int(v == 0)) for name, v in results],
-        ["constraint_name", "n_violations", "satisfied"],
+    if not legs:
+        return spark.createDataFrame(
+            [],
+            "constraint_name string, n_violations bigint, satisfied bigint",
+        )
+    report = legs[0]
+    for leg in legs[1:]:
+        report = report.unionByName(leg)
+    # satisfied mirrors the former int(v == 0) → LongType exactly.
+    return report.withColumn(
+        "satisfied", (F.col("n_violations") == 0).cast("bigint")
     )

@@ -2378,6 +2378,15 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = chunks.select(
         (hv % 8).alias("shard_id"), "n_words", "chunk_text"
     )
+    # Materialize ONCE before the range write (r16, guide §1.2):
+    # repartitionByRange runs a separate range-boundary SAMPLING job
+    # over its child, so an un-materialized child executes the whole
+    # gate → dedup → chunk pipeline TWICE (once to sample shard_id
+    # bounds, once to write). The checkpoint bounds that to one
+    # execution plus a (chunk-sized) materialization — at production
+    # scale the same role is played by the staging table a shard build
+    # writes anyway before laying out files.
+    sharded = sharded.localCheckpoint(eager=True)
     suffix = _sf_suffix(sf_dir)
     out = os.path.join(_sink_dir(f"train_shards_{suffix}"), "shards")
     (

@@ -59,25 +59,48 @@ def _media(
     mapInPandas stage so the downstream featurizer parses a genuine
     binary column it did not produce.
 
-    spread_for_decode: mapInPandas parallelism equals upstream partition
-    count, so a single-file media table decodes on one core unless
-    round-robin spread first — but the spread shuffles the PAYLOAD
-    bytes, so it only pays when decode CPU outweighs the bytes moved
-    (measured at sf0.1 with the near-free ramp codec: 3.0s → 7.8s
-    regression, VERDICT r2 #4), so the default is False; a heavier
-    JPEG/Opus-class decode flips the ratio, and that deployment passes
-    True. At 100 TB the input arrives in thousands of scan splits and
-    spread_small_input is a no-op either way — this knob only matters
-    for small single-split inputs."""
-    from panditya_spark.operators.relational import spread_small_input
+    spread_for_decode: retained for callers that want the FULL-core
+    round-robin spread of the raw (id, text) rows; the default path
+    now always applies a VOLUME-SIZED spread instead (r16, guide
+    §2.5/§4): mapInPandas parallelism equals upstream partition count,
+    so a single-file media table ran the whole synth → codec →
+    featurize chain on ONE task (measured 1.7-1.9 s at sf0.1). But
+    the three chained MapInPandas stages each hold a Python worker per
+    task, so spreading a 2000-row input to all 32 cores spawns ~96
+    workers whose startup/pipe overhead eats the win (measured A/B at
+    sf0.1, warm min-of-2: no spread 1.90 s, 32-way 1.68-2.19 s flat,
+    8-way 0.85 s, 4-way 0.96 s). The target therefore scales with
+    input bytes (~1 task per 100 KB of source parquet, floor 2, cap
+    defaultParallelism) — tiny inputs get modest parallelism, bigger
+    tiers grow toward the full core count, and at 100 TB the scan
+    already has ≥ cores splits so the spread is a no-op."""
+    import os
 
     docs = _t(spark, sf_dir, "documents")
     # Project BEFORE any spread so only (id, text) ever moves.
     slim = docs.select(
         F.col("doc_id").cast("string").alias("media_id"), "text"
     )
+    cores = spark.sparkContext.defaultParallelism
     if spread_for_decode:
-        slim = spread_small_input(slim)
+        target = cores
+    else:
+        try:
+            files = slim.inputFiles()
+            nbytes = sum(
+                os.path.getsize(f.removeprefix("file:")) for f in files
+            )
+            target = (
+                max(2, min(cores, nbytes // (100 << 10)))
+                if 0 < len(files) < cores
+                else 0
+            )
+        except Exception:  # non-file source — leave as-is
+            target, files = 0, []
+        if target and len(files) >= target:
+            target = 0
+    if target:
+        slim = slim.repartition(target)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

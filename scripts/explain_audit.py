@@ -470,9 +470,19 @@ CHECKS = [
     (
         "mm_image_features",
         [
-            # VERDICT r2 #4: the stub-codec path must NOT shuffle
-            # payload bytes before mapInPandas.
-            ("no payload shuffle before decode (no Exchange)", ("absent", ["Exchange"])),
+            # VERDICT r2 #4 + r16 volume-sized spread: payload bytes
+            # (the synthesized PNG/WAV) must never shuffle — the ONE
+            # permitted exchange is the pre-synthesis round-robin
+            # spread of the slim (media_id, text) rows (guide §2.5/§4:
+            # mapInPandas parallelism = upstream partition count, and
+            # the sf inputs are single-split).
+            ("only the slim pre-synth rows are ever exchanged",
+             r"Exchange\nInput \[2\]: \[media_id#\d+, text#\d+\]\n"
+             r"Arguments: RoundRobinPartitioning"),
+            ("no second exchange (payload never shuffles)",
+             ("count<=", "Exchange (", 1)),
+            ("no key shuffle anywhere",
+             ("absent", ["hashpartitioning", "rangepartitioning"])),
             ("scan prunes to (doc_id, text)",
              r"ReadSchema: struct<doc_id:bigint,text:string"),
         ],
@@ -818,9 +828,14 @@ CHECKS = [
     (
         "mm_image_resize",
         [
-            # decode → numpy resample → re-encode → re-parse: all
-            # map-only, chained Arrow stages, zero shuffles.
-            ("resize+reparse is map-only (no Exchange)", ("absent", ["Exchange"])),
+            # decode → numpy resample → re-encode → re-parse: chained
+            # Arrow stages with ONE pre-synthesis slim-row spread
+            # (r16); the binary payload itself never shuffles.
+            ("only the slim pre-synth rows are ever exchanged",
+             r"Exchange\nInput \[2\]: \[media_id#\d+, text#\d+\]\n"
+             r"Arguments: RoundRobinPartitioning"),
+            ("no second exchange (payload never shuffles)",
+             ("count<=", "Exchange (", 1)),
             ("scan prunes to (doc_id, text)",
              r"ReadSchema: struct<doc_id:bigint,text:string"),
         ],
@@ -828,7 +843,11 @@ CHECKS = [
     (
         "mm_audio_features",
         [
-            ("WAV synth+parse is map-only (no Exchange)", ("absent", ["Exchange"])),
+            ("only the slim pre-synth rows are ever exchanged",
+             r"Exchange\nInput \[2\]: \[media_id#\d+, text#\d+\]\n"
+             r"Arguments: RoundRobinPartitioning"),
+            ("no second exchange (payload never shuffles)",
+             ("count<=", "Exchange (", 1)),
             ("scan prunes to (doc_id, text)",
              r"ReadSchema: struct<doc_id:bigint,text:string"),
         ],
