@@ -181,7 +181,15 @@ def ngram_jaccard_pairs(
         if max_doc_freq is None
         else _rotate_cache("shingles_capped", _cap_shingle_df(raw, max_doc_freq))
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Cached (r16): sizes joins the verify stage TWICE (s1 on doc1,
+    # s2 on doc2), and each reference is its own subtree — uncached,
+    # the per-doc count re-aggregates the full shingle cache per side.
+    # |docs| rows; shared family across the jaccard/minhash operators
+    # (identical plan -> sameSemantics reuse).
+    sizes = _rotate_cache(
+        "shingle_sizes",
+        sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh")),
+    )
     a = sh.withColumnRenamed("doc", "doc1")
     b = sh.withColumnRenamed("doc", "doc2")
     common = (
@@ -270,6 +278,16 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # Cache the band table before the bucket self-join (r16, guide
+    # §2.4/§5): each side of the self-join is its own plan subtree, so
+    # an uncached band table pays the WHOLE signature computation — a
+    # full shuffle of the shingle table plus num_hashes min-aggregates,
+    # the dominant stage of the candidate pass — TWICE. (AQE exchange
+    # reuse does not collapse them: the sides' output attributes
+    # differ, doc1 vs doc2.) The cached table is bands×|docs| narrow
+    # rows — (doc, band, bucket) — a tiny fraction of the shingle
+    # volume it replaces recomputing.
+    band_entries = _rotate_cache("minhash_bands", band_entries)
     a = band_entries.withColumnRenamed("doc", "doc1")
     b = band_entries.withColumnRenamed("doc", "doc2")
     return (
@@ -310,7 +328,15 @@ def minhash_dedup_pairs(
     cands = minhash_lsh_candidates(
         df, text_col, id_col, k, num_hashes, bands, shingles=sh
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Cached (r16): sizes joins the verify stage TWICE (s1 on doc1,
+    # s2 on doc2), and each reference is its own subtree — uncached,
+    # the per-doc count re-aggregates the full shingle cache per side.
+    # |docs| rows; shared family across the jaccard/minhash operators
+    # (identical plan -> sameSemantics reuse).
+    sizes = _rotate_cache(
+        "shingle_sizes",
+        sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh")),
+    )
     a = sh.withColumnRenamed("doc", "doc1")
     b = sh.withColumnRenamed("doc", "doc2")
     # Intersection counted per CANDIDATE pair — candidates drive the
