@@ -125,14 +125,47 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a10_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One pass (r16, guide §1.2/§2.4): the former per-direction
+    # groupBys were two independent subtrees, so the edge-table build
+    # ran twice (4 parquet scans) through two keyed shuffles plus two
+    # single-row aggregates and a crossJoin. Each edge now contributes
+    # (src, out) and (dst, in) rows to ONE node-keyed aggregate —
+    # one scan pass, one keyed exchange (map-side partial agg keeps
+    # shuffle rows at distinct-nodes, not 2|E|), one global fold.
+    # avg over the when-filtered column sees exactly the rows the old
+    # per-direction groupBy produced (avg ignores nulls), and degree
+    # sums are integers < 2^53, so the double average is bit-identical
+    # regardless of partition order.
     edges = key_chain_edges(spark, sf_dir)
-    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
-    o = outd.agg(
-        F.max("d").alias("max_out_degree"), F.avg("d").alias("avg_out_degree")
+    deg = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.lit(1).alias("o"),
+                        F.lit(0).alias("i"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.lit(0).alias("o"),
+                        F.lit(1).alias("i"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.node", "c.o", "c.i")
+        .groupBy("node")
+        .agg(F.sum("o").alias("d_out"), F.sum("i").alias("d_in"))
     )
-    i = ind.agg(F.max("d").alias("max_in_degree"), F.avg("d").alias("avg_in_degree"))
-    return o.crossJoin(i)
+    d_out = F.when(F.col("d_out") > 0, F.col("d_out"))
+    d_in = F.when(F.col("d_in") > 0, F.col("d_in"))
+    return deg.agg(
+        F.max(d_out).alias("max_out_degree"),
+        F.avg(d_out).alias("avg_out_degree"),
+        F.max(d_in).alias("max_in_degree"),
+        F.avg(d_in).alias("avg_in_degree"),
+    )
 
 
 # ---------------------------------------------------------------- G12/A8

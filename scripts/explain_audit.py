@@ -400,6 +400,24 @@ CHECKS = [
         ],
     ),
     (
+        "a10_degree_stats",
+        [
+            # r16 one-pass rewrite: both degree directions ride ONE
+            # node-keyed aggregate — one edge-table build (2 scans, one
+            # per input table), one keyed exchange + the single-row
+            # fold, no per-direction subtree duplication and no
+            # crossJoin of the two stat rows.
+            ("one pass: at most 2 exchanges (node key + global fold)",
+             ("count<=", "Exchange (", 2)),
+            ("edge table built once (one scan per input table)",
+             ("count<=", "Scan parquet  (", 2)),
+            ("no cross join of per-direction stat rows",
+             ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
+            ("map-side partial aggregation before the node exchange",
+             r"HashAggregate.*partial|partial_"),
+        ],
+    ),
+    (
         "a4_count_distinct",
         [
             ("partial aggregation", r"partial"),
@@ -656,7 +674,7 @@ CHECKS = [
             # formatted plan prints each node twice (tree + detail), so
             # one physical scan = 2 occurrences.
             ("single corpus scan feeds the whole DAG",
-             ("count<=", "Scan parquet", 2)),
+             ("count<=", "Scan parquet  (", 2)),
             ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
         ],
     ),
