@@ -735,10 +735,17 @@ def substring_coverage(
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = base.select("doc", F.posexplode(grams_arr).alias("pos", "gram"))
+    # "Occurs in ANOTHER document" needs only the ≥2-distinct-docs
+    # PREDICATE, not the distinct count: min(doc) != max(doc) is
+    # equivalent and map-side combinable, so the frequency side pays
+    # ONE gram-keyed exchange — count_distinct planned an extra full
+    # (gram, doc) dedup shuffle of the same ~16 MB gram stream first
+    # (r16, guide §2.3/§2.4; executed at sf0.1: two 233k-record
+    # exchanges → one).
     shared = (
         g.groupBy("gram")
-        .agg(F.count_distinct("doc").alias("dd"))
-        .filter(F.col("dd") >= 2)
+        .agg(F.min("doc").alias("d0"), F.max("doc").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("gram")
     )
     sp = g.join(shared, "gram", "semi").select("doc", "pos")

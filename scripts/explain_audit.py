@@ -883,6 +883,12 @@ CHECKS = [
         "dedup_substring_coverage",
         [
             ("gram frequency partial-aggregated before shuffle", r"partial"),
+            # r16: the shared-gram predicate is min(doc) != max(doc) —
+            # ONE map-side-combinable gram exchange; count_distinct
+            # would re-introduce a second full (gram, doc) dedup
+            # shuffle of the gram stream.
+            ("one-shuffle shared-gram predicate (no distinct-count)",
+             ("absent", ["count(distinct", "partial_count(distinct"])),
             ("no cartesian/nested-loop join (linear in occurrences)",
              ("absent", ["CartesianProduct", "BroadcastNestedLoop"])),
             ("no Python eval in plan", ("absent", ["BatchEvalPython", "ArrowEvalPython"])),
