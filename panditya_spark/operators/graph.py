@@ -1431,14 +1431,20 @@ def strongly_connected_components(
     _m_deg0 = obs_deg0.get
     n_all = int(_m_deg0["n"] or 0)
     n_all_on_cycle = int(_m_deg0["n_cyc"] or 0)
+    # labels stays a LAZY projection over the checkpointed deg0 census:
+    # three literal columns, each consumer reads it at most twice per
+    # round, so the former eager round_end here paid one full-frame
+    # materialization job for nothing (r16 trim fusion, guide §1.2).
     labels = deg0.select(
         "node", F.lit("0").alias("part"), F.lit(None).cast("string").alias("scc")
     )
     state = _LoopState()
-    (labels,) = state.round_end(labels)
     # Every node starts unsettled; an empty graph starts the loop with
-    # nothing to do. Updated by round_end_probe each outer round.
-    has_active = n_all > 0
+    # nothing to do. Updated each outer round by the round_end_probe,
+    # whose probe now carries the unsettled COUNT (not just any-left):
+    # the count doubles as the next round's n_act, folding the former
+    # act.count() job into the label materialization (r16 trim fusion).
+    n_unsettled = n_all
 
     for outer in range(max_outer):
         # Ad-hoc checkpoints of this outer round (trim layers, the ae
@@ -1448,7 +1454,7 @@ def strongly_connected_components(
         # state (superseded PROPAGATION labels are released even
         # sooner, inside the loop).
         scratch: list[DataFrame] = [deg0] if outer == 0 else []
-        if not has_active:
+        if n_unsettled <= 0:
             break
         active = labels.filter(F.col("scc").isNull()).select("node", "part")
         if outer == 0:
@@ -1484,8 +1490,30 @@ def strongly_connected_components(
         # otherwise pay full-frame rewrites per straggler (the round-8
         # adaptive-gate rationale); stragglers the gate leaves behind
         # settle through later outer rounds' singleton classes.
-        act, ae_cur, trimmed_all = active, ae, None
-        n_act = None
+        # r16 trim fusion (guide §1.2/§2.4 — remove jobs and joins the
+        # algebra already answers): per peel layer exactly TWO frames
+        # materialize — the flag frame (whose count rides its own
+        # checkpoint as an observe() metric) and the surviving edge
+        # frame. Three former per-layer jobs folded away:
+        #   - act semi-join: on_cycle ⊆ endpoints(ae_cur) ⊆ act, so
+        #     act ∩ on_cycle == on_cycle — the next act IS the already-
+        #     checkpointed flag frame (no join, no job). act therefore
+        #     carries only `node`; the partition id is re-attached at
+        #     settle time from the labels table (part is functionally
+        #     determined by node).
+        #   - trimmed anti-join + trimmed_all union checkpoints: the
+        #     per-layer trimmed sets accumulate LAZILY (each one an
+        #     anti-join over frames that are already checkpointed) and
+        #     materialize once, inside the round-end label rewrite.
+        #     The small_trim branch still materializes its tiny frame
+        #     eagerly — it is broadcast into the act/ae_cur rewrites,
+        #     where a lazy plan would recompute the anti-join per use.
+        #   - the act.count() at outer>0: the previous round's probe
+        #     carries the unsettled COUNT (see round_end_probe below),
+        #     so n_act arrives with the label checkpoint for free.
+        act, ae_cur = active.select("node"), ae
+        trimmed_parts: list[DataFrame] = []
+        n_act = n_all if outer == 0 else n_unsettled
         first_layer = True
         for layer in range(max_inner):
             if outer == 0 and first_layer:
@@ -1493,10 +1521,7 @@ def strongly_connected_components(
                 on_cycle = deg0.filter(
                     (F.col("o") == 1) & (F.col("i") == 1)
                 ).select("node")
-                n_act = n_all
             else:
-                from pyspark.sql import Observation
-
                 obs_on = Observation()
                 on_cycle = (
                     ae_cur.select(
@@ -1524,8 +1549,6 @@ def strongly_connected_components(
                 scratch.append(on_cycle)
             via_deg0 = outer == 0 and first_layer
             first_layer = False
-            if n_act is None:
-                n_act = act.count()
             n_on = (
                 n_all_on_cycle
                 if via_deg0
@@ -1541,24 +1564,22 @@ def strongly_connected_components(
                     ~((F.col("o") == 1) & (F.col("i") == 1))
                 ).select("node")
             else:
-                trimmed = act.join(
-                    on_cycle, "node", "left_anti"
-                ).localCheckpoint(eager=True)
-                scratch.append(trimmed)
-            trimmed_all = (
-                trimmed
-                if trimmed_all is None
-                else trimmed_all.unionByName(trimmed).localCheckpoint(eager=True)
-            )
-            scratch.append(trimmed_all)
+                # Lazy: both inputs are checkpointed; the anti-join
+                # runs once, inside the round-end label rewrite.
+                trimmed = act.join(on_cycle, "node", "left_anti").select(
+                    "node"
+                )
             small_trim = (n_act - n_on) < max(64, 0.02 * n_act)
             if small_trim:
-                # Tiny strip: rewrite act/ae_cur as LAZY broadcast
-                # anti-joins against the small trimmed frame — they
-                # materialize for free inside the lab-init checkpoint
-                # and the prop scans below; eager per-frame rewrites
-                # would cost two full materializations to drop a
-                # handful of rows.
+                # Tiny strip: materialize the small trimmed frame once
+                # and rewrite act/ae_cur as LAZY broadcast anti-joins
+                # against it — they materialize for free inside the
+                # lab-init checkpoint and the prop scans below; eager
+                # per-frame rewrites would cost two full
+                # materializations to drop a handful of rows.
+                trimmed = trimmed.localCheckpoint(eager=True)
+                scratch.append(trimmed)
+                trimmed_parts.append(trimmed)
                 t_src = trimmed.select(F.col("node").alias("src"))
                 t_dst = trimmed.select(F.col("node").alias("dst"))
                 act = act.join(F.broadcast(trimmed), "node", "left_anti")
@@ -1567,8 +1588,8 @@ def strongly_connected_components(
                 )
                 n_act = n_on
                 break
-            act = act.join(on_cycle, "node", "semi").localCheckpoint(eager=True)
-            scratch.append(act)
+            trimmed_parts.append(trimmed)
+            act = on_cycle
             ae_cur = (
                 ae_cur.join(act.select(F.col("node").alias("src")), "src", "semi")
                 .join(act.select(F.col("node").alias("dst")), "dst", "semi")
@@ -1579,14 +1600,15 @@ def strongly_connected_components(
             if (layer + 1) % 8 == 0:
                 # Same parquet spill cadence as the propagation loop:
                 # a deep DAG peel chains localCheckpoints whose carried
-                # stats compound per layer.
-                act = _checkpoint(act)
+                # stats compound per layer (act needs none: it IS the
+                # per-layer flag checkpoint, one level off ae_cur).
                 ae_cur = _checkpoint(ae_cur)
-                scratch.append(act)
                 scratch.append(ae_cur)
-                if trimmed_all is not None:
-                    trimmed_all = _checkpoint(trimmed_all)
-                    scratch.append(trimmed_all)
+                if trimmed_parts:
+                    spilled_trim = _checkpoint(reduce_union(trimmed_parts))
+                    trimmed_parts = [spilled_trim]
+                    scratch.append(spilled_trim)
+        trimmed_all = reduce_union(trimmed_parts) if trimmed_parts else None
         if n_act == 0:
             wide = None
         else:
@@ -1727,7 +1749,11 @@ def strongly_connected_components(
                 # part is the constant "0" — no need to join act back.
                 pairs = pairs.withColumn("part", F.lit("0"))
             else:
-                pairs = pairs.join(act, "node")
+                # act carries only `node` since the r16 trim fusion;
+                # part (functionally determined by node) is re-attached
+                # from the checkpointed labels — pairs' nodes ⊆ act ⊆
+                # active, so the inner join is exactly the old act join.
+                pairs = pairs.join(active, "node")
             wide = pairs.select(
                 "node",
                 F.when(F.col("lf") == F.col("lb"), F.col("lf")).alias("new_scc"),
@@ -1757,14 +1783,17 @@ def strongly_connected_components(
                 F.coalesce("new_part", "part").alias("part"),
                 F.coalesce("scc", "new_scc").alias("scc"),
             )
-        # round_end_probe folds next round's "any node still
+        # round_end_probe folds next round's "how many nodes are still
         # unsettled?" probe into the SAME job that materializes the
-        # label table (max over the flag column) — the former
-        # active.isEmpty() at the top of each outer round was one more
-        # full-frame job per round.
-        labels, has_active = state.round_end_probe(
-            upd.withColumn("unsettled", F.col("scc").isNull()), "unsettled"
+        # label table — the COUNT (not just any-left) doubles as the
+        # next round's trim n_act, so neither the former
+        # active.isEmpty() nor the former act.count() costs a job.
+        labels, _n_raw = state.round_end_probe(
+            upd.withColumn("unsettled", F.col("scc").isNull()),
+            "unsettled",
+            probe=F.sum(F.col("unsettled").cast("long")),
         )
+        n_unsettled = int(_n_raw or 0)
         for c in scratch:
             _release(c)
     else:

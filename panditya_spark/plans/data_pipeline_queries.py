@@ -647,17 +647,35 @@ def ann_pq_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     below one double ulp — not a property of the synthetic embeddings.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    stats = (
-        emb.select(
-            F.posexplode(
-                F.transform("embedding", lambda x: x.cast("double"))
-            ).alias("j", "x")
-        )
-        .groupBy("j")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-        .orderBy("j")
-        .collect()
+    # Per-dimension min/max as ONE flat aggregate over the array column
+    # (r16, guide §1.2/§2.3): the former posexplode → groupBy(j) shape
+    # generated dim× the row count and shuffled it; 2×_PQ_DIM agg
+    # expressions read each vector in place — no Generate node, and the
+    # exchange carries one partially-aggregated row per map task. Same
+    # values bit-for-bit: element_at(_, j+1) over every row is exactly
+    # the multiset posexplode grouped per j (both engines ignore NULLs,
+    # and the dim assert keeps ragged inputs loud).
+    stats_row = emb.agg(
+        F.max(F.size("embedding")).alias("max_dim"),
+        *[
+            agg(F.element_at("embedding", j + 1).cast("double")).alias(
+                f"{nm}{j}"
+            )
+            for j in range(_PQ_DIM)
+            for nm, agg in (("lo", F.min), ("hi", F.max))
+        ]
+    ).first()
+    # Both raggedness directions stay loud, as with the old per-j rows:
+    # a longer vector trips max_dim; a shorter one leaves its tail dims
+    # all-NULL, dropping them from stats.
+    assert stats_row["max_dim"] == _PQ_DIM, (
+        f"embedding dim {stats_row['max_dim']} != {_PQ_DIM}"
     )
+    stats = [
+        {"lo": stats_row[f"lo{j}"], "hi": stats_row[f"hi{j}"]}
+        for j in range(_PQ_DIM)
+        if stats_row[f"lo{j}"] is not None
+    ]
     assert len(stats) == _PQ_DIM, f"embedding dim {len(stats)} != {_PQ_DIM}"
     cb = []
     for r in stats:
@@ -2394,11 +2412,17 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         # task writes a sliver into every shard dir (tasks x shards
         # small files — measured 2.5x slower end-to-end at sf0.1); a
         # real build sizes this to target-file-size, not 1 file/shard.
-        # repartitionByRange, not hash repartition: murmur3 of the 8
-        # shard ids collides into 4 of 8 partitions (one task would
-        # serialize 3 shards); range partitioning keys each distinct
-        # shard id to its own task.
-        sharded.repartitionByRange(8, "shard_id")
+        # Plain murmur3 of the 8 shard ids collides into 4 of 8
+        # partitions (one task would serialize 3 shards), and
+        # repartitionByRange avoids that only by running a separate
+        # range-boundary SAMPLING job over the staged chunks per build.
+        # The +347 offset below is a searched constant that makes
+        # pmod(murmur3_42(shard_id + 347), 8) a BIJECTION on {0..7}
+        # (pinned by test_shard_repartition_offset_is_bijective), so a
+        # deterministic hash repartition keys each shard to its own
+        # task with NO sampling pass (r16, guide §2.4/§2.5 — the
+        # synthetic-key trick, searched instead of guessed).
+        sharded.repartition(8, F.col("shard_id") + F.lit(347).cast("bigint"))
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(out)

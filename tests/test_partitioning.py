@@ -320,3 +320,22 @@ def test_quarantine_read_routes_bad_lines(spark, tmp_path):
     assert 'not json at all' in raws
     # The raw line is preserved verbatim for replay.
     assert '{"k": 2, "v": ' in raws
+
+
+# ---------------------------------------------- shard routing bijection
+def test_shard_repartition_offset_is_bijective(spark):
+    """pipeline_training_shards keys each of its 8 shard ids to its own
+    write task via repartition(8, shard_id + 347): the offset is a
+    searched constant making pmod(murmur3_42(shard_id + 347), 8) a
+    bijection on {0..7} — one file per shard dir with NO range-sampling
+    job. This pins the constant against hash/partitioner drift (a
+    collision would silently serialize two shards into one task)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(8).select(F.col("id").cast("bigint").alias("shard_id"))
+    pids = (
+        df.repartition(8, F.col("shard_id") + F.lit(347).cast("bigint"))
+        .select(F.spark_partition_id().alias("pid"))
+        .collect()
+    )
+    assert sorted(r["pid"] for r in pids) == list(range(8))
