@@ -565,18 +565,29 @@ def _list_chain_depth(e: DataFrame, max_iter: int) -> DataFrame:
             F.col("ptr").alias("p_ptr"),
             F.col("chain_depth").alias("p_depth"),
         )
+        # Live/settled split (r16, guide §2.3 — shuffle fewer bytes):
+        # rows whose pointer already died pass through the old
+        # left-outer join UNCHANGED (a null key matches nothing), so
+        # only the LIVE rows enter the self-join and the settled bulk
+        # rides a union straight into the checkpoint. The join turns
+        # inner: every live ptr is a node id, and nxt covers every
+        # node, so a match is guaranteed and p_depth is never null.
+        # Per-round exchanged bytes now track the shrinking live set —
+        # and once it fits the broadcast threshold AQE builds the live
+        # side, leaving the full-table probe side unshuffled. Values
+        # are bit-identical to the unsplit round.
+        live = t.filter(F.col("ptr").isNotNull())
+        done = t.filter(F.col("ptr").isNull())
         # One job per doubling round: the any-live-pointer probe rides
         # the materializing aggregate (round_end_probe fusion).
         t, any_ptr = state.round_end_probe(
-            t.join(nxt, t.ptr == F.col("p_node"), "left_outer").select(
+            live.join(nxt, live.ptr == F.col("p_node")).select(
                 "node",
                 F.col("p_ptr").alias("ptr"),
-                F.when(
-                    F.col("ptr").isNull(), F.col("chain_depth")
-                )
-                .otherwise(F.col("chain_depth") + F.col("p_depth"))
-                .alias("chain_depth"),
-            ),
+                (F.col("chain_depth") + F.col("p_depth")).alias(
+                    "chain_depth"
+                ),
+            ).unionByName(done),
             "ptr",
             probe=F.max(F.col("ptr").isNotNull()),
         )

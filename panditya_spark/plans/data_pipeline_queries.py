@@ -647,35 +647,24 @@ def ann_pq_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     below one double ulp — not a property of the synthetic embeddings.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    # Per-dimension min/max as ONE flat aggregate over the array column
-    # (r16, guide §1.2/§2.3): the former posexplode → groupBy(j) shape
-    # generated dim× the row count and shuffled it; 2×_PQ_DIM agg
-    # expressions read each vector in place — no Generate node, and the
-    # exchange carries one partially-aggregated row per map task. Same
-    # values bit-for-bit: element_at(_, j+1) over every row is exactly
-    # the multiset posexplode grouped per j (both engines ignore NULLs,
-    # and the dim assert keeps ragged inputs loud).
-    stats_row = emb.agg(
-        F.max(F.size("embedding")).alias("max_dim"),
-        *[
-            agg(F.element_at("embedding", j + 1).cast("double")).alias(
-                f"{nm}{j}"
-            )
-            for j in range(_PQ_DIM)
-            for nm, agg in (("lo", F.min), ("hi", F.max))
-        ]
-    ).first()
-    # Both raggedness directions stay loud, as with the old per-j rows:
-    # a longer vector trips max_dim; a shorter one leaves its tail dims
-    # all-NULL, dropping them from stats.
-    assert stats_row["max_dim"] == _PQ_DIM, (
-        f"embedding dim {stats_row['max_dim']} != {_PQ_DIM}"
+    # Stats pass kept as posexplode → groupBy(j) DELIBERATELY (r16): a
+    # "plan-prettier" rewrite as one flat 2×_PQ_DIM-expression aggregate
+    # (no Generate node) was measured 3× SLOWER warm (1.09-1.45s vs
+    # 0.36-0.53s, paired same-session at sf0.1) — the Generate's row
+    # blow-up is already collapsed by map-side partial aggregation
+    # before the (tiny, 64-group) exchange, while the wide-agg pays
+    # 129-expression codegen and per-row buffer width at every scale.
+    stats = (
+        emb.select(
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("j", "x")
+        )
+        .groupBy("j")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("j")
+        .collect()
     )
-    stats = [
-        {"lo": stats_row[f"lo{j}"], "hi": stats_row[f"hi{j}"]}
-        for j in range(_PQ_DIM)
-        if stats_row[f"lo{j}"] is not None
-    ]
     assert len(stats) == _PQ_DIM, f"embedding dim {len(stats)} != {_PQ_DIM}"
     cb = []
     for r in stats:
