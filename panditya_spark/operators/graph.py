@@ -46,6 +46,92 @@ _CKPT_ROOT: str | None = None
 _CKPT_SEQ = 0
 
 
+def _source_file_bytes(df: DataFrame) -> int | None:
+    """Sum of the on-disk sizes of the files a DataFrame scans, or None
+    when the source is not file-backed (memory relation, stream). A
+    metadata-only volume probe — no job, no scan."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total if total > 0 else None
+
+
+def _loop_shuffle_scope(spark: SparkSession, est_bytes: int | None):
+    """Volume-derived shuffle partitioning for an iterative loop
+    (guide §2.2: size partitions by data, never by core count).
+
+    The session default (spark.sql.shuffle.partitions = core count) is
+    right for one-shot queries over the full input, but an iterative
+    loop runs dozens of per-round exchanges over state frames that are
+    a small multiple of the edge table — at the local tiers that means
+    24-36 reduce tasks carrying a few thousand rows each, where the
+    per-task fixed cost (launch, fetch, commit) dwarfs the work. AQE's
+    coalescing does not fix this: with coalescePartitions.
+    parallelismFirst=true (the default, kept — flipping it globally
+    was measured slower on the big aggregations in r16) it deliberately
+    refuses to merge below the core count.
+
+    This scope derives the loop's exchange width from the measured
+    INPUT volume instead: parts = est_bytes x decompression factor /
+    target, clamped to [1, session default]. The clamp means the scope
+    only ever LOWERS parallelism below the deployment's ceiling when
+    the loop's data is provably small — at cluster scale est_bytes is
+    huge, parts saturates at the deployment setting, and the scope is
+    a no-op. Paired same-session A/B at sf0.1 (steal < 1%%):
+    g5 4.3-5.0 -> 3.5s, g10 4.2-8.5 -> 3.8-4.1s, g1 3.3-3.9 -> 2.5-3.0s
+    at the derived width; g14_scc measured NEUTRAL at 12 and WORSE at 4
+    (its propagation aggregate is CPU-bound at ~2x|E| rows/round), so
+    the SCC loop deliberately does not use this scope.
+
+    Local default target 8 MB of (decompressed) loop input per reduce
+    partition — env-tunable; a production deployment over TB-scale
+    loops would raise PANDITYA_LOOP_SHUFFLE_TARGET_MB toward the
+    64-256 MB advisory range of guide §2.2/§9, but the clamp to the
+    session ceiling already dominates there."""
+    import os
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        conf = spark.conf
+        try:
+            cur = int(conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            yield
+            return
+        if est_bytes is None:
+            yield
+            return
+        target_mb = int(os.environ.get("PANDITYA_LOOP_SHUFFLE_TARGET_MB", "8"))
+        if target_mb <= 0:  # 0 disables the scope (A/B escape hatch)
+            yield
+            return
+        # Parquet zstd/snappy on these string-keyed tables decompresses
+        # ~3x; the estimate feeds a clamp, so precision is not load-bearing.
+        est = est_bytes * 3
+        parts = max(1, min(cur, -(-est // (target_mb << 20))))
+        if parts >= cur:
+            yield
+            return
+        conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.shuffle.partitions", str(cur))
+
+    return _scope()
+
+
 def _cleanup_ckpt_root() -> None:
     """Delete the spill root at process exit — final loop generations
     (still referenced by returned DataFrames) live until then."""
@@ -276,30 +362,34 @@ def khop_bfs(
     # One materialization per round: the frontier is visited@dist==d-1
     # (a cheap scan of the checkpointed table), so each round is a
     # single expand ∪ accumulate job plus an empty-frontier scan.
-    for depth in range(1, hops + 1):
-        frontier = visited.filter(F.col("dist") == depth - 1).select("node")
-        # Excluded nodes are visited but never expanded (grapher.py:48-50).
-        expandable = (
-            frontier.join(exclude.select(F.col(exclude.columns[0]).alias("node")), "node", "left_anti")
-            if exclude is not None
-            else frontier
-        )
-        nxt = (
-            expandable.join(adj, expandable.node == adj.a)
-            .select(F.col("b").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("dist", F.lit(depth))
-        )
-        # max(dist) == depth ⇔ this hop added at least one node; the
-        # probe rides the same job that materializes the round (the
-        # round_end_probe fusion — one job per hop instead of
-        # checkpoint + isEmpty).
-        visited, max_dist = state.round_end_probe(
-            visited.union(nxt), "dist", probe=F.max("dist")
-        )
-        if max_dist is None or max_dist < depth:
-            break
+    # Loop exchanges sized by input volume, not core count (r17,
+    # guide §2.2): x2 for the undirected doubling of the edge scan.
+    est = _source_file_bytes(edges)
+    with _loop_shuffle_scope(edges.sparkSession, est and est * 2):
+        for depth in range(1, hops + 1):
+            frontier = visited.filter(F.col("dist") == depth - 1).select("node")
+            # Excluded nodes are visited but never expanded (grapher.py:48-50).
+            expandable = (
+                frontier.join(exclude.select(F.col(exclude.columns[0]).alias("node")), "node", "left_anti")
+                if exclude is not None
+                else frontier
+            )
+            nxt = (
+                expandable.join(adj, expandable.node == adj.a)
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(depth))
+            )
+            # max(dist) == depth ⇔ this hop added at least one node; the
+            # probe rides the same job that materializes the round (the
+            # round_end_probe fusion — one job per hop instead of
+            # checkpoint + isEmpty).
+            visited, max_dist = state.round_end_probe(
+                visited.union(nxt), "dist", probe=F.max("dist")
+            )
+            if max_dist is None or max_dist < depth:
+                break
 
     vnodes = visited.select("node").distinct()
     sub_edges = (
@@ -453,15 +543,20 @@ def connected_components(
     # not data volume; at cluster scale data dominates and the
     # per-round structure is the right shape.
     state = _LoopState()
-    for it in range(max_iter):
-        # Materialization and the any-changed fixpoint probe share one
-        # job (round_end_probe): the former round_end + isEmpty pair
-        # was two jobs per round at ~150 ms fixed cost each (r16).
-        labels, any_changed = state.round_end_probe(
-            round_plan(labels, use_delta=it >= 1), "changed"
-        )
-        if not any_changed:
-            break
+    # Loop exchanges sized by input volume, not core count (r17,
+    # guide §2.2): x2 for the undirected doubling of the edge scan.
+    est = _source_file_bytes(edges)
+    with _loop_shuffle_scope(edges.sparkSession, est and est * 2):
+        for it in range(max_iter):
+            # Materialization and the any-changed fixpoint probe share
+            # one job (round_end_probe): the former round_end + isEmpty
+            # pair was two jobs per round at ~150 ms fixed cost each
+            # (r16).
+            labels, any_changed = state.round_end_probe(
+                round_plan(labels, use_delta=it >= 1), "changed"
+            )
+            if not any_changed:
+                break
     und.unpersist()
     state.finish(labels)
     return labels.select("node", "component")
@@ -521,16 +616,19 @@ def longest_chain_depth(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     # re-shuffling the (cached) edge table every round.
     frontier = nodes.select(F.col("node").alias("dst"))
     deltas: list[DataFrame] = []
-    for k in range(1, max_iter + 1):
-        frontier = _checkpoint(
-            e.join(frontier, "dst")
-            .select(F.col("src").alias("node"))
-            .distinct()
-        )
-        if frontier.isEmpty():
-            break
-        deltas.append(frontier.withColumn("chain_depth", F.lit(k)))
-        frontier = frontier.select(F.col("node").alias("dst"))
+    # Loop exchanges sized by input volume, not core count (r17,
+    # guide §2.2).
+    with _loop_shuffle_scope(e.sparkSession, _source_file_bytes(e)):
+        for k in range(1, max_iter + 1):
+            frontier = _checkpoint(
+                e.join(frontier, "dst")
+                .select(F.col("src").alias("node"))
+                .distinct()
+            )
+            if frontier.isEmpty():
+                break
+            deltas.append(frontier.withColumn("chain_depth", F.lit(k)))
+            frontier = frontier.select(F.col("node").alias("dst"))
     all_depths = nodes.withColumn("chain_depth", F.lit(0))
     for d in deltas:
         all_depths = all_depths.union(d)
@@ -559,6 +657,16 @@ def _list_chain_depth(e: DataFrame, max_iter: int) -> DataFrame:
         F.when(F.col("ptr").isNotNull(), 1).otherwise(0).alias("chain_depth"),
     )
     state = _LoopState()
+    # Loop exchanges sized by input volume, not core count (r17,
+    # guide §2.2): the pointer table is one row per node of a
+    # single-successor chain forest, the same order as the edge scan.
+    with _loop_shuffle_scope(e.sparkSession, _source_file_bytes(e)):
+        t = _list_chain_rounds(t, state, max_iter)
+    state.finish(t)
+    return t.select("node", "chain_depth")
+
+
+def _list_chain_rounds(t: DataFrame, state: _LoopState, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         nxt = t.select(
             F.col("node").alias("p_node"),
@@ -593,8 +701,7 @@ def _list_chain_depth(e: DataFrame, max_iter: int) -> DataFrame:
         )
         if not any_ptr:
             break
-    state.finish(t)
-    return t.select("node", "chain_depth")
+    return t
 
 
 def label_propagation(
@@ -1468,11 +1575,21 @@ def strongly_connected_components(
         if n_unsettled <= 0:
             break
         active = labels.filter(F.col("scc").isNull()).select("node", "part")
+        # INVARIANT (load-bearing for the r16 trim fusion, see the
+        # fusion comment below): endpoints(ae) ⊆ active — every ae
+        # construction keeps edges strictly INSIDE the active node set,
+        # so on_cycle ⊆ endpoints(ae_cur) ⊆ act holds at every layer
+        # and `act = on_cycle` is a set identity, not an approximation.
+        # Building ae from any SUPERSET of active would silently
+        # resurrect settled nodes into the propagation (ADVICE r16).
         if outer == 0:
-            # Single part, every node active: the part-internal join
+            # Single part, every node active (labels.scc all null), so
+            # endpoints(e) ⊆ active trivially: the part-internal join
             # below would be an identity rewrite of e.
             ae = e
         else:
+            # Both endpoints semi-joined against `active` itself —
+            # never a wider frame — and part-internal (part == p2).
             ae = (
                 e.join(active.withColumnRenamed("node", "src"), "src")
                 .join(
@@ -1593,6 +1710,8 @@ def strongly_connected_components(
                 trimmed_parts.append(trimmed)
                 t_src = trimmed.select(F.col("node").alias("src"))
                 t_dst = trimmed.select(F.col("node").alias("dst"))
+                # Invariant holds: act and ae_cur only SHRINK (anti-join
+                # against trimmed ⊆ act), so endpoints(ae_cur) ⊆ act.
                 act = act.join(F.broadcast(trimmed), "node", "left_anti")
                 ae_cur = ae_cur.join(F.broadcast(t_src), "src", "left_anti").join(
                     F.broadcast(t_dst), "dst", "left_anti"
@@ -1600,6 +1719,10 @@ def strongly_connected_components(
                 n_act = n_on
                 break
             trimmed_parts.append(trimmed)
+            # Invariant holds: the next act IS on_cycle (⊆ endpoints of
+            # the previous ae_cur ⊆ previous act), and ae_cur shrinks to
+            # edges with BOTH endpoints in the new act — never a
+            # superset of act's edges.
             act = on_cycle
             ae_cur = (
                 ae_cur.join(act.select(F.col("node").alias("src")), "src", "semi")

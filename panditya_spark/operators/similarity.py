@@ -900,19 +900,31 @@ def pq_encode(
 
     from panditya_spark.operators.relational import spread_small_input
 
-    df = spread_small_input(df)
+    # Volume-derived spread (r17): the vectorized encode below chews
+    # ~4 MB of parquet per task in single-digit ms, so a full 32-way
+    # spread of a 1 MB table paid 32 Python-worker handshakes for
+    # nothing (measured: the c8 driver bench beat c32 2.6x on this
+    # query — negative core scaling, the guide §2.5 smell).
+    df = spread_small_input(df, bytes_per_task=4 << 20)
     C = [np.asarray(cj, dtype=np.float64) for cj in codebook]
     m = len(C)
     sub = C[0].shape[1]
+    # One (m, n_codes, sub) tensor: the per-subspace loop below it is
+    # the r16 shape; the single broadcast subtraction replaces m
+    # round-trips through numpy dispatch (r17, guide §4.2 — at m=64/
+    # sub=1, the SQ codebook, the loop spent more time in per-call
+    # numpy overhead than arithmetic). Element-for-element the ops are
+    # IDENTICAL — same (x-c)^2 per (row, subspace, code), same
+    # sum over the sub axis, same first-minimum argmin over the code
+    # axis — so codes are bit-identical to the loop formulation.
+    C3 = np.stack(C)  # requires equal n_codes per subspace (true here)
 
     @pandas_udf("array<int>")
     def enc(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy()).astype(np.float64)
-        out = np.empty((len(M), m), dtype=np.int32)
-        for j in range(m):
-            S = M[:, j * sub : (j + 1) * sub]
-            d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(-1)
-            out[:, j] = d2.argmin(1)
+        S = M.reshape(len(M), m, sub)
+        d2 = ((S[:, :, None, :] - C3[None, :, :, :]) ** 2).sum(-1)
+        out = d2.argmin(2).astype(np.int32)
         return pd.Series(list(out))
 
     return df.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))

@@ -15,6 +15,16 @@ from panditya_spark.operators import dedup as D
 from panditya_spark.operators import similarity as S
 from panditya_spark.operators import text as T
 from panditya_spark.plans.registry import register
+
+# Searched constant making pmod(murmur3_42(shard_id + OFFSET), 8) a
+# bijection on shard ids {0..7} — pipeline_training_shards keys each
+# shard to its own write task with no range-sampling job (r16). Shared
+# with tests/test_partitioning.py::test_shard_repartition_offset_is_bijective
+# so the pin and the pipeline can never drift apart (ADVICE r16). A
+# collision would degrade file layout/parallelism only (two shards
+# serialized into one task), never row placement — partitionBy governs
+# which directory a row lands in.
+_SHARD_ROUTE_OFFSET = 347
 from panditya_spark.sources.loaders import load_table
 
 
@@ -2405,13 +2415,15 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partitions (one task would serialize 3 shards), and
         # repartitionByRange avoids that only by running a separate
         # range-boundary SAMPLING job over the staged chunks per build.
-        # The +347 offset below is a searched constant that makes
-        # pmod(murmur3_42(shard_id + 347), 8) a BIJECTION on {0..7}
-        # (pinned by test_shard_repartition_offset_is_bijective), so a
+        # The offset (module constant, shared with its pinning test) is
+        # a searched constant that makes pmod(murmur3_42(shard_id +
+        # _SHARD_ROUTE_OFFSET), 8) a BIJECTION on {0..7}, so a
         # deterministic hash repartition keys each shard to its own
         # task with NO sampling pass (r16, guide §2.4/§2.5 — the
         # synthetic-key trick, searched instead of guessed).
-        sharded.repartition(8, F.col("shard_id") + F.lit(347).cast("bigint"))
+        sharded.repartition(
+            8, F.col("shard_id") + F.lit(_SHARD_ROUTE_OFFSET).cast("bigint")
+        )
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(out)

@@ -702,7 +702,14 @@ def stream_record_high(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _MICROBATCH_SEQ[0] += 1
     return run_stream_to_memory(
-        record_highs(stream.select("user_id", "ts", "event_id", "value")),
+        record_highs(
+            stream.select("user_id", "ts", "event_id", "value"),
+            # Key-group count scales with the store count (itself
+            # volume-sized): 8 groups per store keeps every store busy
+            # while the per-group Python machinery cost stays 1/64th of
+            # the former one-group-per-user shape (see record_highs).
+            key_groups=_state_parts(sf_dir) * 8,
+        ),
         f"stream_record_high_{_MICROBATCH_SEQ[0]}",
         mode="append",
         shuffle_partitions=_state_parts(sf_dir),

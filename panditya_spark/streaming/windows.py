@@ -881,12 +881,12 @@ def run_stream_upsert(
 
 
 # ---------------------------------------------------- record-high detection
-def record_highs(events: DataFrame) -> DataFrame:
+def record_highs(events: DataFrame, key_groups: int = 64) -> DataFrame:
     """Second custom stateful operator (applyInPandasWithState, like
     sessionize): per-user running-maximum tracking — emit an event iff
     its value strictly exceeds every prior value of that user in
     event-time order, with its record sequence number. The streaming
-    twin of 'new all-time high' alerting; the per-key state is two
+    twin of 'new all-time high' alerting; the per-user state is two
     scalars (current max, records-so-far), bounded regardless of
     stream length.
 
@@ -895,83 +895,111 @@ def record_highs(events: DataFrame) -> DataFrame:
     batch window twin and SQL-oracle-checkable — unlike running sums,
     record detection has no accumulation-order sensitivity. Within a
     micro-batch all Arrow chunks are concatenated and sorted by
-    (ts, event_id); cross-batch exactness holds whenever batches
-    arrive time-ordered (the time-split file input), which the
+    (ts, event_id) per user; cross-batch exactness holds whenever
+    batches arrive time-ordered (the time-split file input), which the
     registered query uses to drive three real batches through the
     state store.
-    """
+
+    KEY-GROUP sharding (r17, guide §4.2/§2.3 — amortize the per-group
+    Python fixed cost): the grouping key is pmod(xxhash64(user_id),
+    key_groups) rather than user_id itself, and the state row holds
+    the (user, max, n_rec) triples of the whole group as parallel
+    arrays — the keyGroup design production stream processors use to
+    decouple key cardinality from state-machinery overhead. Grouping
+    by raw user_id ran the update fn once per user per batch, and the
+    measured cost was NOT the fold (pure numpy since r16) but the
+    per-group machinery — Arrow slice → pandas frame per group, state
+    get/update round-trip per group: ~4 ms × 1500 users × 3 batches
+    ≈ 6 s summed at sf0.1. With key_groups=64 that machinery runs
+    64×/batch; the per-user fold inside is numpy over segment slices
+    of ONE lexsort, value-identical per user (same (ts, event_id)
+    order, same comparisons — pinned by the batch-twin pytest).
+    Per-group state is O(keys/key_groups); callers size key_groups to
+    volume (~8× the state-store partition count) exactly as key-group
+    counts scale in any sharded-state deployment — per-user state is
+    unchanged at two scalars."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
         import numpy as np
         import pandas as pd
 
-        (user_id,) = key
-        mx, n_rec = state.get if state.exists else (float("-inf"), 0)
-        out = None
-        # Column-wise numpy extraction instead of pd.concat +
-        # sort_values: the function runs once PER KEY, so per-call
-        # pandas overhead (frame assembly, index plumbing, quicksort)
-        # multiplies by the key count — measured 8.5s summed update
-        # time per micro-batch at sf0.1 (1500 keys, ~5.7 ms/key),
-        # dominated by pandas frame ops on ~22-row groups (guide §4.2:
-        # hand batches to numpy, not row/frame-ish pandas paths).
-        # np.lexsort replaces the sort; (ts, event_id) is unique so
-        # stability is immaterial and the order is identical.
+        if state.exists:
+            uids0, mxs0, nrs0 = state.get
+            st = dict(zip(uids0, zip(mxs0, nrs0)))
+        else:
+            st = {}
+        uid_parts: list = []
         ts_parts: list = []
         eid_parts: list = []
         val_parts: list = []
         for pdf in pdfs:
             if len(pdf):
+                uid_parts.append(pdf["user_id"].to_numpy())
                 ts_parts.append(pdf["ts"].to_numpy(dtype="datetime64[us]"))
                 eid_parts.append(pdf["event_id"].to_numpy())
                 val_parts.append(pdf["value"].to_numpy(dtype=float))
-        if ts_parts:
-            ts = (
-                ts_parts[0]
-                if len(ts_parts) == 1
-                else np.concatenate(ts_parts)
+        out = None
+        if uid_parts:
+            def cat(parts):
+                return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+            uid, ts, eid, v = (
+                cat(uid_parts), cat(ts_parts), cat(eid_parts), cat(val_parts)
             )
-            eid = (
-                eid_parts[0]
-                if len(eid_parts) == 1
-                else np.concatenate(eid_parts)
+            # One lexsort for the whole group — per user, (ts, event_id)
+            # order, identical to the former per-user-group sort.
+            order = np.lexsort((eid, ts, uid))
+            uid, ts, v = uid[order], ts[order], v[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], uid[1:] != uid[:-1]))
             )
-            v = (
-                val_parts[0]
-                if len(val_parts) == 1
-                else np.concatenate(val_parts)
-            )
-            order = np.lexsort((eid, ts))
-            ts = ts[order]
-            v = v[order]
-            # Vectorized record detection: a row is a record iff it
-            # strictly exceeds the running max of (state ∪ prior rows).
-            # Pure comparisons — same bit-exactness as the scalar fold.
-            prior_max = np.maximum.accumulate(
-                np.concatenate(([mx], v))
-            )[:-1]
-            mask = v > prior_max
-            if mask.any():
-                seq = n_rec + np.cumsum(mask)[mask]
+            ends = np.concatenate((starts[1:], [len(uid)]))
+            o_uid: list = []
+            o_ts: list = []
+            o_val: list = []
+            o_seq: list = []
+            for s, e in zip(starts, ends):
+                u = int(uid[s])
+                mx, n_rec = st.get(u, (float("-inf"), 0))
+                vs = v[s:e]
+                # Vectorized record detection: a row is a record iff it
+                # strictly exceeds the running max of (state ∪ prior
+                # rows). Pure comparisons — same bit-exactness as the
+                # scalar fold.
+                prior_max = np.maximum.accumulate(
+                    np.concatenate(([mx], vs))
+                )[:-1]
+                mask = vs > prior_max
+                if mask.any():
+                    n = int(mask.sum())
+                    o_seq.append(n_rec + np.cumsum(mask)[mask])
+                    o_uid.append(np.full(n, u, dtype=np.int64))
+                    o_ts.append(ts[s:e][mask].astype("int64"))
+                    o_val.append(vs[mask])
+                    n_rec += n
+                    mx = float(vs.max()) if vs.max() > mx else mx
+                st[u] = (mx, n_rec)
+            if o_uid:
                 out = pd.DataFrame(
                     {
-                        "user_id": int(user_id),
-                        "ts_us": ts[mask].astype("int64"),
-                        "value": v[mask],
-                        "record_seq": seq,
+                        "user_id": np.concatenate(o_uid),
+                        "ts_us": np.concatenate(o_ts),
+                        "value": np.concatenate(o_val),
+                        "record_seq": np.concatenate(o_seq),
                     }
                 )
-                n_rec += int(mask.sum())
-                mx = float(v.max()) if v.max() > mx else mx
-        state.update((mx, n_rec))
+        ks = list(st.keys())
+        state.update((ks, [st[k][0] for k in ks], [st[k][1] for k in ks]))
         if out is not None:
             yield out
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.withColumn(
+        "_kg", F.pmod(F.xxhash64("user_id"), F.lit(key_groups))
+    ).groupBy("_kg").applyInPandasWithState(
         update,
         outputStructType="user_id LONG, ts_us LONG, value DOUBLE, record_seq LONG",
-        stateStructType="mx DOUBLE, n_rec LONG",
+        stateStructType="uids ARRAY<LONG>, mxs ARRAY<DOUBLE>, nrs ARRAY<LONG>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

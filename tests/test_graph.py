@@ -33,6 +33,39 @@ def seeds(spark, *ids):
     return spark.createDataFrame([(i,) for i in ids], ["node"])
 
 
+def test_loop_shuffle_scope_lowers_and_restores(spark, monkeypatch):
+    """The volume-derived loop partitioning scope (r17): lowers
+    spark.sql.shuffle.partitions inside the with-block according to the
+    byte estimate, restores the session value on exit (also on raise),
+    never RAISES above the session setting, and is a no-op when the
+    estimate is unavailable or the env knob disables it."""
+    from panditya_spark.operators.graph import _loop_shuffle_scope
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    monkeypatch.setenv("PANDITYA_LOOP_SHUFFLE_TARGET_MB", "8")
+    # Small estimate -> lowered inside, restored after.
+    with _loop_shuffle_scope(spark, 1 << 20):
+        assert int(spark.conf.get(key)) == 1
+    assert spark.conf.get(key) == before
+    # Huge estimate -> clamped at the session value (never raised).
+    with _loop_shuffle_scope(spark, 1 << 40):
+        assert spark.conf.get(key) == before
+    # None estimate (non-file source) and env-disabled -> no-op.
+    with _loop_shuffle_scope(spark, None):
+        assert spark.conf.get(key) == before
+    monkeypatch.setenv("PANDITYA_LOOP_SHUFFLE_TARGET_MB", "0")
+    with _loop_shuffle_scope(spark, 1 << 20):
+        assert spark.conf.get(key) == before
+    monkeypatch.setenv("PANDITYA_LOOP_SHUFFLE_TARGET_MB", "8")
+    # Restored even when the loop body raises.
+    with pytest.raises(RuntimeError):
+        with _loop_shuffle_scope(spark, 1 << 20):
+            assert int(spark.conf.get(key)) == 1
+            raise RuntimeError("loop body failure")
+    assert spark.conf.get(key) == before
+
+
 def test_bfs_hops_and_dist(spark, chain_graph):
     nodes, edges = khop_bfs(chain_graph, seeds(spark, "a"), hops=2)
     out = dict(rows(nodes, "node", "dist"))

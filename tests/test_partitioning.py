@@ -325,16 +325,23 @@ def test_quarantine_read_routes_bad_lines(spark, tmp_path):
 # ---------------------------------------------- shard routing bijection
 def test_shard_repartition_offset_is_bijective(spark):
     """pipeline_training_shards keys each of its 8 shard ids to its own
-    write task via repartition(8, shard_id + 347): the offset is a
-    searched constant making pmod(murmur3_42(shard_id + 347), 8) a
-    bijection on {0..7} — one file per shard dir with NO range-sampling
-    job. This pins the constant against hash/partitioner drift (a
-    collision would silently serialize two shards into one task)."""
+    write task via repartition(8, shard_id + _SHARD_ROUTE_OFFSET): the
+    offset is a searched constant making pmod(murmur3_42(shard_id +
+    offset), 8) a bijection on {0..7} — one file per shard dir with NO
+    range-sampling job. Importing the SHARED constant (ADVICE r16)
+    means an offset/expression change in the pipeline is tested here
+    automatically; the test pins it against hash/partitioner drift (a
+    collision would silently serialize two shards into one task —
+    degrading file layout, never row placement)."""
     from pyspark.sql import functions as F
+
+    from panditya_spark.plans.data_pipeline_queries import _SHARD_ROUTE_OFFSET
 
     df = spark.range(8).select(F.col("id").cast("bigint").alias("shard_id"))
     pids = (
-        df.repartition(8, F.col("shard_id") + F.lit(347).cast("bigint"))
+        df.repartition(
+            8, F.col("shard_id") + F.lit(_SHARD_ROUTE_OFFSET).cast("bigint")
+        )
         .select(F.spark_partition_id().alias("pid"))
         .collect()
     )
