@@ -900,32 +900,39 @@ def pq_encode(
 
     from panditya_spark.operators.relational import spread_small_input
 
-    # Volume-derived spread (r17): the vectorized encode below chews
-    # ~4 MB of parquet per task in single-digit ms, so a full 32-way
-    # spread of a 1 MB table paid 32 Python-worker handshakes for
-    # nothing (measured: the c8 driver bench beat c32 2.6x on this
-    # query — negative core scaling, the guide §2.5 smell).
-    df = spread_small_input(df, bytes_per_task=4 << 20)
+    df = spread_small_input(df)
     C = [np.asarray(cj, dtype=np.float64) for cj in codebook]
     m = len(C)
     sub = C[0].shape[1]
-    # One (m, n_codes, sub) tensor: the per-subspace loop below it is
-    # the r16 shape; the single broadcast subtraction replaces m
-    # round-trips through numpy dispatch (r17, guide §4.2 — at m=64/
-    # sub=1, the SQ codebook, the loop spent more time in per-call
-    # numpy overhead than arithmetic). Element-for-element the ops are
-    # IDENTICAL — same (x-c)^2 per (row, subspace, code), same
-    # sum over the sub axis, same first-minimum argmin over the code
-    # axis — so codes are bit-identical to the loop formulation.
-    C3 = np.stack(C)  # requires equal n_codes per subspace (true here)
 
+    # DELIBERATE KEEP (r17): both "optimizations" of this stage were
+    # measured and REJECTED. (a) A single (row, subspace, code, sub)
+    # broadcast tensor replacing the per-subspace loop is 2.8x SLOWER
+    # (212 vs 77 ms per 10k x 64-dim batch, pure-numpy A/B): the 4-D
+    # intermediate is ~3 x 85 MB of memory traffic while the loop's
+    # per-subspace arrays stay cache-resident. (b) Sizing the spread
+    # by source bytes (2 tasks at sf0.1) starved the FUSED downstream
+    # — explode x m, broadcast-LUT join, decimal partial agg — which
+    # is the query's real work (~10-30x the scan bytes); paired A/B
+    # read 4.7s vs ~2s for the full spread. The full core-count
+    # spread is correct here BECAUSE of that downstream fan-out.
     @pandas_udf("array<int>")
     def enc(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy()).astype(np.float64)
-        S = M.reshape(len(M), m, sub)
-        d2 = ((S[:, :, None, :] - C3[None, :, :, :]) ** 2).sum(-1)
-        out = d2.argmin(2).astype(np.int32)
+        out = np.empty((len(M), m), dtype=np.int32)
+        for j in range(m):
+            S = M[:, j * sub : (j + 1) * sub]
+            d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d2.argmin(1)
         return pd.Series(list(out))
+
+    # asNondeterministic (r17, guide §4.4): the downstream posexplode's
+    # implicit size>0/isnotnull filter was being pushed BELOW the
+    # spread exchange, planting a SECOND ArrowEvalPython — every vector
+    # paid the encode twice (plan nodes 3 and 7 in the r16 shape). The
+    # mark forbids the optimizer from duplicating the call; the
+    # function is in fact deterministic, so values are unchanged.
+    enc = enc.asNondeterministic()
 
     return df.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
 
@@ -1001,7 +1008,21 @@ def pq_topk(
             StructField("qn", DoubleType()),
         ]
     )
-    lut = spark.createDataFrame(lut_rows, lut_schema)
+    # Arrow-path local relation (r17, guide §6): a tuple-list
+    # createDataFrame pickles the LUT row-by-row into the broadcast
+    # build; the pandas path ships it as one Arrow batch. Same schema,
+    # same values (plain long/int/double/string cells — no coercion
+    # edge). Paired A/B at sf0.1: Arrow side <= pickle side in 4/4
+    # pairs, ~0.5s on the broadcast-build job.
+    try:
+        lut = spark.createDataFrame(
+            pd.DataFrame(
+                lut_rows, columns=["qid", "j", "code", "dotv", "nrmv", "qn"]
+            ),
+            lut_schema,
+        )
+    except Exception:  # exotic qid type pandas can't carry — row path
+        lut = spark.createDataFrame(lut_rows, lut_schema)
 
     exploded = codes_df.select(
         F.col(c_id).alias("cid"), F.posexplode("codes").alias("j", "code")
