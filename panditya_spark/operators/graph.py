@@ -257,8 +257,12 @@ class _LoopState:
         return out
 
     def round_end_probe(
-        self, df: DataFrame, flag_col: str, probe: Column | None = None
-    ) -> tuple[DataFrame, object]:
+        self,
+        df: DataFrame,
+        flag_col: str,
+        probe: Column | None = None,
+        extra: Column | None = None,
+    ) -> tuple:
         """Finish a round with ONE state DataFrame and answer "is any
         row's boolean `flag_col` set" in the SAME Spark job: the state
         is marked for a LAZY localCheckpoint and the max(flag)
@@ -273,6 +277,12 @@ class _LoopState:
         so callers can fold any per-round scalar probe into the same
         materializing job (the r16 job-count fusion).
 
+        extra: optional SECOND aggregate Column riding the same
+        observe() — when given, the return becomes a 3-tuple
+        (state, probe_value, extra_value). Loop callers use it for
+        free per-round cardinalities (broadcast gates, partition
+        sizing) that would otherwise cost a count() job (r17).
+
         r16 rework (guide §1.2 — remove passes): the probe is now an
         `observe()` metric, computed as a task-side side effect of the
         SAME action that materializes the round (the eager checkpoint
@@ -286,14 +296,18 @@ class _LoopState:
         agg_expr = (
             probe if probe is not None else F.max(F.col(flag_col))
         ).alias("probe")
+        aggs = [agg_expr]
+        if extra is not None:
+            aggs.append(extra.alias("_extra"))
         obs = Observation()
-        df = df.observe(obs, agg_expr)
+        df = df.observe(obs, *aggs)
         self._round += 1
         if self._round % self.period == 0:
             out = _checkpoint(df)
         else:
             out = df.localCheckpoint(eager=True)
-        flag = obs.get["probe"]
+        metrics = obs.get
+        flag = metrics["probe"]
         if self._round % self.period == 0:
             for c in self._old_window:
                 _release(c)
@@ -305,7 +319,10 @@ class _LoopState:
         else:
             self._window.append(out)
             self._seen.add(id(out))
-        return out, (flag if probe is not None else bool(flag))
+        probe_val = flag if probe is not None else bool(flag)
+        if extra is not None:
+            return out, probe_val, metrics["_extra"]
+        return out, probe_val
 
     def finish(self, *keep: DataFrame) -> None:
         """Release every checkpoint this loop produced except the ones
@@ -487,9 +504,21 @@ def connected_components(
     if labels is not None:
         labels = labels.withColumn("changed", F.lit(True))
 
-    def round_plan(prev: DataFrame | None, use_delta: bool) -> DataFrame:
+    def round_plan(
+        prev: DataFrame | None, use_delta: bool, bcast: bool = False
+    ) -> DataFrame:
         """One hash-to-min + pointer-jump round as a LAZY plan over
-        `prev` labels (None = labels are still the node ids)."""
+        `prev` labels (None = labels are still the node ids).
+
+        bcast (r17, guide §3.1): the O(V) merge and pointer-jump joins
+        sit directly over checkpointed LogicalRDDs — no exchange below
+        them, so AQE can never runtime-size their inputs, and the
+        static estimates (compounding per round) forced SortMergeJoins
+        at every round even on a 16k-node label table (executed-plan
+        trace, r17). The caller gates the hint on the MEASURED node
+        count (free via the probe's extra metric) against the
+        heap-derived broadcast cap — at cluster scale the count
+        exceeds the cap and the joins stay shuffles."""
         if prev is None:
             # Round 0: the min-label message is a plain aggregate of
             # the edge table — no join at all.
@@ -511,6 +540,8 @@ def connected_components(
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.min("component").alias("nbr_comp"))
             )
+            if bcast:
+                nbr_min = F.broadcast(nbr_min)
             cand = (
                 prev.select("node", "component")
                 .join(nbr_min, "node", "left_outer")
@@ -523,6 +554,8 @@ def connected_components(
         parent = cand.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
+        if bcast:
+            parent = F.broadcast(parent)
         return (
             cand.join(parent, cand.component == F.col("p_node"), "left_outer")
             .select(
@@ -546,15 +579,27 @@ def connected_components(
     # Loop exchanges sized by input volume, not core count (r17,
     # guide §2.2): x2 for the undirected doubling of the edge scan.
     est = _source_file_bytes(edges)
+    # The label count (constant across rounds = |V|) rides round 0's
+    # probe for free and gates the round-plan broadcast hints; row
+    # budget mirrors the frontier gate in the SCC loop.
+    bcast_cap = _broadcast_edge_cap(edges.sparkSession) // 2
+    n_nodes: int | None = None
     with _loop_shuffle_scope(edges.sparkSession, est and est * 2):
         for it in range(max_iter):
             # Materialization and the any-changed fixpoint probe share
             # one job (round_end_probe): the former round_end + isEmpty
             # pair was two jobs per round at ~150 ms fixed cost each
             # (r16).
-            labels, any_changed = state.round_end_probe(
-                round_plan(labels, use_delta=it >= 1), "changed"
+            labels, any_changed, n_cnt = state.round_end_probe(
+                round_plan(
+                    labels,
+                    use_delta=it >= 1,
+                    bcast=n_nodes is not None and n_nodes <= bcast_cap,
+                ),
+                "changed",
+                extra=F.count(F.lit(1)),
             )
+            n_nodes = int(n_cnt or 0)
             if not any_changed:
                 break
     und.unpersist()
@@ -1643,6 +1688,7 @@ def strongly_connected_components(
         trimmed_parts: list[DataFrame] = []
         n_act = n_all if outer == 0 else n_unsettled
         first_layer = True
+        ae_lazy = False  # True when small_trim leaves ae_cur un-materialized
         for layer in range(max_inner):
             if outer == 0 and first_layer:
                 # deg0 above IS this layer's flag frame.
@@ -1716,6 +1762,7 @@ def strongly_connected_components(
                 ae_cur = ae_cur.join(F.broadcast(t_src), "src", "left_anti").join(
                     F.broadcast(t_dst), "dst", "left_anti"
                 )
+                ae_lazy = True
                 n_act = n_on
                 break
             trimmed_parts.append(trimmed)
@@ -1756,6 +1803,21 @@ def strongly_connected_components(
             # fold into the label frame with a change flag, and the
             # next frontier/fixpoint probe are free filters over the
             # checkpointed result.
+            if ae_lazy:
+                # Materialize the small_trim rewrite ONCE before the
+                # propagation loop (r17): lazily it re-executed its four
+                # broadcast anti-joins inside BOTH union legs of every
+                # propagation round (the r16 executed-plan trace shows 4
+                # LeftAnti BHJs per round), and — worse — its optimizer
+                # size estimate made the planner broadcast the whole
+                # prop table (BuildLeft, a ~10^6-row hashed relation
+                # built per round at sf0.1). One eager checkpoint ends
+                # both: honest LogicalRDD stats and a plain scan per
+                # round. The r16 laziness argument still holds for the
+                # NO-propagation path (n_act == 0), which never reaches
+                # here.
+                ae_cur = ae_cur.localCheckpoint(eager=True)
+                scratch.append(ae_cur)
             prop = ae_cur.select(
                 F.col("src").alias("u"), F.col("dst").alias("v"),
                 F.lit("f").alias("dir"),
@@ -1779,6 +1841,20 @@ def strongly_connected_components(
                 .localCheckpoint(eager=True)
             )
             converged = False
+            # Measured-count broadcast gate for the frontier (r17,
+            # guide §3.1 — pick the strategy deliberately): the
+            # frontier is a filter DIRECTLY over the checkpointed
+            # label LogicalRDD — no exchange below it, so AQE can
+            # never runtime-size it, and the static estimate (full
+            # label size) blocked the broadcast flip in EVERY round.
+            # The changed-row count is exact and free (it rides the
+            # previous round's observe), so the hint fires exactly
+            # when the frontier fits the heap-derived cap — at
+            # cluster scale early frontiers exceed it and the join
+            # stays a shuffle, the same gate discipline as the
+            # triangle close's _broadcast_edge_cap.
+            fr_cap = _broadcast_edge_cap(ae_cur.sparkSession) // 2
+            n_front = 2 * n_act
             for rnd in range(max_inner):
                 prev_lab = lab
                 frontier = lab.filter("chg")
@@ -1788,10 +1864,10 @@ def strongly_connected_components(
                 # the old value rides along as min-over-old-rows, so
                 # the change flag needs no second join. Exactly one old
                 # row per (node, dir) exists, so _old is never null.
-                cand = prop.join(
-                    frontier.select(F.col("node").alias("u"), "dir", "val"),
-                    ["u", "dir"],
-                ).select(
+                fr = frontier.select(F.col("node").alias("u"), "dir", "val")
+                if n_front <= fr_cap:
+                    fr = F.broadcast(fr)
+                cand = prop.join(fr, ["u", "dir"]).select(
                     F.col("v").alias("node"), "dir", "val",
                     F.lit(False).alias("is_old"),
                 )
@@ -1836,10 +1912,18 @@ def strongly_connected_components(
                     # job (r16 fusion; the former eager-checkpoint +
                     # isEmpty pair was two jobs per propagation round,
                     # each ~110 ms of fixed cost at sf0.1 — guide §1.2).
-                    .observe(obs, F.max("chg").alias("chg"))
+                    # The changed COUNT rides the same metric row for
+                    # free — it is next round's broadcast gate (r17).
+                    .observe(
+                        obs,
+                        F.max("chg").alias("chg"),
+                        F.sum(F.col("chg").cast("long")).alias("nchg"),
+                    )
                     .localCheckpoint(eager=True)
                 )
-                any_chg = bool(obs.get["chg"])
+                _m = obs.get
+                any_chg = bool(_m["chg"])
+                n_front = int(_m["nchg"] or 0)
                 _release(prev_lab)
                 if (rnd + 1) % 8 == 0:
                     # Parquet spill cadence (the _LoopState discipline,
@@ -1912,7 +1996,12 @@ def strongly_connected_components(
                 )
             )
         if wide is not None:
-            upd = upd.join(wide, "node", "left_outer").select(
+            # wide has exactly n_act rows (one per propagated node) —
+            # the same measured-count broadcast gate as the frontier
+            # (r17): without it the static estimate forced a
+            # SortMergeJoin of the full label table per outer round.
+            w_side = F.broadcast(wide) if n_act <= fr_cap else wide
+            upd = upd.join(w_side, "node", "left_outer").select(
                 "node",
                 F.coalesce("new_part", "part").alias("part"),
                 F.coalesce("scc", "new_scc").alias("scc"),
