@@ -382,8 +382,19 @@ def khop_bfs(
     # Loop exchanges sized by input volume, not core count (r17,
     # guide §2.2): x2 for the undirected doubling of the edge scan.
     est = _source_file_bytes(edges)
+    # Measured-count broadcast gate (r17, guide §3.1): visited is a
+    # checkpointed LogicalRDD, so the planner can only guess its size —
+    # the hop-2 executed plan showed it guessing wrong both ways
+    # (broadcasting the O(E) adjacency into the expand join, SMJ-ing
+    # the visited anti-join). The exact visited count rides each hop's
+    # probe for free; the frontier is a subset of visited, so one gate
+    # covers both joins. Above the heap-derived cap (cluster scale)
+    # the hints stay off and both joins shuffle.
+    bcast_cap = _broadcast_edge_cap(edges.sparkSession) // 2
+    n_visited: int | None = None
     with _loop_shuffle_scope(edges.sparkSession, est and est * 2):
         for depth in range(1, hops + 1):
+            small = n_visited is not None and n_visited <= bcast_cap
             frontier = visited.filter(F.col("dist") == depth - 1).select("node")
             # Excluded nodes are visited but never expanded (grapher.py:48-50).
             expandable = (
@@ -391,20 +402,28 @@ def khop_bfs(
                 if exclude is not None
                 else frontier
             )
+            if small:
+                expandable = F.broadcast(expandable)
+            seen = visited.select("node")
             nxt = (
                 expandable.join(adj, expandable.node == adj.a)
                 .select(F.col("b").alias("node"))
                 .distinct()
-                .join(visited.select("node"), "node", "left_anti")
+                .join(F.broadcast(seen) if small else seen, "node", "left_anti")
                 .withColumn("dist", F.lit(depth))
             )
             # max(dist) == depth ⇔ this hop added at least one node; the
             # probe rides the same job that materializes the round (the
             # round_end_probe fusion — one job per hop instead of
-            # checkpoint + isEmpty).
-            visited, max_dist = state.round_end_probe(
-                visited.union(nxt), "dist", probe=F.max("dist")
+            # checkpoint + isEmpty); the visited count rides it too and
+            # feeds the next hop's broadcast gate.
+            visited, max_dist, n_cnt = state.round_end_probe(
+                visited.union(nxt),
+                "dist",
+                probe=F.max("dist"),
+                extra=F.count(F.lit(1)),
             )
+            n_visited = int(n_cnt or 0)
             if max_dist is None or max_dist < depth:
                 break
 
@@ -712,6 +731,15 @@ def _list_chain_depth(e: DataFrame, max_iter: int) -> DataFrame:
 
 
 def _list_chain_rounds(t: DataFrame, state: _LoopState, max_iter: int) -> DataFrame:
+    # Measured-count broadcast gate for the live side (r17, guide
+    # §3.1): t is a checkpointed LogicalRDD, so the planner's static
+    # estimate drove the live ⋈ nxt self-join to a SortMergeJoin at
+    # every round past the first (executed-plan trace). The live count
+    # rides each round's probe for free; under the heap-derived cap the
+    # shrinking live side broadcasts and the full table streams — at
+    # cluster scale early rounds exceed the cap and stay shuffles.
+    bcast_cap = _broadcast_edge_cap(t.sparkSession) // 2
+    n_live: int | None = None
     for _ in range(max_iter):
         nxt = t.select(
             F.col("node").alias("p_node"),
@@ -731,10 +759,16 @@ def _list_chain_rounds(t: DataFrame, state: _LoopState, max_iter: int) -> DataFr
         # are bit-identical to the unsplit round.
         live = t.filter(F.col("ptr").isNotNull())
         done = t.filter(F.col("ptr").isNull())
-        # One job per doubling round: the any-live-pointer probe rides
-        # the materializing aggregate (round_end_probe fusion).
-        t, any_ptr = state.round_end_probe(
-            live.join(nxt, live.ptr == F.col("p_node")).select(
+        lhs = (
+            F.broadcast(live)
+            if n_live is not None and n_live <= bcast_cap
+            else live
+        )
+        # One job per doubling round: the live-pointer COUNT probe
+        # rides the materializing aggregate (round_end_probe fusion);
+        # it is both the fixpoint test and next round's broadcast gate.
+        t, n_raw = state.round_end_probe(
+            lhs.join(nxt, lhs.ptr == F.col("p_node")).select(
                 "node",
                 F.col("p_ptr").alias("ptr"),
                 (F.col("chain_depth") + F.col("p_depth")).alias(
@@ -742,9 +776,10 @@ def _list_chain_rounds(t: DataFrame, state: _LoopState, max_iter: int) -> DataFr
                 ),
             ).unionByName(done),
             "ptr",
-            probe=F.max(F.col("ptr").isNotNull()),
+            probe=F.sum(F.col("ptr").isNotNull().cast("long")),
         )
-        if not any_ptr:
+        n_live = int(n_raw or 0)
+        if not n_live:
             break
     return t
 
