@@ -523,11 +523,12 @@ def connected_components(
     if labels is not None:
         labels = labels.withColumn("changed", F.lit(True))
 
-    def round_plan(
+    def cand_plan(
         prev: DataFrame | None, use_delta: bool, bcast: bool = False
     ) -> DataFrame:
-        """One hash-to-min + pointer-jump round as a LAZY plan over
-        `prev` labels (None = labels are still the node ids).
+        """The hash-to-min half of a round as a LAZY plan over `prev`
+        labels (None = labels are still the node ids); the caller
+        applies _pointer_jump.
 
         bcast (r17, guide §3.1): the O(V) merge and pointer-jump joins
         sit directly over checkpointed LogicalRDDs — no exchange below
@@ -570,6 +571,14 @@ def connected_components(
                     F.least("component", "nbr_comp").alias("component"),
                 )
             )
+        return cand
+
+    def _pointer_jump(cand: DataFrame, bcast: bool) -> DataFrame:
+        """L(v) ← L(L(v)) over the candidate labels — the doubling step
+        split out so the loop can choose whether cand is a lazy subtree
+        (it then appears TWICE in this plan) or a per-round minor
+        checkpoint (one extra job, cand computed once) — see the loop
+        body for the measured choice."""
         parent = cand.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
@@ -604,17 +613,29 @@ def connected_components(
     bcast_cap = _broadcast_edge_cap(edges.sparkSession) // 2
     n_nodes: int | None = None
     with _loop_shuffle_scope(edges.sparkSession, est and est * 2):
+        import os as _os
+
+        cand_ckpt = _os.environ.get("PANDITYA_CC_CAND_CKPT", "1") == "1"
         for it in range(max_iter):
+            bcast = n_nodes is not None and n_nodes <= bcast_cap
+            cand = cand_plan(labels, use_delta=it >= 1, bcast=bcast)
+            if cand_ckpt:
+                # The pointer jump references cand twice, so a lazy
+                # cand runs the und-join + min-agg subtree TWICE per
+                # round; the minor checkpoint trades one O(V) frame
+                # materialization for computing the O(E) half once —
+                # the dominant term at scale (r17). Paired sf0.1 A/B:
+                # <= the lazy shape in 6/8 pairs, equal at quiet floor
+                # (the lazy shape's duplicated work is cheap at 330k
+                # edges; the gap widens with |E|). Env knob 0 restores
+                # the one-job-per-round r16 shape for replay.
+                cand = state.minor(cand)
             # Materialization and the any-changed fixpoint probe share
             # one job (round_end_probe): the former round_end + isEmpty
             # pair was two jobs per round at ~150 ms fixed cost each
             # (r16).
             labels, any_changed, n_cnt = state.round_end_probe(
-                round_plan(
-                    labels,
-                    use_delta=it >= 1,
-                    bcast=n_nodes is not None and n_nodes <= bcast_cap,
-                ),
+                _pointer_jump(cand, bcast),
                 "changed",
                 extra=F.count(F.lit(1)),
             )
