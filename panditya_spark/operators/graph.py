@@ -1354,17 +1354,24 @@ def eigenvector_centrality(
     state = _LoopState()
     x = _checkpoint(nodes.withColumn("x", F.lit(1.0 / n)))
     converged = False
+    # Same count-gated broadcast discipline as pagerank (r17): n is
+    # already measured, the x vector is a V-row checkpoint the planner
+    # cannot size.
+    small_v = n <= _broadcast_edge_cap(edges.sparkSession) // 2
     for _ in range(max_iter):
         # One materialization per round: the un-normalized update with
         # x_last carried along. Norm and convergence delta are then two
         # O(V) single-row aggregates over the materialized frame, and
         # the normalized x is a lazy projection of it (no plan growth —
         # the frame is a checkpoint).
+        x_src = x.select(F.col("node").alias("src"), "x")
         contrib = (
-            e.join(x.select(F.col("node").alias("src"), "x"), "src")
+            e.join(F.broadcast(x_src) if small_v else x_src, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("x").alias("c"))
         )
+        if small_v:
+            contrib = F.broadcast(contrib)
         raw = nodes.join(x, "node").join(contrib, "node", "left_outer").select(
             "node",
             F.col("x").alias("x_last"),
@@ -1473,17 +1480,33 @@ def pagerank(
 
     state = _LoopState()
     ranks = _checkpoint(nodes.withColumn("rank", F.lit(1.0)))
+    # Count-gated broadcast hints (r17, guide §3.1): the per-round rank
+    # vector and contribution table are V-row frames over checkpointed
+    # LogicalRDDs the planner cannot size (the loop-family defect class
+    # — see the SCC/CC gates); n is already measured, so the hint fires
+    # exactly when V fits the heap-derived budget and the cached O(E)
+    # adjacency streams unshuffled. Above the cap (cluster scale) the
+    # joins shuffle as before.
+    small_v = n <= _broadcast_edge_cap(edges.sparkSession) // 2
     for _ in range(iters):
+        r_src = ranks.withColumnRenamed("node", "src")
         contribs = (
-            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            adj.join(F.broadcast(r_src) if small_v else r_src, "src")
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_degree")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
+        if small_v:
+            contribs = F.broadcast(contribs)
         # Dangling mass folded in as a 1-row aggregate crossJoin — no
         # per-round driver action (a .first() here costs one extra job
         # per iteration).
-        dangling = ranks.join(outd.select("node"), "node", "left_anti").agg(
+        out_nodes = outd.select("node")
+        dangling = ranks.join(
+            F.broadcast(out_nodes) if small_v else out_nodes,
+            "node",
+            "left_anti",
+        ).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
         )
         (ranks,) = state.round_end(
